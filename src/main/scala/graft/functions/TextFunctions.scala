@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline operators
+  * (language ID, quality scoring, token counting, fingerprinting, shingling).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` — codegen'd
+  * column expressions, no UDFs — so the operators stay inside whole-stage
+  * codegen and push down through Catalyst untouched.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (distinct), the unit of MinHash/Jaccard dedup.
+    * Empty array for texts shorter than n words.
+    */
+  def shingles(ws: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
+    when(size(ws) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash value: the lexicographic minimum of seeded md5 digests over
+    * an exploded shingle column. Aggregate expression — use inside groupBy.
+    * md5-as-string keeps the hash identical across engines (no integer
+    * truncation games), and min() is a cheap partial-aggregable reduction.
+    */
+  def minhashAgg(shingle: Column, seed: Int): Column =
+    min(md5(concat(lit(s"$seed|"), shingle).cast("binary")))
+
+  /** SimHash bit contribution for bit position `b` (1-based, md5 hex digit
+    * parity): +1 / -1 per token occurrence. Aggregate with sum() per doc;
+    * bit is 1 iff the sum is >= 0.
+    */
+  def simhashBitTerm(token: Column, b: Int): Column =
+    when(ascii(substring(md5(token.cast("binary")), b, 1)) % 2 === 1, lit(1L))
+      .otherwise(lit(-1L))
+
+  /** Deterministic per-word value used by the rolling fingerprint: cheap,
+    * engine-portable (length and first-char code only).
+    */
+  def wordVal(w: Column): Column =
+    length(w).cast("long") * 7L + ascii(substring(w, 1, 1)).cast("long")
+
+  /** Position-weighted rolling fingerprint of a word array, mod a prime.
+    * Order-sensitive (like a rolling hash) but expressible as one
+    * fold — integer math only, so exact on every engine.
+    */
+  def fingerprint(ws: Column, mod: Long = 1000003L): Column =
+    aggregate(
+      zip_with(ws, sequence(lit(1L), size(ws).cast("long")),
+        (w, i) => i * wordVal(w)),
+      lit(0L), (acc, x) => acc + x) % mod
+
+  /** Marker-word count for the n-gram-heuristic language scorer. */
+  def markerHits(ws: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(ws),
+      array(markers.map(lit): _*))).cast("long")
+
+  /** Language ID: argmax of marker-hit counts with a fixed preference order
+    * on ties. Marker lists are the heuristic's "n-gram profile" — swap per
+    * corpus.
+    */
+  def langId(ws: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    // score each language, tie-break by list order (earlier wins ties)
+    val scored = profiles.zipWithIndex.map { case ((lang, markers), i) =>
+      struct(markerHits(ws, markers).as("hits"),
+        lit(profiles.size - i).as("pref"), lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column math over `array<float>` embedding columns.
+  *
+  * All ops are codegen'd higher-order functions (`zip_with` / `aggregate`) —
+  * no UDF, no driver round-trip. Elements are cast to double *before* the
+  * multiply so every engine accumulates the same IEEE-754 sequence (the
+  * fold is left-to-right in both Spark's `aggregate` and DuckDB's
+  * `list_sum`, which keeps oracle comparisons exact to the ulp).
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH bucket key: `planes` sign bits concatenated to a
+    * bit-string. Plane weights are a deterministic integer function of
+    * (plane, dim) — `((p*31 + i*17) mod 7) - 3` — so the bucketing is
+    * reproducible across engines and runs with zero stored state. Integer
+    * weights also keep each product exact in double precision.
+    */
+  def rpLshBucket(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dotP = aggregate(
+        zip_with(v, sequence(lit(1), size(v)),
+          (x, i) => x.cast("double") * (((lit(p) * 31 + i * 17) % 7) - 3).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotP >= 0.0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+}

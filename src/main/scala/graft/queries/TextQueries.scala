@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{RQ, Tables}
+import graft.functions.TextFunctions._
+
+/** Training-data text-pipeline operators over `documents.parquet`:
+  * token/quality stats, language ID, rolling fingerprint, SimHash, exact
+  * dedup stats, and the MinHash-LSH near-dup pipeline end-to-end.
+  *
+  * Scale shape: everything is either a per-row codegen'd expression or a
+  * key-partitioned aggregation; the near-dup candidate join is bucketed
+  * (band-hash equi-join), never all-pairs.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Stopword-ish marker list shared by the quality and lang-id queries. */
+  private val enMarkers = Seq("the", "a", "of", "and")
+  private val esMarkers = Seq("el", "la", "de")
+  private val deMarkers = Seq("der", "die", "das")
+
+  val defs: Seq[RQ] = Seq(
+
+    // T1 — token counting + quality scoring (length / stopword ratios)
+    RQ("t1_token_quality", Some("""
+      WITH ws AS (SELECT doc_id, length(text) AS n_chars2,
+                         str_split(text, ' ') AS w FROM documents)
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(n_chars2 AS BIGINT) AS n_chars2,
+             CAST(len(list_intersect(list_distinct(w),
+                  ['the','a','of','and'])) AS BIGINT) AS stop_kinds,
+             CAST(len(list_intersect(list_distinct(w),
+                  ['the','a','of','and'])) AS BIGINT)::DOUBLE
+               / CAST(len(w) AS BIGINT)::DOUBLE AS stop_ratio
+      FROM ws ORDER BY doc_id"""))((s, dir) => {
+      val w = split(col("text"), " ")
+      docs(s, dir).select(col("doc_id"), length(col("text")).cast("long").as("n_chars2"),
+          size(w).cast("long").as("n_tokens"), markerHits(w, enMarkers).as("stop_kinds"))
+        .withColumn("stop_ratio",
+          col("stop_kinds").cast("double") / col("n_tokens").cast("double"))
+        .select("doc_id", "n_tokens", "n_chars2", "stop_kinds", "stop_ratio")
+        .orderBy("doc_id")
+    }),
+
+    // T2 — language ID: marker-hit argmax with fixed tie preference
+    RQ("t2_lang_id", Some("""
+      WITH h AS (SELECT doc_id,
+        len(list_intersect(list_distinct(str_split(text,' ')), ['the','a','of','and'])) AS h_en,
+        len(list_intersect(list_distinct(str_split(text,' ')), ['el','la','de'])) AS h_es,
+        len(list_intersect(list_distinct(str_split(text,' ')), ['der','die','das'])) AS h_de
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN h_en >= h_es AND h_en >= h_de THEN 'en'
+                  WHEN h_es >= h_de THEN 'es' ELSE 'de' END AS lang_guess,
+             CAST(h_en AS BIGINT) AS h_en
+      FROM h ORDER BY doc_id"""))((s, dir) => {
+      val w = split(col("text"), " ")
+      docs(s, dir).select(col("doc_id"),
+          langId(w, Seq("en" -> enMarkers, "es" -> esMarkers, "de" -> deMarkers))
+            .as("lang_guess"),
+          markerHits(w, enMarkers).as("h_en"))
+        .orderBy("doc_id")
+    }),
+
+    // T3 — rolling document fingerprint (position-weighted word hash)
+    RQ("t3_fingerprint", Some("""
+      WITH ws AS (SELECT doc_id, str_split(text,' ') AS w FROM documents),
+           e AS (SELECT doc_id, unnest(w) AS tok,
+                        unnest(range(1, len(w)+1)) AS i FROM ws)
+      SELECT doc_id,
+             CAST(sum(i*(length(tok)*7 + ascii(substr(tok,1,1)))) % 1000003
+                  AS BIGINT) AS fp
+      FROM e GROUP BY doc_id ORDER BY doc_id"""))((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), fingerprint(split(col("text"), " ")).as("fp"))
+        .orderBy("doc_id")),
+
+    // T4 — 32-bit SimHash (digest computed once per token; 32 nibble
+    // parities per digest)
+    RQ("t4_simhash", Some {
+      val sums = (1 to 32).map(b =>
+        s"sum(CASE WHEN strpos('13579bdf', substr(dg,$b,1)) > 0 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(", ")
+      val value = (1 to 32).map(b =>
+        s"(CASE WHEN s$b >= 0 THEN ${1L << (b - 1)} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH e AS (SELECT doc_id, md5(unnest(str_split(text,' '))) AS dg
+                 FROM documents),
+           s AS (SELECT doc_id, $sums FROM e GROUP BY doc_id)
+      SELECT doc_id, CAST($value AS BIGINT) AS simhash
+      FROM s ORDER BY doc_id"""
+    })((s, dir) => {
+      val e = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), md5(col("tok").cast("binary")).as("dg"))
+      val sums = (1 to 32).map(b => sum(simhashBitTerm(col("dg"), b)).as(s"s$b"))
+      e.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"),
+          simhashFromSums((1 to 32).map(b => col(s"s$b"))).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // T5 — exact-dedup stats: content-hash distinct counts per source
+    RQ("t5_exact_dedup_stats", Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+      FROM documents GROUP BY source ORDER BY source"""))((s, dir) =>
+      docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+        .orderBy("source")),
+
+    // T6 — MinHash near-dup dedup END-TO-END: 3-gram shingles → 8-seed
+    // signature → 4 banded buckets → candidate pairs within buckets only →
+    // exact-Jaccard verify ≥ 0.8. The candidate join is on (band, bandhash)
+    // — at 100 TB this is the only scalable shape (never all-pairs).
+    RQ("t6_minhash_dedup", Some("""
+      WITH ws AS (SELECT doc_id, str_split(text,' ') AS w FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                  FROM ws WHERE len(w) >= 3),
+           seeds AS (SELECT unnest(range(0, 8)) AS seed),
+           sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+                   FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+           band AS (SELECT doc_id, seed // 2 AS b,
+                           string_agg(mh, '' ORDER BY seed) AS bh
+                    FROM sig GROUP BY 1, 2),
+           cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+                    FROM band a JOIN band c USING (b, bh)
+                    WHERE a.doc_id < c.doc_id),
+           cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           inter AS (SELECT da, db, count(*) AS i FROM cand
+                     JOIN sh x ON x.doc_id = da
+                     JOIN sh y ON y.doc_id = db AND x.s = y.s
+                     GROUP BY 1, 2)
+      SELECT da AS doc_a, db AS doc_b,
+             i::DOUBLE / (ca.n + cb.n - i)::DOUBLE AS jacc
+      FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      WHERE i::DOUBLE / (ca.n + cb.n - i)::DOUBLE >= 0.8
+      ORDER BY doc_a, doc_b"""))((s, dir) => {
+      val ws = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+      val sh = ws.select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
+      val seeds = s.range(0, 8).select(col("id").cast("int").as("seed"))
+      val sig = sh.crossJoin(broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("s"))
+          .cast("binary"))).as("mh"))
+      val band = sig
+        .groupBy(col("doc_id"), floor(col("seed") / 2).cast("long").as("b"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("seed"), col("mh")))),
+          x => x.getField("mh"))).as("bh"))
+      val bandA = band.select(col("doc_id").as("da"), col("b"), col("bh"))
+      val bandB = band.select(col("doc_id").as("db"), col("b"), col("bh"))
+      val cand = bandA.join(bandB, Seq("b", "bh"))
+        .filter(col("da") < col("db")).select("da", "db").distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shA = sh.select(col("doc_id").as("da"), col("s"))
+      val shB = sh.select(col("doc_id").as("db"), col("s"))
+      val inter = cand.join(shA, "da").join(shB, Seq("db", "s"))
+        .groupBy("da", "db").agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .withColumn("jacc",
+          col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+        .filter(col("jacc") >= 0.8)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jacc"))
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{RQ, Tables}
+import graft.functions.VectorFunctions._
+
+/** Similarity search over `embeddings.parquet` (array<float>, dim 64).
+  *
+  * v1 is the brute-force baseline: broadcast the (small) query set, score
+  * all candidates, per-query top-k via TakeOrdered-style window — the
+  * pattern that stays correct at any scale when the query side is small.
+  * v2 is the scale path: RP-LSH bucketing (rpLshBucket) so candidate
+  * generation is an equi-join on the bucket key — cost ~ Σ bucket²
+  * instead of N².
+  *
+  * Determinism: dot products are left-to-right folds of exact
+  * float→double widenings on both engines, so cosine values are
+  * bit-identical and safe to hash-compare.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** Shared oracle fragment: cosine(a, b) over DuckDB lists. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+       / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
+        * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"""
+
+  /** DuckDB mirror of VectorFunctions.rpLshBucket (8 planes). */
+  private val bucketSql: String = (0 until 8).map { p =>
+    val m = s"(($p*31 + x[2]*17) % 6)"
+    s"""CASE WHEN list_sum(list_transform(
+          list_zip(embedding, range(1, len(embedding)+1)),
+          x -> x[1]::DOUBLE *
+               (CASE WHEN $m < 3 THEN $m - 3 ELSE $m - 2 END)::DOUBLE)) >= 0
+        THEN '1' ELSE '0' END"""
+  }.mkString(" || ")
+
+  val defs: Seq[RQ] = Seq(
+
+    // V1 — brute-force cosine top-k ANN baseline: 10 query vectors vs all
+    RQ("v1_ann_brute_topk", Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 10),
+           n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+           p AS (SELECT q_id, n_id, ${cosSql("qv", "nv")} AS cos
+                 FROM q, n WHERE n_id <> q_id),
+           r AS (SELECT q_id, n_id, cos,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, n_id) AS rnk
+                 FROM p)
+      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      n.crossJoin(broadcast(q)).filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
+          col("cos"))
+        .orderBy("q_id", "rnk")
+    }),
+
+    // V2 — LSH-bucketed ANN: bucket equi-join → within-bucket top-1
+    RQ("v2_lsh_ann", Some(s"""
+      WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+                 FROM embeddings),
+           p AS (SELECT a.vec_id AS q_id, c.vec_id AS n_id, a.bucket,
+                        ${cosSql("a.embedding", "c.embedding")} AS cos
+                 FROM b a JOIN b c USING (bucket)
+                 WHERE a.vec_id <> c.vec_id),
+           r AS (SELECT q_id, n_id, bucket, cos,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, n_id) AS rnk
+                 FROM p)
+      SELECT q_id, n_id, bucket, cos FROM r WHERE rnk = 1
+      ORDER BY q_id"""))((s, dir) => {
+      val b = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          rpLshBucket(col("embedding"), 8).as("bucket"))
+      val a = b.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("bucket"))
+      val c = b.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+        col("bucket"))
+      a.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rnk") === 1)
+        .select(col("q_id"), col("n_id"), col("bucket"), col("cos"))
+        .orderBy("q_id")
+    })
+  )
+}

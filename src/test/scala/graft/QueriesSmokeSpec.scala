@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Smoke: every registered query executes on sf0.001, and the plans that
+  * should broadcast their dimension side actually do.
+  */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  describe("registered queries") {
+    SparkEntry.all.foreach { rq =>
+      it(s"${rq.name} runs on sf0.001") {
+        val df = rq.build(spark, sf)
+        assert(df.queryExecution.toRdd.count() >= 0)
+      }
+    }
+  }
+
+  describe("plan shape") {
+    def executed(name: String): SparkPlan =
+      SparkEntry.all.find(_.name == name).get.build(spark, sf)
+        .queryExecution.executedPlan
+
+    it("c14_star_join broadcasts the region-nation dim side") {
+      assert(executed("c14_star_join").toString.contains("BroadcastHashJoin"))
+    }
+    it("c2_inner_join broadcasts the nation dim") {
+      assert(executed("c2_inner_join").toString.contains("BroadcastHashJoin"))
+    }
+    it("f4_topk plans TakeOrderedAndProject (no global sort)") {
+      assert(executed("f4_topk").toString.contains("TakeOrderedAndProject"))
+    }
+    it("c8_closure stays map-side (broadcast every hop, no probe shuffle)") {
+      val p = executed("c8_closure").toString
+      assert(p.contains("BroadcastHashJoin"))
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft.chem
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The chemistry seam (SURVEY.md §2.I).
+  *
+  * The reference's chemistry is RDKit + pdbeccdutils
+  * (pdbe_sanitise_smiles utils.py:153-186, neutralize_atoms
+  * get_pdb_parity.py:31-51, PARITY compare_molecules
+  * get_pdb_parity.py:88-107). There is no JVM RDKit, so the engine
+  * isolates every chemistry call behind this trait: the fixture-backed
+  * implementation below is deterministic and testable; a JNI/graalpy
+  * bridge or a precomputed canonical-SMILES lookup table slots in without
+  * touching any operator.
+  *
+  * Everything returns a Column so implementations stay inside codegen
+  * (or, for a heavyweight scorer, can swap to a mapPartitions-backed
+  * variant with a per-task timeout — the reference caps MCS at 40 s,
+  * get_pdb_parity.py:96).
+  */
+trait ChemToolkit {
+
+  /** I1/I2 — canonical (sanitised + neutralised) form of a descriptor. */
+  def canonicalSmiles(descriptor: Column): Column
+
+  /** I3 — PARITY-style similarity score in [0,1] for a candidate pair.
+    * Deterministic given inputs, so results are cacheable by the pair key
+    * (the C11 cache-probe split relies on this).
+    */
+  def parityScore(boundSize: Column, cognateSize: Column): Column
+}
+
+/** Deterministic fixture-backed toolkit: canonicalisation is a stable
+  * string normalisation; the score is an exact integer ratio (one double
+  * division — bit-identical across engines). Stands in for RDKit with the
+  * same dataflow shape and cost model hooks.
+  */
+object FixtureChem extends ChemToolkit {
+
+  override def canonicalSmiles(descriptor: Column): Column =
+    upper(trim(descriptor))
+
+  override def parityScore(boundSize: Column, cognateSize: Column): Column =
+    (lit(100) - abs(boundSize.cast("long") - cognateSize.cast("long")))
+      .cast("double") / lit(100.0)
+}

@@ -1,0 +1,113 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.chem.{ChemToolkit, FixtureChem}
+import graft.operators.WindowOps
+
+/** The node/edge DataFrame registry — the engine's equivalent of the
+  * Neo4j database built by import_neo4j_data.sh:3-78. Nodes and edges are
+  * derived deterministically from the driver's star schema so every
+  * dashboard query is oracle-checkable:
+  *
+  *   entry         ← orders        (pdbEntry  = 'pdb' || o_orderkey)
+  *   proteinChain  ← (entry × domain-nation)   chainUniqueID = ok:nk
+  *   domain        ← supplier      (type CATH/SCOP/Pfam by suppkey mod 3,
+  *                                  superfamily = 'SF' || s_nationkey)
+  *   boundEntity   ← distinct (l_orderkey, l_partkey)
+  *   cognateLigand ← part
+  *   INTERACTS_WITH_LIGAND ← lineitem grouped by (be, supplier) with
+  *       contact counts, whole-be share (D3) and the ownership classifier
+  *       bands (process_pdb_contacts.py:59-78) as interactionMode
+  *   HAS_SIMILARITY ← C10 candidate pairs (cognates sharing the bound
+  *       part's brand ≈ sharing an EC) scored by the ChemToolkit, with
+  *       the D4 bestCognate argmax flag (produce_neo4j_files.py:423-425)
+  *
+  * All ids are BIGINT/VARCHAR; scores are single exact divisions.
+  */
+final case class GraphTables(
+    entries: DataFrame,       // pdbEntry, ok
+    chains: DataFrame,        // chainUniqueID, ok, nk
+    domains: DataFrame,       // domainAccession, suppkey, dtype, superfamily, nk
+    boundEntities: DataFrame, // uniqueID, ok, ligandUniqueID, hetCode, displayID
+    interacts: DataFrame,     // uniqueID, suppkey, contactCount, totalContacts, perc, interactionMode
+    cognates: DataFrame,      // cogId, cogName, brand, csize
+    similarity: DataFrame     // uniqueID, cogId, parityScore, bestCognate
+)
+
+object GraphTables {
+
+  /** Ownership-classifier bands (thresholds from README.md:256-265 shape). */
+  private[graph] def ownershipBand(share: org.apache.spark.sql.Column) =
+    when(share > 0.9, "exclusive")
+      .when(share > 0.5, "dominant")
+      .when(share > 0.1, "partner")
+      .otherwise("minor")
+
+  def build(s: SparkSession, dir: String,
+            chem: ChemToolkit = FixtureChem): GraphTables = {
+    val orders = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    val supp = Tables(s, dir, "supplier")
+    val part = Tables(s, dir, "part")
+
+    val entries = orders.select(
+      concat(lit("pdb"), col("o_orderkey")).as("pdbEntry"),
+      col("o_orderkey").as("ok"))
+
+    val domains = supp.select(
+      col("s_name").as("domainAccession"),
+      col("s_suppkey").as("suppkey"),
+      element_at(array(lit("CATH"), lit("SCOP"), lit("Pfam")),
+        (col("s_suppkey") % 3).cast("int") + 1).as("dtype"),
+      concat(lit("SF"), col("s_nationkey")).as("superfamily"),
+      col("s_nationkey").cast("long").as("nk"))
+
+    // one chain per (entry, domain-nation) actually touched by a contact
+    val chains = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey").as("ok"), col("s_nationkey").cast("long").as("nk"))
+      .distinct()
+      .withColumn("chainUniqueID", concat(col("ok"), lit(":"), col("nk")))
+
+    val boundEntities = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("ligandUniqueID")).distinct()
+      .withColumn("uniqueID", concat(col("ok"), lit("_"), col("ligandUniqueID")))
+      .withColumn("hetCode", concat(lit("HET"), col("ligandUniqueID")))
+      .withColumn("displayID",
+        concat(lit("bm"), dense_rank().over(
+          Window.partitionBy(col("ok")).orderBy(col("ligandUniqueID")))))
+
+    // D2 sum + D3 whole-be share + H5 ownership classifier
+    val perDomain = li
+      .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        col("l_suppkey").as("suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("contactCount"))
+    val interacts = WindowOps.withGroupShare(perDomain, Seq("ok", "pk"),
+        col("contactCount"), "totalContacts", "perc")
+      .withColumn("perc",
+        col("contactCount").cast("double") / col("totalContacts").cast("double"))
+      .withColumn("interactionMode", ownershipBand(col("perc")))
+      .withColumn("uniqueID", concat(col("ok"), lit("_"), col("pk")))
+
+    val cognates = part.select(col("p_partkey").as("cogId"),
+      chem.canonicalSmiles(col("p_name")).as("cogName"),
+      col("p_brand").as("brand"), col("p_size").as("csize"))
+
+    // C10 candidates by shared brand (≈ shared EC) → I3 score → D4 best
+    val beWithSize = boundEntities
+      .join(part, col("ligandUniqueID") === col("p_partkey"))
+      .select(col("uniqueID"), col("p_brand").as("brand"),
+        col("p_size").as("bsize"))
+    val scored = beWithSize.join(cognates, Seq("brand"))
+      .select(col("uniqueID"), col("cogId"),
+        chem.parityScore(col("bsize"), col("csize")).as("parityScore"))
+    val similarity = WindowOps.argmaxFlag(scored, Seq("uniqueID"),
+      col("parityScore"), "bestCognate")
+
+    GraphTables(entries, chains, domains, boundEntities, interacts,
+      cognates, similarity)
+  }
+}

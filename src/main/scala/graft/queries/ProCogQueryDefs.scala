@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.RQ
+import graft.graph.GraphTables
+import graft.query.ProCogQueries
+import graft.query.ProCogQueries.{AnyCognate, Best}
+
+/** The ProCogGraph dashboard surface under the oracle gate: each query is
+  * a fixed-parameter instantiation of a ProCogQueries method, with a
+  * DuckDB oracle that re-derives the graph registry (see GraphTables)
+  * from the raw star schema.
+  */
+object ProCogQueryDefs {
+
+  /** DuckDB mirror of GraphTables.build. */
+  private val G = """
+      WITH be0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                   FROM lineitem),
+      be AS (SELECT ok, pk, ok || '_' || pk AS uid, 'HET' || pk AS hetCode,
+                    'bm' || dense_rank() OVER (PARTITION BY ok ORDER BY pk)
+                      AS disp
+             FROM be0),
+      ia0 AS (SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cc
+              FROM lineitem GROUP BY 1, 2, 3),
+      ia AS (SELECT ok, pk, sk, cc, ok || '_' || pk AS uid,
+                    cc::DOUBLE /
+                    CAST(sum(cc) OVER (PARTITION BY ok, pk) AS BIGINT)::DOUBLE
+                      AS perc
+             FROM ia0),
+      iam AS (SELECT *, CASE WHEN perc > 0.9 THEN 'exclusive'
+                             WHEN perc > 0.5 THEN 'dominant'
+                             WHEN perc > 0.1 THEN 'partner'
+                             ELSE 'minor' END AS mode FROM ia),
+      dom AS (SELECT s_name AS acc, s_suppkey AS sk,
+                     CASE s_suppkey % 3 WHEN 0 THEN 'CATH' WHEN 1 THEN 'SCOP'
+                          ELSE 'Pfam' END AS dtype,
+                     'SF' || s_nationkey AS ssf
+              FROM supplier),
+      cand AS (SELECT b.uid, p2.p_partkey AS cog,
+                      (100 - abs(p2.p_size - p1.p_size))::DOUBLE / 100::DOUBLE
+                        AS score
+               FROM be b JOIN part p1 ON b.pk = p1.p_partkey
+                         JOIN part p2 ON p2.p_brand = p1.p_brand),
+      sim AS (SELECT uid, cog, score,
+                     CASE WHEN score = max(score) OVER (PARTITION BY uid)
+                          THEN 'Y' ELSE 'N' END AS best
+              FROM cand)"""
+
+  val defs: Seq[RQ] = Seq(
+
+    RQ("p1_summary_stats", Some(s"""$G
+      SELECT CAST((SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+               AS n_entries,
+             CAST((SELECT count(*) FROM be0) AS BIGINT) AS n_bound_entities,
+             CAST((SELECT count(DISTINCT pk) FROM be0) AS BIGINT)
+               AS n_ligand_structures,
+             CAST((SELECT count(DISTINCT p_partkey) FROM part) AS BIGINT)
+               AS n_cognates"""))((s, dir) =>
+      ProCogQueries.summaryStats(GraphTables.build(s, dir))),
+
+    RQ("p2_search_entries", Some(s"""$G
+      SELECT e.pdbEntry,
+             CAST(coalesce(bc.be_count, 0) AS BIGINT) AS be_count,
+             CAST(coalesce(cc.cog_count, 0) AS BIGINT) AS cog_count
+      FROM (SELECT 'pdb' || o_orderkey AS pdbEntry, o_orderkey AS ok
+            FROM orders) e
+      LEFT JOIN (SELECT ok, count(DISTINCT uid) AS be_count FROM be
+                 GROUP BY 1) bc USING (ok)
+      LEFT JOIN (SELECT b.ok, count(DISTINCT s.cog) AS cog_count
+                 FROM be b JOIN sim s ON s.uid = b.uid
+                 WHERE s.score >= 0.9 AND s.best = 'Y' GROUP BY 1) cc
+        USING (ok)
+      WHERE upper(e.pdbEntry) LIKE '%42%'
+      ORDER BY pdbEntry"""))((s, dir) =>
+      ProCogQueries.searchEntries(GraphTables.build(s, dir), "42", 0.9, Best)
+        .orderBy("pdbEntry")),
+
+    RQ("p3_domain_interactions", Some(s"""$G
+      SELECT 'pdb' || i.ok AS pdbID, d.acc AS chainDomain,
+             b.disp AS pdbLigand,
+             upper(substr(i.mode, 1, 1)) || substr(i.mode, 2)
+               AS interactionMode,
+             i.cc AS contactCount, i.perc
+      FROM iam i JOIN dom d ON d.sk = i.sk JOIN be b ON b.uid = i.uid
+      WHERE i.ok <= 20
+      ORDER BY pdbID, chainDomain, pdbLigand, interactionMode,
+               contactCount, perc"""))((s, dir) =>
+      ProCogQueries.domainInteractions(GraphTables.build(s, dir), 20L)
+        .orderBy("pdbID", "chainDomain", "pdbLigand", "interactionMode",
+          "contactCount", "perc")),
+
+    RQ("p4_ligand_similarity_best", Some(s"""$G
+      SELECT b.hetCode, upper(trim(p.p_name)) AS cognateLigand,
+             s.score AS parityScore, s.best
+      FROM be b JOIN sim s ON s.uid = b.uid
+                JOIN part p ON p.p_partkey = s.cog
+      WHERE b.ok <= 20 AND s.score >= 0.9 AND s.best = 'Y'
+      ORDER BY hetCode, cognateLigand, parityScore, best"""))((s, dir) =>
+      ProCogQueries.ligandSimilarity(GraphTables.build(s, dir), 20L, 0.9, Best)
+        .orderBy("hetCode", "cognateLigand", "parityScore", "best")),
+
+    RQ("p5_ligand_similarity_any", Some(s"""$G
+      SELECT b.hetCode, upper(trim(p.p_name)) AS cognateLigand,
+             s.score AS parityScore, s.best
+      FROM be b JOIN sim s ON s.uid = b.uid
+                JOIN part p ON p.p_partkey = s.cog
+      WHERE b.ok <= 20 AND s.score >= 0.97
+      ORDER BY hetCode, cognateLigand, parityScore, best"""))((s, dir) =>
+      ProCogQueries.ligandSimilarity(GraphTables.build(s, dir), 20L, 0.97,
+          AnyCognate)
+        .orderBy("hetCode", "cognateLigand", "parityScore", "best")),
+
+    RQ("p6_superfamily_promiscuity", Some(s"""$G,
+      binds AS (SELECT d.ssf, s.cog, CAST(count(DISTINCT i.sk) AS BIGINT)
+                  AS n_bind
+                FROM iam i
+                JOIN sim s ON s.uid = i.uid AND s.score >= 0.95
+                          AND s.best = 'Y'
+                JOIN dom d ON d.sk = i.sk
+                GROUP BY 1, 2),
+      ssfsize AS (SELECT ssf, CAST(count(DISTINCT sk) AS BIGINT) AS n_dom
+                  FROM dom GROUP BY 1)
+      SELECT b.ssf AS superfamily, b.cog AS cogId, b.n_bind, z.n_dom,
+             b.n_bind::DOUBLE / z.n_dom::DOUBLE AS frac_binding
+      FROM binds b JOIN ssfsize z USING (ssf)
+      ORDER BY superfamily, cogId"""))((s, dir) =>
+      ProCogQueries.superfamilyPromiscuity(GraphTables.build(s, dir), 0.95,
+          Best)
+        .orderBy("superfamily", "cogId")),
+
+    RQ("p7_combinatorial_fingerprints", Some(s"""$G,
+      fp AS (SELECT i.uid,
+                    string_agg(d.acc || ':' || i.mode, '|'
+                               ORDER BY d.acc || ':' || i.mode)
+                      AS fingerprint
+             FROM iam i JOIN dom d ON d.sk = i.sk GROUP BY 1)
+      SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_entities
+      FROM fp GROUP BY 1 ORDER BY fingerprint"""))((s, dir) =>
+      ProCogQueries.combinatorialFingerprints(GraphTables.build(s, dir))
+        .orderBy("fingerprint")),
+
+    RQ("p8_compare_domains", Some(s"""$G,
+      sa AS (SELECT DISTINCT s.cog FROM iam i JOIN sim s ON s.uid = i.uid
+             WHERE i.sk = 1 AND s.score >= 0.9 AND s.best = 'Y'),
+      sb AS (SELECT DISTINCT s.cog FROM iam i JOIN sim s ON s.uid = i.uid
+             WHERE i.sk = 2 AND s.score >= 0.9 AND s.best = 'Y')
+      SELECT CAST((SELECT count(*) FROM (SELECT * FROM sa INTERSECT
+                   SELECT * FROM sb)) AS BIGINT) AS n_common,
+             CAST((SELECT count(*) FROM (SELECT * FROM sa EXCEPT
+                   SELECT * FROM sb)) AS BIGINT) AS n_only_a,
+             CAST((SELECT count(*) FROM (SELECT * FROM sb EXCEPT
+                   SELECT * FROM sa)) AS BIGINT) AS n_only_b"""))((s, dir) =>
+      ProCogQueries.compareDomains(GraphTables.build(s, dir), 1L, 2L, 0.9,
+        Best)),
+
+    RQ("p9_autocomplete", Some(s"""$G
+      SELECT hetCode FROM (SELECT DISTINCT hetCode FROM be)
+      WHERE hetCode LIKE '%1%'
+      ORDER BY length(hetCode), hetCode LIMIT 5"""))((s, dir) =>
+      ProCogQueries.autocomplete(GraphTables.build(s, dir), "1", 5)),
+
+    // EC-hierarchy walk shape (dashboard EC page): two-level rollup listing
+    RQ("p10_hierarchy_walk", Some("""
+      SELECT r_name, n_name, CAST(count(DISTINCT o_orderkey) AS BIGINT)
+               AS n_entries
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2 ORDER BY r_name, n_name"""))((s, dir) => {
+      import graft.Tables
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(countDistinct(col("o_orderkey")).as("n_entries"))
+        .orderBy("r_name", "n_name")
+    })
+  )
+}

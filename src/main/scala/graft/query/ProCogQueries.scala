@@ -1,0 +1,147 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphTables
+
+/** The dashboard query surface (SURVEY.md §3.3; neodash_queries.yaml) as
+  * typed plan-builders over the graph registry. The reference's
+  * apoc.when/apoc.case parameter dispatch (Best vs Any cognate mode,
+  * domain-type switch) happens here at plan-build time — Scala
+  * conditionals choose filters; nothing is interpreted at runtime.
+  */
+object ProCogQueries {
+
+  /** Best = only argmax cognates ("Y"); Any = all candidates. Mirrors
+    * `apoc.when($neodash_max_cognate = "Best", ...)` (neodash_queries.yaml:40).
+    */
+  sealed trait CognateMode
+  case object Best extends CognateMode
+  case object AnyCognate extends CognateMode
+
+  private def modeFilter(mode: CognateMode)(df: DataFrame): DataFrame =
+    mode match {
+      case Best       => df.filter(col("bestCognate") === "Y")
+      case AnyCognate => df
+    }
+
+  /** Home-page summary statistics (neodash_queries.yaml:3-22): four
+    * COUNT(DISTINCT ...) over the node tables, one row.
+    */
+  def summaryStats(g: GraphTables): DataFrame =
+    g.entries.agg(countDistinct(col("pdbEntry")).as("n_entries"))
+      .crossJoin(g.boundEntities.agg(
+        countDistinct(col("uniqueID")).as("n_bound_entities"),
+        countDistinct(col("ligandUniqueID")).as("n_ligand_structures")))
+      .crossJoin(g.cognates.agg(countDistinct(col("cogId")).as("n_cognates")))
+
+  /** PDB search (yaml:40-52): substring match on entry id, with optional
+    * bound-entity and best-cognate counts (OPTIONAL MATCH → left joins,
+    * null-preserving counts).
+    */
+  def searchEntries(g: GraphTables, substr: String,
+                    cutoff: Double, mode: CognateMode): DataFrame = {
+    val sims = modeFilter(mode)(
+      g.similarity.filter(col("parityScore") >= cutoff))
+    val beCounts = g.boundEntities.groupBy("ok")
+      .agg(countDistinct(col("uniqueID")).as("be_count"))
+    val cogCounts = g.boundEntities.join(sims, "uniqueID")
+      .groupBy("ok").agg(countDistinct(col("cogId")).as("cog_count"))
+    g.entries.filter(upper(col("pdbEntry")).contains(substr.toUpperCase))
+      .join(beCounts, Seq("ok"), "left")
+      .join(cogCounts, Seq("ok"), "left")
+      .select(col("pdbEntry"),
+        coalesce(col("be_count"), lit(0L)).as("be_count"),
+        coalesce(col("cog_count"), lit(0L)).as("cog_count"))
+  }
+
+  /** Domain Interactions table (yaml:67-71): the 5-hop pattern
+    * entry ← chain ← domain -INTERACTS→ boundEntity → entry, with the
+    * contact share and capitalized interaction mode.
+    */
+  def domainInteractions(g: GraphTables, maxEntryKey: Long,
+                         domainType: Option[String] = None): DataFrame = {
+    val doms = domainType.fold(g.domains)(t => g.domains.filter(col("dtype") === t))
+    g.interacts.filter(col("ok") <= maxEntryKey)
+      .join(broadcast(doms), "suppkey")
+      .join(g.boundEntities.select("uniqueID", "displayID"), "uniqueID")
+      .select(concat(lit("pdb"), col("ok")).as("pdbID"),
+        col("domainAccession").as("chainDomain"),
+        col("displayID").as("pdbLigand"),
+        concat(upper(substring(col("interactionMode"), 1, 1)),
+          expr("substring(interactionMode, 2)")).as("interactionMode"),
+        col("contactCount"), col("perc"))
+  }
+
+  /** Ligand Similarity table (yaml:74-81): per bound entity, cognate
+    * candidates above the parity cutoff, Best/Any dispatch, score-ordered.
+    */
+  def ligandSimilarity(g: GraphTables, maxEntryKey: Long, cutoff: Double,
+                       mode: CognateMode): DataFrame = {
+    val sims = modeFilter(mode)(
+      g.similarity.filter(col("parityScore") >= cutoff))
+    g.boundEntities.filter(col("ok") <= maxEntryKey)
+      .join(sims, "uniqueID")
+      .join(g.cognates, "cogId")
+      .select(col("hetCode"), col("cogName").as("cognateLigand"),
+        col("parityScore"), col("bestCognate").as("best"))
+  }
+
+  /** Superfamily binding promiscuity (yaml:123-144): for each superfamily
+    * and cognate ligand, the fraction of the superfamily's domains that
+    * bind it (at the cutoff, in the given mode).
+    */
+  def superfamilyPromiscuity(g: GraphTables, cutoff: Double,
+                             mode: CognateMode): DataFrame = {
+    val sims = modeFilter(mode)(
+      g.similarity.filter(col("parityScore") >= cutoff))
+    val ssfSize = g.domains.groupBy("superfamily")
+      .agg(countDistinct(col("suppkey")).as("n_dom"))
+    val binds = g.interacts.select("uniqueID", "suppkey")
+      .join(sims.select("uniqueID", "cogId"), "uniqueID")
+      .join(broadcast(g.domains.select("suppkey", "superfamily")), "suppkey")
+      .groupBy("superfamily", "cogId")
+      .agg(countDistinct(col("suppkey")).as("n_bind"))
+    binds.join(broadcast(ssfSize), "superfamily")
+      .select(col("superfamily"), col("cogId"), col("n_bind"), col("n_dom"),
+        (col("n_bind").cast("double") / col("n_dom").cast("double"))
+          .as("frac_binding"))
+  }
+
+  /** Combinatorial interaction fingerprints (dashboard: sorted collect of
+    * domain:mode per bound entity → fingerprint frequency).
+    */
+  def combinatorialFingerprints(g: GraphTables): DataFrame =
+    g.interacts
+      .join(broadcast(g.domains.select("suppkey", "domainAccession")), "suppkey")
+      .groupBy("uniqueID")
+      .agg(concat_ws("|", array_sort(collect_list(
+        concat(col("domainAccession"), lit(":"), col("interactionMode")))))
+        .as("fingerprint"))
+      .groupBy("fingerprint").agg(count(lit(1)).as("n_entities"))
+
+  /** Compare Domains (apoc.coll.intersection / subtract, dashboard
+    * Compare-Domains page): cognate-ligand sets of two domains.
+    */
+  def compareDomains(g: GraphTables, suppA: Long, suppB: Long,
+                     cutoff: Double, mode: CognateMode): DataFrame = {
+    val sims = modeFilter(mode)(
+      g.similarity.filter(col("parityScore") >= cutoff))
+    def ligSet(supp: Long) = g.interacts.filter(col("suppkey") === supp)
+      .select("uniqueID").join(sims, "uniqueID").select("cogId").distinct()
+    val a = ligSet(suppA)
+    val b = ligSet(suppB)
+    a.intersect(b).agg(count(lit(1)).as("n_common"))
+      .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_a")))
+      .crossJoin(b.except(a).agg(count(lit(1)).as("n_only_b")))
+  }
+
+  /** Autocomplete select (dashboard: `ORDER BY size(value) ASC LIMIT 5`). */
+  def autocomplete(g: GraphTables, substr: String, k: Int): DataFrame =
+    g.boundEntities.select(col("hetCode")).distinct()
+      .filter(col("hetCode").contains(substr))
+      .orderBy(length(col("hetCode")), col("hetCode"))
+      .limit(k)
+}

@@ -22,9 +22,17 @@ import graft.operators.WindowOps
   *   INTERACTS_WITH_LIGAND ← lineitem grouped by (be, supplier) with
   *       contact counts, whole-be share (D3) and the ownership classifier
   *       bands (process_pdb_contacts.py:59-78) as interactionMode
-  *   HAS_SIMILARITY ← C10 candidate pairs (cognates sharing the bound
-  *       part's brand ≈ sharing an EC) scored by the ChemToolkit, with
+  *   HAS_SIMILARITY ← C10 candidate pairs scored by the ChemToolkit, with
   *       the D4 bestCognate argmax flag (produce_neo4j_files.py:423-425)
+  *
+  * Scale design for HAS_SIMILARITY (the 100-TB-critical decision): scores
+  * are keyed by the DISTINCT ligand structure (`ligandUniqueID`), not the
+  * bound-entity occurrence — the reference scores `bound_entities_to_
+  * score` once per distinct descriptor (process_all_pdb_contacts.py:
+  * 222-230) and joins occurrences back at C12. Candidates are generated
+  * within a (brand, size-bucket) blocking key, never all-pairs-per-brand:
+  * candidate count grows linearly with the part dimension, and bound-
+  * entity cardinality never multiplies the scoring work.
   *
   * All ids are BIGINT/VARCHAR; scores are single exact divisions.
   */
@@ -33,9 +41,9 @@ final case class GraphTables(
     chains: DataFrame,        // chainUniqueID, ok, nk
     domains: DataFrame,       // domainAccession, suppkey, dtype, superfamily, nk
     boundEntities: DataFrame, // uniqueID, ok, ligandUniqueID, hetCode, displayID
-    interacts: DataFrame,     // uniqueID, suppkey, contactCount, totalContacts, perc, interactionMode
+    interacts: DataFrame,     // uniqueID, ok, pk, suppkey, contactCount, totalContacts, perc, interactionMode
     cognates: DataFrame,      // cogId, cogName, brand, csize
-    similarity: DataFrame     // uniqueID, cogId, parityScore, bestCognate
+    similarity: DataFrame     // ligandUniqueID, cogId, parityScore, bestCognate
 )
 
 object GraphTables {
@@ -96,15 +104,17 @@ object GraphTables {
       chem.canonicalSmiles(col("p_name")).as("cogName"),
       col("p_brand").as("brand"), col("p_size").as("csize"))
 
-    // C10 candidates by shared brand (≈ shared EC) → I3 score → D4 best
-    val beWithSize = boundEntities
-      .join(part, col("ligandUniqueID") === col("p_partkey"))
-      .select(col("uniqueID"), col("p_brand").as("brand"),
-        col("p_size").as("bsize"))
-    val scored = beWithSize.join(cognates, Seq("brand"))
-      .select(col("uniqueID"), col("cogId"),
+    // C10 candidates per DISTINCT ligand structure, blocked on
+    // (brand, size-bucket) → I3 score → D4 best. Occurrences join back
+    // through ligandUniqueID at query time (the reference's C12 join).
+    val ligands = part.select(col("p_partkey").as("ligandUniqueID"),
+      col("p_brand").as("brand"), expr("p_size div 10").as("bucket"),
+      col("p_size").as("bsize"))
+    val candCog = cognates.withColumn("bucket", expr("csize div 10"))
+    val scored = ligands.join(candCog, Seq("brand", "bucket"))
+      .select(col("ligandUniqueID"), col("cogId"),
         chem.parityScore(col("bsize"), col("csize")).as("parityScore"))
-    val similarity = WindowOps.argmaxFlag(scored, Seq("uniqueID"),
+    val similarity = WindowOps.argmaxFlag(scored, Seq("ligandUniqueID"),
       col("parityScore"), "bestCognate")
 
     GraphTables(entries, chains, domains, boundEntities, interacts,

@@ -39,13 +39,14 @@ object ProCogQueryDefs {
                           ELSE 'Pfam' END AS dtype,
                      'SF' || s_nationkey AS ssf
               FROM supplier),
-      cand AS (SELECT b.uid, p2.p_partkey AS cog,
+      cand AS (SELECT p1.p_partkey AS pk, p2.p_partkey AS cog,
                       (100 - abs(p2.p_size - p1.p_size))::DOUBLE / 100::DOUBLE
                         AS score
-               FROM be b JOIN part p1 ON b.pk = p1.p_partkey
-                         JOIN part p2 ON p2.p_brand = p1.p_brand),
-      sim AS (SELECT uid, cog, score,
-                     CASE WHEN score = max(score) OVER (PARTITION BY uid)
+               FROM part p1 JOIN part p2
+                 ON p2.p_brand = p1.p_brand
+                AND p2.p_size // 10 = p1.p_size // 10),
+      sim AS (SELECT pk, cog, score,
+                     CASE WHEN score = max(score) OVER (PARTITION BY pk)
                           THEN 'Y' ELSE 'N' END AS best
               FROM cand)"""
 
@@ -70,7 +71,7 @@ object ProCogQueryDefs {
       LEFT JOIN (SELECT ok, count(DISTINCT uid) AS be_count FROM be
                  GROUP BY 1) bc USING (ok)
       LEFT JOIN (SELECT b.ok, count(DISTINCT s.cog) AS cog_count
-                 FROM be b JOIN sim s ON s.uid = b.uid
+                 FROM be b JOIN sim s ON s.pk = b.pk
                  WHERE s.score >= 0.9 AND s.best = 'Y' GROUP BY 1) cc
         USING (ok)
       WHERE upper(e.pdbEntry) LIKE '%42%'
@@ -95,7 +96,7 @@ object ProCogQueryDefs {
     RQ("p4_ligand_similarity_best", Some(s"""$G
       SELECT b.hetCode, upper(trim(p.p_name)) AS cognateLigand,
              s.score AS parityScore, s.best
-      FROM be b JOIN sim s ON s.uid = b.uid
+      FROM be b JOIN sim s ON s.pk = b.pk
                 JOIN part p ON p.p_partkey = s.cog
       WHERE b.ok <= 20 AND s.score >= 0.9 AND s.best = 'Y'
       ORDER BY hetCode, cognateLigand, parityScore, best"""))((s, dir) =>
@@ -105,7 +106,7 @@ object ProCogQueryDefs {
     RQ("p5_ligand_similarity_any", Some(s"""$G
       SELECT b.hetCode, upper(trim(p.p_name)) AS cognateLigand,
              s.score AS parityScore, s.best
-      FROM be b JOIN sim s ON s.uid = b.uid
+      FROM be b JOIN sim s ON s.pk = b.pk
                 JOIN part p ON p.p_partkey = s.cog
       WHERE b.ok <= 20 AND s.score >= 0.97
       ORDER BY hetCode, cognateLigand, parityScore, best"""))((s, dir) =>
@@ -116,8 +117,8 @@ object ProCogQueryDefs {
     RQ("p6_superfamily_promiscuity", Some(s"""$G,
       binds AS (SELECT d.ssf, s.cog, CAST(count(DISTINCT i.sk) AS BIGINT)
                   AS n_bind
-                FROM iam i
-                JOIN sim s ON s.uid = i.uid AND s.score >= 0.95
+                FROM (SELECT DISTINCT pk, sk FROM iam) i
+                JOIN sim s ON s.pk = i.pk AND s.score >= 0.95
                           AND s.best = 'Y'
                 JOIN dom d ON d.sk = i.sk
                 GROUP BY 1, 2),
@@ -143,9 +144,9 @@ object ProCogQueryDefs {
         .orderBy("fingerprint")),
 
     RQ("p8_compare_domains", Some(s"""$G,
-      sa AS (SELECT DISTINCT s.cog FROM iam i JOIN sim s ON s.uid = i.uid
+      sa AS (SELECT DISTINCT s.cog FROM iam i JOIN sim s ON s.pk = i.pk
              WHERE i.sk = 1 AND s.score >= 0.9 AND s.best = 'Y'),
-      sb AS (SELECT DISTINCT s.cog FROM iam i JOIN sim s ON s.uid = i.uid
+      sb AS (SELECT DISTINCT s.cog FROM iam i JOIN sim s ON s.pk = i.pk
              WHERE i.sk = 2 AND s.score >= 0.9 AND s.best = 'Y')
       SELECT CAST((SELECT count(*) FROM (SELECT * FROM sa INTERSECT
                    SELECT * FROM sb)) AS BIGINT) AS n_common,

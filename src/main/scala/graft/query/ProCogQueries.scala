@@ -47,7 +47,7 @@ object ProCogQueries {
       g.similarity.filter(col("parityScore") >= cutoff))
     val beCounts = g.boundEntities.groupBy("ok")
       .agg(countDistinct(col("uniqueID")).as("be_count"))
-    val cogCounts = g.boundEntities.join(sims, "uniqueID")
+    val cogCounts = g.boundEntities.join(sims, "ligandUniqueID")
       .groupBy("ok").agg(countDistinct(col("cogId")).as("cog_count"))
     g.entries.filter(upper(col("pdbEntry")).contains(substr.toUpperCase))
       .join(beCounts, Seq("ok"), "left")
@@ -83,7 +83,7 @@ object ProCogQueries {
     val sims = modeFilter(mode)(
       g.similarity.filter(col("parityScore") >= cutoff))
     g.boundEntities.filter(col("ok") <= maxEntryKey)
-      .join(sims, "uniqueID")
+      .join(sims, "ligandUniqueID")
       .join(g.cognates, "cogId")
       .select(col("hetCode"), col("cogName").as("cognateLigand"),
         col("parityScore"), col("bestCognate").as("best"))
@@ -99,8 +99,11 @@ object ProCogQueries {
       g.similarity.filter(col("parityScore") >= cutoff))
     val ssfSize = g.domains.groupBy("superfamily")
       .agg(countDistinct(col("suppkey")).as("n_dom"))
-    val binds = g.interacts.select("uniqueID", "suppkey")
-      .join(sims.select("uniqueID", "cogId"), "uniqueID")
+    // reduce the fact side to distinct (domain, ligand-structure) pairs
+    // BEFORE the similarity fan-out — the 100-TB-critical reduction
+    val binds = g.interacts
+      .select(col("pk").as("ligandUniqueID"), col("suppkey")).distinct()
+      .join(sims.select("ligandUniqueID", "cogId"), "ligandUniqueID")
       .join(broadcast(g.domains.select("suppkey", "superfamily")), "suppkey")
       .groupBy("superfamily", "cogId")
       .agg(countDistinct(col("suppkey")).as("n_bind"))
@@ -130,7 +133,8 @@ object ProCogQueries {
     val sims = modeFilter(mode)(
       g.similarity.filter(col("parityScore") >= cutoff))
     def ligSet(supp: Long) = g.interacts.filter(col("suppkey") === supp)
-      .select("uniqueID").join(sims, "uniqueID").select("cogId").distinct()
+      .select(col("pk").as("ligandUniqueID")).distinct()
+      .join(sims, "ligandUniqueID").select("cogId").distinct()
     val a = ligSet(suppA)
     val b = ligSet(suppB)
     a.intersect(b).agg(count(lit(1)).as("n_common"))

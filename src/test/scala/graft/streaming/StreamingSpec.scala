@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Batch/stream parity: the same plan-builder over a MemoryStream must
+  * produce the batch answer once all data is ingested (SURVEY.md §2.J —
+  * the engine's streaming extension has no reference semantics to match,
+  * so the batch plan IS the oracle).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (ts("2024-01-01 10:05:00"), "click", 1.0),
+    (ts("2024-01-01 10:55:00"), "click", 2.5),
+    (ts("2024-01-01 11:05:00"), "view", 0.5),
+    (ts("2024-01-01 10:20:00"), "view", 1.25),
+    (ts("2024-01-01 12:01:00"), "click", -3.0))
+
+  describe("hourlyCounts") {
+    it("streaming result equals the batch result on the same data") {
+      val batch = StreamingOps
+        .hourlyCounts(rows.toDF("ts", "event_type", "value"))
+        .orderBy("hour", "event_type")
+        .as[(String, String, Long, Long)].collect().toSeq
+
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Timestamp, String, Double)]
+      val sdf = StreamingOps.hourlyCounts(
+        mem.toDF().toDF("ts", "event_type", "value"))
+      val q = sdf.writeStream.format("memory").queryName("hourly")
+        .outputMode("complete").start()
+      try {
+        mem.addData(rows.map(r => (r._1, r._2, r._3)): _*)
+        q.processAllAvailable()
+        val streamed = spark.table("hourly")
+          .orderBy("hour", "event_type")
+          .as[(String, String, Long, Long)].collect().toSeq
+        assert(streamed === batch)
+        assert(batch.nonEmpty && batch.head._1 === "2024-01-01 10:00:00")
+      } finally q.stop()
+    }
+  }
+
+  describe("newPairsAgainstCache") {
+    it("anti-joins the cache exactly like the reference's to-calculate split") {
+      val cache = Seq("a|x", "b|y").toDF("pair_key")
+      val batch = Seq("a|x", "c|z").toDF("pair_key")
+      val out = StreamingOps.newPairsAgainstCache(batch, cache)
+        .as[String].collect().toSeq
+      assert(out === Seq("c|z"))
+    }
+  }
+}

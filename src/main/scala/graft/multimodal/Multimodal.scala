@@ -1,0 +1,66 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for the training-data pipeline: image/audio/video
+  * payloads ride as opaque `binary` columns with a typed metadata struct;
+  * decode / feature-extract / resize / frame-sample run per-partition over
+  * Arrow-sized batches (the Scala analogue of `mapInPandas`).
+  *
+  * The decode step is a STUB: this container has no image/audio codecs, so
+  * `decodeStub` derives deterministic fake features from the raw bytes.
+  * The Spark-side contract — schema, partitioning, batch shape, feature
+  * columns — is real and oracle-tested; swapping in a JNI/ffmpeg decoder
+  * changes only the function body marked below.
+  */
+object Multimodal {
+
+  /** The typed payload schema: binary blob + metadata struct. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_bytes", LongType))))))
+
+  /** Wrap a string column as an opaque binary payload with metadata —
+    * stands in for reading real media files into the lakehouse layout.
+    */
+  def asMedia(id: Column, text: Column, mime: String): Seq[Column] = Seq(
+    id.as("media_id"),
+    text.cast("binary").as("payload"),
+    struct(lit(mime).as("mime"),
+      (length(text) % 640).cast("int").as("width"),
+      (length(text) % 480).cast("int").as("height"),
+      length(text).cast("long").as("n_bytes")).as("meta"))
+
+  /** ===== DECODE STUB =====
+    * Deterministic fake "decode + feature extraction": byte length, a
+    * 64-bit digest prefix of the payload, and a "thumbnail" (the first 8
+    * bytes, hex). A real implementation replaces exactly these three
+    * expressions with codec calls inside mapPartitions; everything
+    * downstream (schema, grouping, joins) is unchanged.
+    */
+  def decodeStub(payload: Column): Column = struct(
+    length(payload).cast("long").as("n_bytes"),
+    substring(md5(payload), 1, 16).as("digest64"),
+    hex(substring(payload, 1, 8)).as("thumb"))
+
+  /** "Frame sampling": every stride-th byte window of the payload as one
+    * frame row (video → frames exploded; audio → windows). Pure plan-side
+    * — the explode distributes, no driver involvement. Frames surface as
+    * hex so downstream joins/dedups treat them as plain strings.
+    */
+  def sampleFrames(df: DataFrame, payload: String, frameBytes: Int,
+                   stride: Int): DataFrame =
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0),
+          greatest(lit(0), floor((length(col(payload)) - frameBytes)
+            / stride).cast("int")))))
+      .withColumn("frame",
+        hex(expr(s"substring($payload, frame_idx * $stride + 1, $frameBytes)")))
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{RQ, Tables}
+import graft.multimodal.Multimodal
+
+/** Multimodal-column operators under the oracle gate. Payloads are real
+  * `binary` columns built from document text (this container ships no
+  * codecs — see Multimodal.decodeStub); the oracle computes the same
+  * features over the identical UTF-8 bytes as VARCHAR.
+  */
+object MultimodalQueries {
+
+  val defs: Seq[RQ] = Seq(
+
+    // M1 — decode + feature-extract over binary payloads with typed meta
+    RQ("m1_media_features", Some("""
+      SELECT doc_id AS media_id, 'image/png' AS mime,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             substr(md5(text), 1, 16) AS digest64,
+             lower(hex(substr(text, 1, 8))) AS thumb
+      FROM documents ORDER BY media_id"""))((s, dir) => {
+      val media = Tables(s, dir, "documents")
+        .select(Multimodal.asMedia(col("doc_id"), col("text"), "image/png"): _*)
+      media.select(col("media_id"), col("meta.mime").as("mime"),
+          Multimodal.decodeStub(col("payload")).as("f"))
+        .select(col("media_id"), col("mime"),
+          col("f.n_bytes").as("n_bytes"), col("f.digest64").as("digest64"),
+          lower(col("f.thumb")).as("thumb"))
+        .orderBy("media_id")
+    }),
+
+    // M2 — frame sampling: windowed byte frames exploded per payload,
+    // then an exact-dedup count over frames (the video-dedup shape)
+    RQ("m2_frame_sample_dedup", Some("""
+      WITH f AS (SELECT doc_id, i AS frame_idx,
+                        lower(hex(substr(text, (i * 64 + 1)::INT, 32)))
+                          AS frame
+                 FROM documents,
+                      unnest(range(0, greatest(0, (length(text) - 32) // 64)
+                                      + 1)) AS t(i)
+                 WHERE length(text) >= 32)
+      SELECT CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(count(DISTINCT frame) AS BIGINT) AS n_unique_frames
+      FROM f"""))((s, dir) => {
+      val media = Tables(s, dir, "documents")
+        .filter(length(col("text")) >= 32)
+        .select(Multimodal.asMedia(col("doc_id"), col("text"), "video/mp4"): _*)
+      Multimodal.sampleFrames(media, "payload", frameBytes = 32, stride = 64)
+        .select(lower(col("frame")).as("frame"))
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("frame")).as("n_unique_frames"))
+    })
+  )
+}

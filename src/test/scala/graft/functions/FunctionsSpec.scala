@@ -47,6 +47,14 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  describe("url_encode (H9 viewer payloads)") {
+    it("percent-encodes json payloads like apoc.text.urlencode") {
+      val df = Seq(("a b", 3L)).toDF("s", "n")
+        .select(url_encode(to_json(struct(col("s"), col("n")))).as("u"))
+      assert(df.as[String].head() === "%7B%22s%22%3A%22a+b%22%2C%22n%22%3A3%7D")
+    }
+  }
+
   describe("VectorFunctions") {
     it("dot / norm / cosine on known vectors") {
       val df = Seq((Seq(3.0f, 4.0f), Seq(4.0f, 3.0f))).toDF("a", "b")

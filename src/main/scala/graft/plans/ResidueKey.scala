@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the F1 residue sort key
+  * (process_pdb_contacts.py:41-44): parse `"<num>_<inscode>"` into one
+  * orderable long — numeric part in the high bits, the first inscode
+  * character in the low 16 — so a plain sort on the key reproduces
+  * (numeric, inscode) order without a UDF, struct allocation, or regex.
+  *
+  * This is the one place SURVEY.md §4 flagged where a custom `Expression`
+  * beats composition: the struct-sort formulation allocates a struct per
+  * element inside array_sort comparators; this stays a single primitive
+  * long through whole-stage codegen (`doGenCode` below) and ties into the
+  * session via GraftExtensions (`SparkSessionExtensions.injectFunction`).
+  */
+case class ResidueKey(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    ResidueKey.eval(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.ResidueKey.eval($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): ResidueKey =
+    copy(child = newChild)
+}
+
+object ResidueKey {
+  /** "123_A" → (123 << 16) | 'A'; no inscode → low bits 0. Shared by the
+    * interpreted path and generated code.
+    */
+  def eval(s: String): Long = {
+    val sep = s.indexOf('_')
+    val (numPart, ins) =
+      if (sep < 0) (s, 0L)
+      else (s.substring(0, sep),
+        if (sep + 1 < s.length) s.charAt(sep + 1).toLong else 0L)
+    var num = 0L
+    var i = 0
+    while (i < numPart.length) {
+      val c = numPart.charAt(i)
+      if (c >= '0' && c <= '9') num = num * 10 + (c - '0')
+      i += 1
+    }
+    (num << 16) | (ins & 0xffffL)
+  }
+}

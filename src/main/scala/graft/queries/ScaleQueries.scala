@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{RQ, Tables}
+import graft.operators.Salting
+import graft.plans.GraftExtensions
+
+/** Scale-technique operators under the oracle gate: salted skew joins,
+  * sessionization (lag windows), and the native residue_key Catalyst
+  * expression registered through SparkSessionExtensions.
+  */
+object ScaleQueries {
+
+  val defs: Seq[RQ] = Seq(
+
+    // Salted equi-join: result is EXACTLY the plain join (the oracle), but
+    // the plan spreads each hot key over 8 salt buckets
+    RQ("s1_salted_join", Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1 ORDER BY o_orderstatus"""))((s, dir) => {
+      val probe = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_linenumber"),
+          col("l_quantity"))
+      val build = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      Salting.saltedJoin(probe, build, "k",
+          saltSource = col("l_linenumber"), n = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Sessionization: 30-minute-gap sessions per user via lag windows —
+    // the batch shape of flatMapGroupsWithState sessionization
+    RQ("e3_sessionize", Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           x AS (SELECT user_id,
+                        CASE WHEN lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS flag
+                 FROM e
+                 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT user_id, CAST(sum(flag) AS BIGINT) AS n_sessions,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM x GROUP BY 1 ORDER BY user_id"""))((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+        .withColumn("flag",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("flag")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // The native residue_key expression (plans/ResidueKey, injected via
+    // SparkSessionExtensions): single-long sort key replaces the
+    // struct-sort formulation of f1b — same answer, asserted by sharing
+    // its oracle ordering
+    RQ("s2_residue_key_sort", Some("""
+      WITH r AS (SELECT l_orderkey,
+                        l_linenumber || '_' || l_returnflag AS res
+                 FROM lineitem)
+      SELECT l_orderkey,
+             string_agg(res, '|' ORDER BY CAST(str_split(res, '_')[1] AS BIGINT),
+                        str_split(res, '_')[2]) AS residues
+      FROM r GROUP BY 1 ORDER BY l_orderkey"""))((s, dir) => {
+      GraftExtensions.install(s)
+      val res = concat(col("l_linenumber"), lit("_"), col("l_returnflag"))
+      Tables(s, dir, "lineitem").select(col("l_orderkey"), res.as("res"))
+        .withColumn("k", GraftExtensions.residueKey(col("res")))
+        .groupBy("l_orderkey")
+        .agg(concat_ws("|", transform(
+          array_sort(collect_list(struct(col("k"), col("res")))),
+          x => x.getField("res"))).as("residues"))
+        .orderBy("l_orderkey")
+    })
+  )
+}

@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ResidueKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.install(spark)
+
+  describe("residue_key (native Catalyst expression)") {
+    it("orders numerically first, then by insertion code") {
+      assert(ResidueKey.eval("9_Z") < ResidueKey.eval("10_"))
+      assert(ResidueKey.eval("2_A") < ResidueKey.eval("2_B"))
+      assert(ResidueKey.eval("2") === (2L << 16))
+    }
+    it("is callable from SQL via the session extension") {
+      val r = spark.sql("SELECT residue_key('123_A') AS k").as[Long].head()
+      assert(r === ((123L << 16) | 'A'.toLong))
+    }
+    it("runs inside whole-stage codegen over a DataFrame") {
+      // spark.range keeps the projection in a codegen stage (a local Seq
+      // would constant-fold to LocalTableScan on the interpreted path)
+      val df = spark.range(1, 101)
+        .select(GraftExtensions.residueKey(
+          concat(col("id"), lit("_A"))).as("k"))
+      val plan = df.queryExecution.executedPlan.toString
+      // "*(n)" marks operators fused into a WholeStageCodegen stage
+      assert(plan.contains("*(1) Project [residuekey"))
+      assert(df.as[Long].collect().toSeq.sorted.last === ((100L << 16) | 'A'.toLong))
+    }
+  }
+}

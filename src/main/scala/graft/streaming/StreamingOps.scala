@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming operators (SURVEY.md §2.J).
   *
@@ -35,4 +36,37 @@ object StreamingOps {
     */
   def newPairsAgainstCache(batch: DataFrame, cache: DataFrame): DataFrame =
     batch.join(cache, Seq("pair_key"), "left_anti")
+
+  /** Per-user session state for sessionizeByGap. */
+  final case class SessionState(lastUs: Long, nSessions: Long, nEvents: Long)
+  final case class SessionCount(user_id: Long, n_sessions: Long,
+                                n_events: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState: counts
+    * 30-minute-gap sessions per user. The streaming form of the
+    * e3_sessionize lag-window query — on a fully-ingested stream the
+    * outputs agree (asserted in StreamingSpec). Events must arrive
+    * time-ordered per key within a batch for gap semantics (guaranteed
+    * by sorting each micro-batch's group iterator below, so the operator
+    * is also safe under out-of-order arrival inside one batch).
+    */
+  def sessionizeByGap(events: Dataset[(Long, Long)],
+                      gapUs: Long = 1800000000L): Dataset[SessionCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { us =>
+            val newSession = st.lastUs == Long.MinValue || us - st.lastUs > gapUs
+            st = SessionState(us,
+              st.nSessions + (if (newSession) 1L else 0L), st.nEvents + 1L)
+          }
+          state.update(st)
+          Iterator(SessionCount(user, st.nSessions, st.nEvents))
+      }
+  }
 }

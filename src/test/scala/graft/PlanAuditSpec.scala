@@ -1,0 +1,50 @@
+package graft
+
+/** Plan audits: predicate pushdown, column pruning, and shuffle counts —
+  * the properties that decide whether a plan survives a 100× scale-up.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(name: String): String =
+    SparkEntry.all.find(_.name == name).get.build(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  describe("pushdown and pruning") {
+    it("b2_filter_mask pushes the quantity filter into the parquet scan") {
+      val p = executed("b2_filter_mask")
+      // plan strings truncate long metadata; match the stable prefix
+      assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quan"))
+    }
+    it("b1_select_rename prunes the scan to the 3 projected columns") {
+      val p = executed("b1_select_rename")
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+      assert(readSchema.contains("p_partkey") && readSchema.contains("p_brand")
+        && readSchema.contains("p_size"))
+      assert(!readSchema.contains("p_retailprice") && !readSchema.contains("p_name"))
+    }
+    it("d4_best_flag reads only the 3 needed lineitem columns") {
+      val readSchema = executed("d4_best_flag")
+        .linesIterator.find(_.contains("ReadSchema")).get
+      assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"))
+    }
+  }
+
+  describe("shuffle economy") {
+    it("d3/d4/d5 window queries shuffle exactly once (partition keys)") {
+      Seq("d3_group_share", "d4_best_flag").foreach { n =>
+        val p = executed(n)
+        val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+        // one shuffle for the window partition; the final orderBy adds a
+        // range exchange — anything beyond 2 means a redundant shuffle
+        assert(exchanges <= 2, s"$n has $exchanges exchanges:\n$p")
+      }
+    }
+    it("c14_star_join broadcasts dims — no shuffle on the dimension side") {
+      val p = executed("c14_star_join")
+      assert(p.contains("BroadcastHashJoin"))
+      assert(!p.contains("SortMergeJoin"))
+    }
+  }
+}

@@ -48,6 +48,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("sessionizeByGap (flatMapGroupsWithState)") {
+    it("matches the lag-window batch definition once all data is ingested") {
+      // user 1: events at 0s, 10s, 40min → 2 sessions; user 2: one event
+      val data = Seq((1L, 0L), (1L, 10L * 1000000), (1L, 2400L * 1000000),
+        (2L, 5L * 1000000))
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Long)]
+      val q = StreamingOps.sessionizeByGap(mem.toDS())
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("update").start()
+      try {
+        mem.addData(data: _*)
+        q.processAllAvailable()
+        val got = spark.table("sessions").as[StreamingOps.SessionCount]
+          .collect().groupBy(_.user_id).map { case (u, rows) =>
+            val last = rows.maxBy(_.n_events)
+            u -> ((last.n_sessions, last.n_events))
+          }
+        assert(got === Map(1L -> ((2L, 3L)), 2L -> ((1L, 1L))))
+      } finally q.stop()
+    }
+  }
+
   describe("newPairsAgainstCache") {
     it("anti-joins the cache exactly like the reference's to-calculate split") {
       val cache = Seq("a|x", "b|y").toDF("pair_key")

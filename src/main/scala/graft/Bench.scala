@@ -18,6 +18,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + codegen + parquet footer caches, so the first
+    // measured query doesn't carry session start-up cost
+    spark.range(1000).selectExpr("sum(id)").queryExecution.toRdd.count()
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .limit(10).queryExecution.toRdd.count()
     val results = SparkEntry.all.map { rq =>
       val t0 = System.nanoTime()
       try rq.build(spark, sfDir).queryExecution.toRdd.count()

@@ -70,6 +70,60 @@ object VectorQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // V3 — IVF ANN: assign every vector to its nearest of 8 fixed
+    // centroids (coarse quantizer), then search only the query's cell.
+    // The scale path when LSH bit-patterns are too coarse: cells are
+    // data-adaptive and the assignment is one broadcast pass.
+    RQ("v3_ivf_ann", Some(s"""
+      WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+                 WHERE vec_id < 8),
+           asg AS (SELECT n_id, c_id, cell_cos FROM (
+             SELECT n.vec_id AS n_id, c.c_id,
+                    ${cosSql("n.embedding", "c.cv")} AS cell_cos,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${cosSql("n.embedding", "c.cv")} DESC, c.c_id)
+                      AS rn
+             FROM embeddings n, c) WHERE rn = 1),
+           q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 5),
+           qa AS (SELECT q.q_id, q.qv, a.c_id FROM q
+                  JOIN asg a ON a.n_id = q.q_id),
+           cand AS (SELECT qa.q_id, a.n_id, ${cosSql("qa.qv", "n.embedding")}
+                      AS cos
+                    FROM qa JOIN asg a ON a.c_id = qa.c_id
+                    JOIN embeddings n ON n.vec_id = a.n_id
+                    WHERE a.n_id <> qa.q_id),
+           r AS (SELECT q_id, n_id, cos,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, n_id) AS rnk
+                 FROM cand)
+      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val asg = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cell_cos", cosine(col("nv"), col("cv")))
+        .withColumn("rn", row_number().over(Window.partitionBy("n_id")
+          .orderBy(col("cell_cos").desc, col("c_id"))))
+        .filter(col("rn") === 1)
+        .select(col("n_id"), col("c_id"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val qa = q.join(asg.withColumnRenamed("n_id", "q_id"), "q_id")
+      val nv = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      qa.join(asg, "c_id").filter(col("n_id") =!= col("q_id"))
+        .join(nv, "n_id")
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
+          col("cos"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // V2 — LSH-bucketed ANN: bucket equi-join → within-bucket top-1
     RQ("v2_lsh_ann", Some(s"""
       WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket

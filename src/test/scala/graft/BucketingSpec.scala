@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Co-located (bucketed) joins: pre-bucketing both sides on the join key
+  * removes the shuffle entirely — the strategy for repeatedly-joined
+  * 100-TB fact tables (SURVEY.md §4 partitioning row).
+  */
+class BucketingSpec extends SparkSpec {
+
+  describe("bucketBy co-located join") {
+    it("joins two bucketed tables without a shuffle exchange") {
+      import spark.implicits._
+      val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "av")
+      val b = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "bv")
+      a.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("bucketed_a")
+      b.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("bucketed_b")
+      // force the sort-merge path: tiny test tables would otherwise
+      // broadcast, which disables bucket pruning entirely
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("bucketed_a")
+          .join(spark.table("bucketed_b"), "k")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join should not shuffle:\n$plan")
+        assert(plan.contains("SortMergeJoin"))
+        assert(plan.contains("Bucketed: true"))
+        assert(joined.count() === 1000L)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        spark.sql("DROP TABLE IF EXISTS bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS bucketed_b")
+      }
+    }
+  }
+}

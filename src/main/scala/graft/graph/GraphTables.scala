@@ -48,6 +48,23 @@ final case class GraphTables(
 
 object GraphTables {
 
+  /** Registry cache: the dashboard surface issues many queries against
+    * one graph build (exactly like the Neo4j instance being loaded once).
+    * Hot derived tables are persisted on first use; keyed per
+    * (session, dir) so tests and mains never cross-wire.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, GraphTables]()
+
+  def cached(s: SparkSession, dir: String,
+             chem: ChemToolkit = FixtureChem): GraphTables =
+    cache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      val g = build(s, dir, chem)
+      GraphTables(g.entries, g.chains, g.domains,
+        g.boundEntities.persist(), g.interacts.persist(),
+        g.cognates, g.similarity.persist())
+    })
+
   /** Ownership-classifier bands (thresholds from README.md:256-265 shape). */
   private[graph] def ownershipBand(share: org.apache.spark.sql.Column) =
     when(share > 0.9, "exclusive")

@@ -60,7 +60,7 @@ object ProCogQueryDefs {
                AS n_ligand_structures,
              CAST((SELECT count(DISTINCT p_partkey) FROM part) AS BIGINT)
                AS n_cognates"""))((s, dir) =>
-      ProCogQueries.summaryStats(GraphTables.build(s, dir))),
+      ProCogQueries.summaryStats(GraphTables.cached(s, dir))),
 
     RQ("p2_search_entries", Some(s"""$G
       SELECT e.pdbEntry,
@@ -76,7 +76,7 @@ object ProCogQueryDefs {
         USING (ok)
       WHERE upper(e.pdbEntry) LIKE '%42%'
       ORDER BY pdbEntry"""))((s, dir) =>
-      ProCogQueries.searchEntries(GraphTables.build(s, dir), "42", 0.9, Best)
+      ProCogQueries.searchEntries(GraphTables.cached(s, dir), "42", 0.9, Best)
         .orderBy("pdbEntry")),
 
     RQ("p3_domain_interactions", Some(s"""$G
@@ -89,7 +89,7 @@ object ProCogQueryDefs {
       WHERE i.ok <= 20
       ORDER BY pdbID, chainDomain, pdbLigand, interactionMode,
                contactCount, perc"""))((s, dir) =>
-      ProCogQueries.domainInteractions(GraphTables.build(s, dir), 20L)
+      ProCogQueries.domainInteractions(GraphTables.cached(s, dir), 20L)
         .orderBy("pdbID", "chainDomain", "pdbLigand", "interactionMode",
           "contactCount", "perc")),
 
@@ -100,7 +100,7 @@ object ProCogQueryDefs {
                 JOIN part p ON p.p_partkey = s.cog
       WHERE b.ok <= 20 AND s.score >= 0.9 AND s.best = 'Y'
       ORDER BY hetCode, cognateLigand, parityScore, best"""))((s, dir) =>
-      ProCogQueries.ligandSimilarity(GraphTables.build(s, dir), 20L, 0.9, Best)
+      ProCogQueries.ligandSimilarity(GraphTables.cached(s, dir), 20L, 0.9, Best)
         .orderBy("hetCode", "cognateLigand", "parityScore", "best")),
 
     RQ("p5_ligand_similarity_any", Some(s"""$G
@@ -110,7 +110,7 @@ object ProCogQueryDefs {
                 JOIN part p ON p.p_partkey = s.cog
       WHERE b.ok <= 20 AND s.score >= 0.97
       ORDER BY hetCode, cognateLigand, parityScore, best"""))((s, dir) =>
-      ProCogQueries.ligandSimilarity(GraphTables.build(s, dir), 20L, 0.97,
+      ProCogQueries.ligandSimilarity(GraphTables.cached(s, dir), 20L, 0.97,
           AnyCognate)
         .orderBy("hetCode", "cognateLigand", "parityScore", "best")),
 
@@ -128,7 +128,7 @@ object ProCogQueryDefs {
              b.n_bind::DOUBLE / z.n_dom::DOUBLE AS frac_binding
       FROM binds b JOIN ssfsize z USING (ssf)
       ORDER BY superfamily, cogId"""))((s, dir) =>
-      ProCogQueries.superfamilyPromiscuity(GraphTables.build(s, dir), 0.95,
+      ProCogQueries.superfamilyPromiscuity(GraphTables.cached(s, dir), 0.95,
           Best)
         .orderBy("superfamily", "cogId")),
 
@@ -140,7 +140,7 @@ object ProCogQueryDefs {
              FROM iam i JOIN dom d ON d.sk = i.sk GROUP BY 1)
       SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_entities
       FROM fp GROUP BY 1 ORDER BY fingerprint"""))((s, dir) =>
-      ProCogQueries.combinatorialFingerprints(GraphTables.build(s, dir))
+      ProCogQueries.combinatorialFingerprints(GraphTables.cached(s, dir))
         .orderBy("fingerprint")),
 
     RQ("p8_compare_domains", Some(s"""$G,
@@ -154,14 +154,14 @@ object ProCogQueryDefs {
                    SELECT * FROM sb)) AS BIGINT) AS n_only_a,
              CAST((SELECT count(*) FROM (SELECT * FROM sb EXCEPT
                    SELECT * FROM sa)) AS BIGINT) AS n_only_b"""))((s, dir) =>
-      ProCogQueries.compareDomains(GraphTables.build(s, dir), 1L, 2L, 0.9,
+      ProCogQueries.compareDomains(GraphTables.cached(s, dir), 1L, 2L, 0.9,
         Best)),
 
     RQ("p9_autocomplete", Some(s"""$G
       SELECT hetCode FROM (SELECT DISTINCT hetCode FROM be)
       WHERE hetCode LIKE '%1%'
       ORDER BY length(hetCode), hetCode LIMIT 5"""))((s, dir) =>
-      ProCogQueries.autocomplete(GraphTables.build(s, dir), "1", 5)),
+      ProCogQueries.autocomplete(GraphTables.cached(s, dir), "1", 5)),
 
     // EC-hierarchy walk shape (dashboard EC page): two-level rollup listing
     RQ("p10_hierarchy_walk", Some("""

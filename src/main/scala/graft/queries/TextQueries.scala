@@ -147,7 +147,10 @@ object TextQueries {
       val ws = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
+      // sh feeds the signature, both sides of the intersection join, and
+      // the per-doc counts — persist instead of re-shingling four times
       val sh = ws.select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
+        .persist()
       val seeds = s.range(0, 8).select(col("id").cast("int").as("seed"))
       val sig = sh.crossJoin(broadcast(seeds))
         .groupBy("doc_id", "seed")

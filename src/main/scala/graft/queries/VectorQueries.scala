@@ -138,9 +138,12 @@ object VectorQueries {
                  FROM p)
       SELECT q_id, n_id, bucket, cos FROM r WHERE rnk = 1
       ORDER BY q_id"""))((s, dir) => {
+      // both join sides reuse the bucketed table — persist so the 8-plane
+      // projection runs once per vector, not twice
       val b = emb(s, dir)
         .select(col("vec_id"), col("embedding"),
           rpLshBucket(col("embedding"), 8).as("bucket"))
+        .persist()
       val a = b.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("bucket"))
       val c = b.select(col("vec_id").as("n_id"), col("embedding").as("nv"),

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{EventQueries, ExtraQueries, GraphQueryDefs, HierarchyQueries, MultimodalQueries, ProCogQueryDefs, RelationalQueries, ScaleQueries, SourceQueries, TextQueries, VectorQueries}
+import graft.queries.{EtlQueries, EventQueries, ExtraQueries, GraphQueryDefs, HierarchyQueries, MultimodalQueries, ProCogQueryDefs, RelationalQueries, ScaleQueries, SourceQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator claimed in SURVEY.md §2 is registered here as a named
@@ -14,7 +14,7 @@ object SparkEntry {
     RelationalQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
       EventQueries.defs ++ SourceQueries.defs ++ ProCogQueryDefs.defs ++
       ExtraQueries.defs ++ GraphQueryDefs.defs ++ MultimodalQueries.defs ++
-      ScaleQueries.defs ++ HierarchyQueries.defs
+      ScaleQueries.defs ++ HierarchyQueries.defs ++ EtlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The C14 star join: region-nation-customer-orders-lineitem with

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{RQ, Tables}
+import graft.etl.ContactsStage
+
+/** The contacts ETL stage under the oracle gate: lineitem rows become
+  * arpeggio-shaped nested-JSON contact records (written as a JSON-lines
+  * fixture), run through readContacts → relevance filter → aggregation →
+  * ownership; the oracle derives the same result from lineitem directly,
+  * so the whole JSON roundtrip + stage logic is value-checked.
+  */
+object EtlQueries {
+
+  val defs: Seq[RQ] = Seq(
+
+    RQ("etl1_contacts_stage", Some("""
+      WITH c AS (SELECT 'pdb' || (l_orderkey % 50) AS pdb_id,
+                        l_returnflag AS entity_chain,
+                        'C' || l_suppkey % 20 AS domain_chain,
+                        CASE WHEN l_discount >= 0.06 THEN ['proximal','hbond']
+                             WHEN l_discount >= 0.03 THEN ['covalent']
+                             ELSE ['proximal'] END AS contact,
+                        CASE WHEN l_tax > 0.04 THEN 'INTER' ELSE 'INTRA' END
+                          AS ie
+                 FROM lineitem),
+           rel AS (SELECT * FROM c WHERE ie = 'INTER' AND EXISTS (
+                     SELECT 1 FROM unnest(contact) AS t(x)
+                     WHERE x NOT IN ('proximal','vdw_clash','clash'))),
+           agg AS (SELECT pdb_id, entity_chain, domain_chain,
+                          CAST(count(*) AS BIGINT) AS contact_count,
+                          CAST(sum(CASE WHEN list_contains(contact,'hbond')
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                            AS hbond_count,
+                          CAST(sum(CASE WHEN list_contains(contact,'covalent')
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                            AS covalent_count
+                   FROM rel GROUP BY 1, 2, 3),
+           sh AS (SELECT *, CAST(sum(contact_count) OVER
+                              (PARTITION BY pdb_id, entity_chain) AS BIGINT)
+                              AS total_contacts
+                  FROM agg)
+      SELECT pdb_id, entity_chain, domain_chain, contact_count, hbond_count,
+             covalent_count, total_contacts,
+             contact_count::DOUBLE / total_contacts::DOUBLE AS perc,
+             CASE WHEN contact_count::DOUBLE / total_contacts::DOUBLE > 0.9
+                    THEN 'exclusive'
+                  WHEN contact_count::DOUBLE / total_contacts::DOUBLE > 0.5
+                    THEN 'dominant'
+                  WHEN contact_count::DOUBLE / total_contacts::DOUBLE > 0.1
+                    THEN 'partner'
+                  ELSE 'minor' END AS ownership
+      FROM sh
+      ORDER BY pdb_id, entity_chain, domain_chain"""))((s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_fixtures/$safe/etl1_contacts"
+      Tables(s, dir, "lineitem")
+        .select(to_json(struct(
+          concat(lit("pdb"), col("l_orderkey") % 50).as("pdb_id"),
+          struct(col("l_returnflag").as("auth_asym_id"),
+            col("l_linenumber").cast("long").as("auth_seq_id"),
+            lit("").as("pdbx_PDB_ins_code")).as("bgn"),
+          struct(concat(lit("C"), col("l_suppkey") % 20).as("auth_asym_id"),
+            col("l_partkey").as("auth_seq_id")).as("end"),
+          when(col("l_discount") >= 0.06, array(lit("proximal"), lit("hbond")))
+            .when(col("l_discount") >= 0.03, array(lit("covalent")))
+            .otherwise(array(lit("proximal"))).as("contact"),
+          when(col("l_tax") > 0.04, "INTER").otherwise("INTRA")
+            .as("interacting_entities"),
+          col("l_extendedprice").as("distance"),
+          lit("atom-atom").as("type"))).as("value"))
+        .write.mode("overwrite").text(path)
+      ContactsStage.aggregate(ContactsStage.readContacts(s, path))
+        .orderBy("pdb_id", "entity_chain", "domain_chain")
+    })
+  )
+}

@@ -9,6 +9,14 @@ class QueriesSmokeSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  describe("registry integrity") {
+    it("query names are unique (a duplicate would silently shadow in the Map)") {
+      val names = SparkEntry.all.map(_.name)
+      assert(names.distinct.size === names.size)
+      assert(SparkEntry.queries.size === SparkEntry.all.size)
+    }
+  }
+
   describe("registered queries") {
     SparkEntry.all.foreach { rq =>
       it(s"${rq.name} runs on sf0.001") {

@@ -84,6 +84,11 @@ object WindowOps {
     * (reference find_ec_ranges, process_all_pdb_contacts.py:76-101).
     * Implemented as gaps-and-islands with windows instead of a per-group UDF:
     * stays inside whole-stage codegen and shuffles once on the group key.
+    *
+    * Numeric values only: non-castable values become null and are dropped.
+    * The reference appends non-numeric final-level ECs after the ranges —
+    * callers needing that split numeric/non-numeric first and concat the
+    * leftover tail (see the ADVICE.md round-2 note).
     */
   def rangeCompress(df: DataFrame, groupCol: String, intCol: String,
                     outName: String): DataFrame = {

@@ -124,6 +124,33 @@ object VectorQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // V4 — embedding-cosine near-dup: LSH-bucketed candidate pairs above a
+    // cosine threshold (the dedup-by-embedding shape: bucket join, never
+    // all-pairs, exact verify on the candidates only)
+    RQ("v4_cosine_neardup", Some(s"""
+      WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+                 FROM embeddings),
+           p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                        ${cosSql("a.embedding", "c.embedding")} AS cos
+                 FROM b a JOIN b c USING (bucket)
+                 WHERE a.vec_id < c.vec_id)
+      SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35
+      ORDER BY vec_a, vec_b"""))((s, dir) => {
+      val b = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          rpLshBucket(col("embedding"), 8).as("bucket"))
+        .persist()
+      val a = b.select(col("vec_id").as("vec_a"), col("embedding").as("av"),
+        col("bucket"))
+      val c = b.select(col("vec_id").as("vec_b"), col("embedding").as("bv"),
+        col("bucket"))
+      a.join(c, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", cosine(col("av"), col("bv")))
+        .filter(col("cos") >= 0.35)
+        .select("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // V2 — LSH-bucketed ANN: bucket equi-join → within-bucket top-1
     RQ("v2_lsh_ann", Some(s"""
       WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket

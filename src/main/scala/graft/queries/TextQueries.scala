@@ -115,6 +115,89 @@ object TextQueries {
           countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
         .orderBy("source")),
 
+    // T7 — standalone n-gram Jaccard on a bounded pair set (consecutive
+    // doc ids — a fixed blocking; the measure itself, isolated from the
+    // MinHash pipeline that uses it as the verify stage)
+    RQ("t7_ngram_jaccard", Some("""
+      WITH ws AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           range(1, len(str_split(text,' '))-1),
+                           i -> str_split(text,' ')[i] || ' ' ||
+                                str_split(text,' ')[i+1] || ' ' ||
+                                str_split(text,' ')[i+2])) AS s
+                  FROM documents WHERE len(str_split(text,' ')) >= 3)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE
+               AS jacc
+      FROM ws a JOIN ws b ON b.doc_id = a.doc_id + 1
+      ORDER BY doc_a"""))((s, dir) => {
+      val ws = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), shingles(col("w"), 3).as("s"))
+      val a = ws.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val b = ws.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast("double") /
+            (size(col("sa")) + size(col("sb")) - col("i")).cast("double"))
+            .as("jacc"))
+        .orderBy("doc_a")
+    }),
+
+    // T8 — SimHash banded dedup END-TO-END: 32-bit simhash → 4 byte-bands
+    // → candidates matching on any band → hamming-distance verify
+    // (bit_count(xor) ≤ 6). Band-blocked, never all-pairs.
+    RQ("t8_simhash_dedup", Some {
+      val sums = (1 to 32).map(b =>
+        s"sum(CASE WHEN strpos('13579bdf', substr(dg,$b,1)) > 0 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(", ")
+      val value = (1 to 32).map(b =>
+        s"(CASE WHEN s$b >= 0 THEN ${1L << (b - 1)} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH e AS (SELECT doc_id, md5(unnest(str_split(text,' '))) AS dg
+                 FROM documents),
+           s AS (SELECT doc_id, $sums FROM e GROUP BY doc_id),
+           sh AS (SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM s),
+           bands AS (SELECT doc_id, simhash, i AS band,
+                            (simhash >> (i * 8)) & 255 AS bv
+                     FROM sh, unnest(range(0, 4)) AS t(i)),
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                           a.simhash AS ha, c.simhash AS hb
+                    FROM bands a JOIN bands c
+                      ON a.band = c.band AND a.bv = c.bv
+                     AND a.doc_id < c.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+      ORDER BY doc_a, doc_b"""
+    })((s, dir) => {
+      val e = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), md5(col("tok").cast("binary")).as("dg"))
+      val sums = (1 to 32).map(b => sum(simhashBitTerm(col("dg"), b)).as(s"s$b"))
+      val sh = e.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"),
+          simhashFromSums((1 to 32).map(b => col(s"s$b"))).as("simhash"))
+        .persist()
+      val bands = sh.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bv", expr("shiftright(simhash, band * 8)").bitwiseAND(255))
+      val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+        col("band"), col("bv"))
+      val c = bands.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+        col("band"), col("bv"))
+      a.join(c, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb").distinct()
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // T6 — MinHash near-dup dedup END-TO-END: 3-gram shingles → 8-seed
     // signature → 4 banded buckets → candidate pairs within buckets only →
     // exact-Jaccard verify ≥ 0.8. The candidate join is on (band, bandhash)

@@ -19,9 +19,11 @@ class QueriesSmokeSpec extends SparkSpec {
 
   describe("registered queries") {
     SparkEntry.all.foreach { rq =>
-      it(s"${rq.name} runs on sf0.001") {
+      it(s"${rq.name} runs non-empty on sf0.001") {
         val df = rq.build(spark, sf)
-        assert(df.queryExecution.toRdd.count() >= 0)
+        // all 90+ queries are designed non-empty even at the smallest SF;
+        // an empty result here means a threshold or filter regressed
+        assert(df.queryExecution.toRdd.count() > 0)
       }
     }
   }

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,7 +44,30 @@ final case class GraphTables(
     interacts: DataFrame,     // uniqueID, ok, pk, suppkey, contactCount, totalContacts, perc, interactionMode
     cognates: DataFrame,      // cogId, cogName, brand, csize
     similarity: DataFrame     // ligandUniqueID, cogId, parityScore, bestCognate
-)
+) {
+
+  /** Typed stage-boundary views (model/Model.scala) — compile-time field
+    * checking for pipeline code consuming a stage's output.
+    */
+  object typed {
+    import graft.model._
+    import org.apache.spark.sql.Encoders
+    def entriesDs: Dataset[Entry] = entries.as(Encoders.product[Entry])
+    def boundEntitiesDs: Dataset[BoundEntity] = boundEntities
+      .select("uniqueID", "ok", "ligandUniqueID", "hetCode", "displayID")
+      .as(Encoders.product[BoundEntity])
+    def domainsDs: Dataset[Domain] = domains.as(Encoders.product[Domain])
+    def interactsDs: Dataset[DomainContact] = interacts
+      .select("uniqueID", "ok", "pk", "suppkey", "contactCount",
+        "totalContacts", "perc", "interactionMode")
+      .as(Encoders.product[DomainContact])
+    def cognatesDs: Dataset[CognateLigand] =
+      cognates.as(Encoders.product[CognateLigand])
+    def similarityDs: Dataset[ParityScore] = similarity
+      .select("ligandUniqueID", "cogId", "parityScore", "bestCognate")
+      .as(Encoders.product[ParityScore])
+  }
+}
 
 object GraphTables {
 

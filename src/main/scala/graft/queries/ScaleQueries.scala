@@ -3,8 +3,10 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.Encoders
+
 import graft.{RQ, Tables}
-import graft.operators.Salting
+import graft.operators.{Salting, Scored, TopK}
 import graft.plans.GraftExtensions
 
 /** Scale-technique operators under the oracle gate: salted skew joins,
@@ -59,6 +61,29 @@ object ScaleQueries {
         .groupBy("user_id")
         .agg(sum(col("flag")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // Typed Aggregator exact top-k (operators/TopK): per returnflag, the 3
+    // highest-priced line ids — partial-aggregable, k rows per group per
+    // partition cross the shuffle
+    RQ("s3_topk_aggregator", Some("""
+      WITH r AS (SELECT l_returnflag, l_orderkey * 10 + l_linenumber AS id,
+                        row_number() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice DESC,
+                                   l_orderkey * 10 + l_linenumber) AS rn
+                 FROM lineitem)
+      SELECT l_returnflag, string_agg(id, ',' ORDER BY rn) AS top_ids
+      FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY l_returnflag"""))((s, dir) => {
+      val ds = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_extendedprice").as("score"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+        .as(Encoders.product[(String, Double, Long)])
+      ds.groupByKey(_._1)(Encoders.STRING)
+        .mapValues(r => Scored(r._2, r._3))(Encoders.product[Scored])
+        .agg(new TopK(3).toColumn.name("top_ids"))
+        .toDF("l_returnflag", "top_ids")
+        .orderBy("l_returnflag")
     }),
 
     // The native residue_key expression (plans/ResidueKey, injected via

@@ -121,6 +121,25 @@ object SourceQueries {
         .orderBy("s_suppkey")
     }),
 
+    // A7 via DataSourceV2 — the same record fixture through the custom
+    // connector (graft.sources.v2.RecordDataSource): one partition per
+    // file, records split in the executor
+    RQ("a7b_dsv2_records", Some("""
+      SELECT n_name, CAST(n_nationkey AS BIGINT) AS key
+      FROM nation ORDER BY n_name"""))((s, dir) => {
+      val path = fixDir(dir, "a7b_records")
+      t(s, dir, "nation")
+        .select(concat(lit("ID  "), col("n_name"), lit("\nKEY  "),
+          col("n_nationkey")).as("value"))
+        .write.mode("overwrite").option("lineSep", "\n//\n").text(path)
+      s.read.format("graft.sources.v2.RecordDataSource")
+        .option("path", path).option("recordSep", "\n//\n").load()
+        .select(Readers.recordFields(col("record")).as("f"))
+        .select(col("f").getItem("ID").as("n_name"),
+          col("f").getItem("KEY").cast("long").as("key"))
+        .orderBy("n_name")
+    }),
+
     // A10 — Neo4j bulk-import TSV sink roundtrip: typed headers, gzip,
     // `|`-serialized array columns
     RQ("a10_neo4j_roundtrip", Some("""

@@ -13,11 +13,20 @@ import org.apache.spark.sql.functions.call_function
   * (`residue_key(col)`) as well as the typed API below.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.residueKeyDescriptor)
+    ext.injectOptimizerRule(_ =>
+      AutoBroadcastDims(GraftExtensions.defaultDims))
+  }
 }
 
 object GraftExtensions {
+
+  /** The engine's known dimension tables (the reference's EC universe,
+    * domain metadata, region/nation analogues).
+    */
+  val defaultDims: Seq[String] =
+    Seq("region.parquet", "nation.parquet", "supplier.parquet")
 
   val residueKeyDescriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (

@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AutoBroadcastDimsSpec extends SparkSpec {
+
+  describe("AutoBroadcastDims rule") {
+    it("broadcasts a flagged dim join even with the size heuristic disabled") {
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevRules = spark.experimental.extraOptimizations
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.experimental.extraOptimizations =
+        prevRules :+ AutoBroadcastDims(GraftExtensions.defaultDims)
+      try {
+        val customer = spark.read
+          .parquet("/root/testdata/sf0.001/customer.parquet")
+        val nation = spark.read
+          .parquet("/root/testdata/sf0.001/nation.parquet")
+        val joined = customer.join(nation,
+          col("c_nationkey") === col("n_nationkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"), plan)
+        assert(joined.count() > 0)
+
+        // control: a non-dim join under the same settings stays sort-merge
+        val orders = spark.read
+          .parquet("/root/testdata/sf0.001/orders.parquet")
+        val control = customer.join(orders,
+          col("c_custkey") === col("o_custkey"))
+        assert(!control.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"))
+      } finally {
+        spark.experimental.extraOptimizations = prevRules
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    }
+  }
+}

@@ -226,41 +226,10 @@ object TextQueries {
              i::DOUBLE / (ca.n + cb.n - i)::DOUBLE AS jacc
       FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
       WHERE i::DOUBLE / (ca.n + cb.n - i)::DOUBLE >= 0.8
-      ORDER BY doc_a, doc_b"""))((s, dir) => {
-      val ws = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-      // sh feeds the signature, both sides of the intersection join, and
-      // the per-doc counts — persist instead of re-shingling four times
-      val sh = ws.select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
-        .persist()
-      val seeds = s.range(0, 8).select(col("id").cast("int").as("seed"))
-      val sig = sh.crossJoin(broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("s"))
-          .cast("binary"))).as("mh"))
-      val band = sig
-        .groupBy(col("doc_id"), floor(col("seed") / 2).cast("long").as("b"))
-        .agg(concat_ws("", transform(
-          array_sort(collect_list(struct(col("seed"), col("mh")))),
-          x => x.getField("mh"))).as("bh"))
-      val bandA = band.select(col("doc_id").as("da"), col("b"), col("bh"))
-      val bandB = band.select(col("doc_id").as("db"), col("b"), col("bh"))
-      val cand = bandA.join(bandB, Seq("b", "bh"))
-        .filter(col("da") < col("db")).select("da", "db").distinct()
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val shA = sh.select(col("doc_id").as("da"), col("s"))
-      val shB = sh.select(col("doc_id").as("db"), col("s"))
-      val inter = cand.join(shA, "da").join(shB, Seq("db", "s"))
-        .groupBy("da", "db").agg(count(lit(1)).as("i"))
-      inter
-        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-        .withColumn("jacc",
-          col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
-        .filter(col("jacc") >= 0.8)
-        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jacc"))
-        .orderBy("doc_a", "doc_b")
-    })
+      ORDER BY doc_a, doc_b"""))((s, dir) =>
+      graft.operators.MinHashDedup
+        .nearDuplicatePairs(docs(s, dir), "doc_id", "text",
+          n = 3, seeds = 8, rowsPerBand = 2, threshold = 0.8)
+        .orderBy("doc_a", "doc_b"))
   )
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{cosine, rpLshBucket}
+
+/** Approximate-nearest-neighbor search as reusable operators over an
+  * `(id, embedding array<float>)` table. Three strategies, all
+  * oracle-checked by the v1/v2/v4 queries:
+  *
+  *  - brute: exact, broadcast the (small) query set — N×Q work;
+  *  - LSH: random-hyperplane bucket equi-join — Σ bucket² work;
+  *  - threshold pairs: LSH buckets + exact cosine verify (dedup shape).
+  */
+object Ann {
+
+  /** Exact top-k: every query vector against all candidates. `queries`
+    * must be broadcast-sized (it is sent to every executor).
+    */
+  def bruteTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val n = emb.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+    n.crossJoin(broadcast(q)).filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
+        col("cos"))
+  }
+
+  /** LSH nearest neighbor: RP-bucket every vector, search within the
+    * bucket only; returns each vector's top-1 bucket-mate.
+    */
+  def lshNearest(emb: DataFrame, idCol: String, vecCol: String,
+                 planes: Int): DataFrame = {
+    val b = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      rpLshBucket(col(vecCol), planes).as("bucket")).persist()
+    val a = b.select(col("vid").as("q_id"), col("v").as("qv"), col("bucket"))
+    val c = b.select(col("vid").as("n_id"), col("v").as("nv"), col("bucket"))
+    a.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("n_id"), col("bucket"), col("cos"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine: LSH-bucketed candidates,
+    * exact verify at `threshold` — never all-pairs.
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         planes: Int, threshold: Double): DataFrame = {
+    val b = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      rpLshBucket(col(vecCol), planes).as("bucket")).persist()
+    val a = b.select(col("vid").as("vec_a"), col("v").as("av"), col("bucket"))
+    val c = b.select(col("vid").as("vec_b"), col("v").as("bv"), col("bucket"))
+    a.join(c, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("av"), col("bv")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+}

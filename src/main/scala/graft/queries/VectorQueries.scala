@@ -57,16 +57,8 @@ object VectorQueries {
       SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))((s, dir) => {
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
-      n.crossJoin(broadcast(q)).filter(col("n_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("qv"), col("nv")))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
-          col("cos"))
+      graft.operators.Ann
+        .bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
         .orderBy("q_id", "rnk")
     }),
 
@@ -135,21 +127,10 @@ object VectorQueries {
                  FROM b a JOIN b c USING (bucket)
                  WHERE a.vec_id < c.vec_id)
       SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35
-      ORDER BY vec_a, vec_b"""))((s, dir) => {
-      val b = emb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          rpLshBucket(col("embedding"), 8).as("bucket"))
-        .persist()
-      val a = b.select(col("vec_id").as("vec_a"), col("embedding").as("av"),
-        col("bucket"))
-      val c = b.select(col("vec_id").as("vec_b"), col("embedding").as("bv"),
-        col("bucket"))
-      a.join(c, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos", cosine(col("av"), col("bv")))
-        .filter(col("cos") >= 0.35)
-        .select("vec_a", "vec_b", "cos")
-        .orderBy("vec_a", "vec_b")
-    }),
+      ORDER BY vec_a, vec_b"""))((s, dir) =>
+      graft.operators.Ann
+        .cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 8, 0.35)
+        .orderBy("vec_a", "vec_b")),
 
     // V2 — LSH-bucketed ANN: bucket equi-join → within-bucket top-1
     RQ("v2_lsh_ann", Some(s"""
@@ -164,24 +145,9 @@ object VectorQueries {
                                            ORDER BY cos DESC, n_id) AS rnk
                  FROM p)
       SELECT q_id, n_id, bucket, cos FROM r WHERE rnk = 1
-      ORDER BY q_id"""))((s, dir) => {
-      // both join sides reuse the bucketed table — persist so the 8-plane
-      // projection runs once per vector, not twice
-      val b = emb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          rpLshBucket(col("embedding"), 8).as("bucket"))
-        .persist()
-      val a = b.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("bucket"))
-      val c = b.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
-        col("bucket"))
-      a.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
-        .withColumn("cos", cosine(col("qv"), col("nv")))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
-        .filter(col("rnk") === 1)
-        .select(col("q_id"), col("n_id"), col("bucket"), col("cos"))
-        .orderBy("q_id")
-    })
+      ORDER BY q_id"""))((s, dir) =>
+      graft.operators.Ann
+        .lshNearest(emb(s, dir), "vec_id", "embedding", 8)
+        .orderBy("q_id"))
   )
 }

@@ -163,6 +163,24 @@ object ProCogQueryDefs {
       ORDER BY length(hetCode), hetCode LIMIT 5"""))((s, dir) =>
       ProCogQueries.autocomplete(GraphTables.cached(s, dir), "1", 5)),
 
+    // Deterministic demo sample (produce_minimal_neo4j_files.py:107-108's
+    // seed-42 2000-PDB sample, re-expressed engine-portably: md5-bucket
+    // membership instead of a seeded RNG, so any engine reproduces it)
+    RQ("p11_demo_sample", Some(s"""$G
+      SELECT e.pdbEntry, CAST(count(*) AS BIGINT) AS n_bound
+      FROM (SELECT 'pdb' || o_orderkey AS pdbEntry, o_orderkey AS ok
+            FROM orders
+            WHERE substr(md5('pdb' || o_orderkey), 1, 1) = '0') e
+      JOIN be b USING (ok)
+      GROUP BY 1 ORDER BY pdbEntry"""))((s, dir) => {
+      val g = GraphTables.cached(s, dir)
+      val sampled = g.entries
+        .filter(substring(md5(col("pdbEntry").cast("binary")), 1, 1) === "0")
+      sampled.join(g.boundEntities, "ok")
+        .groupBy("pdbEntry").agg(count(lit(1)).as("n_bound"))
+        .orderBy("pdbEntry")
+    }),
+
     // EC-hierarchy walk shape (dashboard EC page): two-level rollup listing
     RQ("p10_hierarchy_walk", Some("""
       SELECT r_name, n_name, CAST(count(DISTINCT o_orderkey) AS BIGINT)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -61,5 +62,20 @@ object MinHashDedup {
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jacc") >= threshold)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jacc"))
+  }
+
+  /** Collapse near-duplicate pairs into clusters and pick a canonical
+    * representative per cluster (the minimum doc id — GraphX
+    * connectedComponents' label), returning (doc_id, canonical) for every
+    * doc that appears in a pair. Dropping rows where doc_id != canonical
+    * is the final dedup action.
+    */
+  def canonicalize(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = Graph.fromEdges(edges, ()).connectedComponents().vertices
+    s.createDataFrame(cc.map { case (id, comp) => (id, comp) })
+      .toDF("doc_id", "canonical")
   }
 }

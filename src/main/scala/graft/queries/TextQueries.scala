@@ -230,6 +230,50 @@ object TextQueries {
       graft.operators.MinHashDedup
         .nearDuplicatePairs(docs(s, dir), "doc_id", "text",
           n = 3, seeds = 8, rowsPerBand = 2, threshold = 0.8)
-        .orderBy("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // T9 — dedup clustering: the t6 pair set collapsed into connected
+    // components with a canonical (minimum-id) representative per cluster
+    // — "keep canonical, drop the rest" is the pipeline's final action.
+    // Oracle: the same pairs through a recursive min-label CTE.
+    RQ("t9_dedup_clusters", Some("""
+      WITH RECURSIVE
+           ws AS (SELECT doc_id, str_split(text,' ') AS w FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                  FROM ws WHERE len(w) >= 3),
+           seeds AS (SELECT unnest(range(0, 8)) AS seed),
+           sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+                   FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+           band AS (SELECT doc_id, seed // 2 AS b,
+                           string_agg(mh, '' ORDER BY seed) AS bh
+                    FROM sig GROUP BY 1, 2),
+           cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+                    FROM band a JOIN band c USING (b, bh)
+                    WHERE a.doc_id < c.doc_id),
+           cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           inter AS (SELECT da, db, count(*) AS i FROM cand
+                     JOIN sh x ON x.doc_id = da
+                     JOIN sh y ON y.doc_id = db AND x.s = y.s
+                     GROUP BY 1, 2),
+           dup AS (SELECT da, db FROM inter
+                   JOIN cnt ca ON ca.doc_id = da
+                   JOIN cnt cb ON cb.doc_id = db
+                   WHERE i::DOUBLE / (ca.n + cb.n - i)::DOUBLE >= 0.8),
+           edges AS (SELECT da AS a, db AS c FROM dup
+                     UNION SELECT db, da FROM dup),
+           nodes AS (SELECT DISTINCT a AS node FROM edges),
+           reach(node, lab) AS (
+             SELECT node, node FROM nodes
+             UNION
+             SELECT e.c, r.lab FROM reach r JOIN edges e ON e.a = r.node)
+      SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS canonical
+      FROM reach GROUP BY node ORDER BY doc_id"""))((s, dir) => {
+      val pairs = graft.operators.MinHashDedup
+        .nearDuplicatePairs(docs(s, dir), "doc_id", "text",
+          n = 3, seeds = 8, rowsPerBand = 2, threshold = 0.8)
+      graft.operators.MinHashDedup.canonicalize(pairs).orderBy("doc_id")
+    })
   )
 }

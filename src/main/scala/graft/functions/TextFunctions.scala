@@ -15,6 +15,15 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def words(text: Column): Column = split(text, " ")
 
+  /** BPE-ish regex tokenization: letter runs, digit runs, and punctuation
+    * runs as separate tokens (the pre-tokenizer split BPE vocabularies
+    * assume). Pattern kept to ASCII classes so every regex engine agrees.
+    */
+  val bpeTokenPattern: String = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeTokenPattern), lit(0))
+
   /** Word n-gram shingles (distinct), the unit of MinHash/Jaccard dedup.
     * Empty array for texts shorter than n words.
     */

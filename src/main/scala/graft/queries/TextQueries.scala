@@ -47,6 +47,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T1b — BPE-ish regex token counting (letter/digit/punct runs — the
+    // pre-tokenizer boundary a BPE vocabulary assumes)
+    RQ("t1b_bpe_tokens", Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+'))
+                  AS BIGINT) AS n_bpe_tokens,
+             CAST(len(list_distinct(
+               regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')))
+                  AS BIGINT) AS n_unique
+      FROM documents ORDER BY doc_id"""))((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+          size(array_distinct(bpeTokens(col("text")))).cast("long").as("n_unique"))
+        .orderBy("doc_id")),
+
     // T2 — language ID: marker-hit argmax with fixed tie preference
     RQ("t2_lang_id", Some("""
       WITH h AS (SELECT doc_id,

@@ -63,6 +63,37 @@ object ScaleQueries {
         .orderBy("user_id")
     }),
 
+    // Native session_window operator (the batch form of streaming session
+    // windows): sessions close when the gap reaches 30 minutes. Oracle
+    // derives the same sessions with a lag window (>= gap starts a new
+    // session — session_window's end-exclusive boundary).
+    RQ("e4_session_window", Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           f AS (SELECT user_id, us,
+                        CASE WHEN lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w >= 1800000000
+                             THEN 1 ELSE 0 END AS new_s
+                 FROM e
+                 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           g AS (SELECT user_id, us,
+                        sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM f)
+      SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, sid ORDER BY user_id, start_us"""))((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables(s, dir, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"))
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // Typed Aggregator exact top-k (operators/TopK): per returnflag, the 3
     // highest-priced line ids — partial-aggregable, k rows per group per
     // partition cross the shuffle

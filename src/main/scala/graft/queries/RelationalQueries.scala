@@ -414,6 +414,24 @@ object RelationalQueries {
           flatten(collect_list(split(col("p_name"), " ")))))).as("words"))
         .orderBy("p_brand")),
 
+    // D12 — rollup (the optimization SURVEY.md flags for materializing
+    // hierarchy levels in one pass instead of one groupBy per level)
+    RQ("d12_rollup", Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY flag, status"""))((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
     // D11 — group-concat over sorted collect_set
     // (process_all_pdb_contacts.py:65,193)
     RQ("d11_group_concat", Some("""

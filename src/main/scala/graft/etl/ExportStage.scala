@@ -71,6 +71,24 @@ object ExportStage {
   }
 }
 
+/** Flat-file export (produce_flat_files.py:32-52): the similarity table
+  * reduced to each ligand's best matches only (the `transform(max)` +
+  * filter shape) and joined to cognate names, written as plain CSV for
+  * distribution (the Zenodo flat-file artifact's analogue).
+  */
+object FlatFileExport {
+
+  def bestScores(g: GraphTables): org.apache.spark.sql.DataFrame =
+    g.similarity.filter(col("bestCognate") === "Y")
+      .join(g.cognates.select(col("cogId"), col("cogName")), "cogId")
+      .select(col("ligandUniqueID"), col("cogId"), col("cogName"),
+        col("parityScore"))
+
+  def write(g: GraphTables, path: String): Unit =
+    bestScores(g).write.mode("overwrite")
+      .option("header", "true").csv(path)
+}
+
 /** End-to-end ETL main: star schema → graph registry → Neo4j bulk files.
   * Usage: runMain graft.etl.Pipeline <sfDir> <outDir>
   */

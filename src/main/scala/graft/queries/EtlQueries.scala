@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{RQ, Tables}
-import graft.etl.ContactsStage
+import graft.etl.{ContactsStage, FlatFileExport}
+import graft.graph.GraphTables
 
 /** The contacts ETL stage under the oracle gate: lineitem rows become
   * arpeggio-shaped nested-JSON contact records (written as a JSON-lines
@@ -14,6 +15,32 @@ import graft.etl.ContactsStage
 object EtlQueries {
 
   val defs: Seq[RQ] = Seq(
+
+    // Flat-file distribution export (produce_flat_files.py): best-cognate
+    // rows + names to CSV, read back plain — full roundtrip value-checked
+    RQ("etl2_flat_export", Some("""
+      WITH cand AS (SELECT p1.p_partkey AS pk, p2.p_partkey AS cog,
+                           upper(trim(p2.p_name)) AS cogName,
+                           (100 - abs(p2.p_size - p1.p_size))::DOUBLE
+                             / 100::DOUBLE AS score
+                    FROM part p1 JOIN part p2
+                      ON p2.p_brand = p1.p_brand
+                     AND p2.p_size // 10 = p1.p_size // 10),
+           best AS (SELECT pk, cog, cogName, score,
+                           max(score) OVER (PARTITION BY pk) AS mx
+                    FROM cand)
+      SELECT pk AS ligandUniqueID, cog AS cogId, cogName,
+             score AS parityScore
+      FROM best WHERE score = mx
+      ORDER BY ligandUniqueID, cogId"""))((s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_fixtures/$safe/etl2_flat"
+      FlatFileExport.write(GraphTables.cached(s, dir), path)
+      s.read.option("header", "true")
+        .schema("ligandUniqueID LONG, cogId LONG, cogName STRING, parityScore DOUBLE")
+        .csv(path)
+        .orderBy("ligandUniqueID", "cogId")
+    }),
 
     RQ("etl1_contacts_stage", Some("""
       WITH c AS (SELECT 'pdb' || (l_orderkey % 50) AS pdb_id,

@@ -24,18 +24,27 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").queryExecution.toRdd.count()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .limit(10).queryExecution.toRdd.count()
+    // a failed query is recorded with a NEGATIVE elapsed time, listed in
+    // "failed", excluded from the total, and fails the run's exit code —
+    // a broken query must never masquerade as a fast one
     val results = SparkEntry.all.map { rq =>
       val t0 = System.nanoTime()
-      try rq.build(spark, sfDir).queryExecution.toRdd.count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${rq.name} failed: ${e.getMessage}")
-      }
-      rq.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { rq.build(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${rq.name} failed: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (rq.name, if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

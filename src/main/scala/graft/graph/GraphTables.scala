@@ -73,20 +73,35 @@ object GraphTables {
 
   /** Registry cache: the dashboard surface issues many queries against
     * one graph build (exactly like the Neo4j instance being loaded once).
-    * Hot derived tables are persisted on first use; keyed per
-    * (session, dir) so tests and mains never cross-wire.
+    * Hot derived tables are persisted on first use. Keyed by the session
+    * INSTANCE via a WeakHashMap (SparkSession doesn't override equals, so
+    * keys compare by identity while the map still holds a real reference)
+    * — unlike `System.identityHashCode`, which the JVM may reuse after GC
+    * or collide across live sessions, a key here can never resolve to a
+    * different session's persisted tables. When a session is GC'd its
+    * entry is dropped automatically; its persisted blocks died with the
+    * session's executors, so no explicit unpersist is needed.
     */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, GraphTables]()
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, GraphTables]]()
 
   def cached(s: SparkSession, dir: String,
-             chem: ChemToolkit = FixtureChem): GraphTables =
-    cache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+             chem: ChemToolkit = FixtureChem): GraphTables = {
+    val perSession = cache.synchronized {
+      var m = cache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, GraphTables]
+        cache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
       val g = build(s, dir, chem)
       GraphTables(g.entries, g.chains, g.domains,
         g.boundEntities.persist(), g.interacts.persist(),
         g.cognates, g.similarity.persist())
     })
+  }
 
   /** Ownership-classifier bands (thresholds from README.md:256-265 shape). */
   private[graph] def ownershipBand(share: org.apache.spark.sql.Column) =

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, Join, JoinHint, LogicalPlan, BROADCAST}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, HintInfo, Join, JoinHint, LogicalPlan, Project, SubqueryAlias, BROADCAST}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -17,15 +17,24 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 case class AutoBroadcastDims(dimPathFragments: Seq[String])
     extends Rule[LogicalPlan] {
 
-  private def isDim(plan: LogicalPlan): Boolean =
-    plan.collectLeaves().exists {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths
-          .exists(p => dimPathFragments.exists(p.toString.contains))
-        case _ => false
-      }
+  /** A join side qualifies only when it IS a dimension scan — a dim file
+    * relation possibly wrapped in cardinality-preserving-or-reducing nodes
+    * (Project/Filter/SubqueryAlias). Merely *containing* a dim leaf is not
+    * enough: after the first dim join, the fact side of a later fact-fact
+    * join also contains that leaf, and a hint there would broadcast a
+    * fact-cardinality intermediate (hints bypass the size threshold).
+    */
+  private def isDim(plan: LogicalPlan): Boolean = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths
+        .exists(p => dimPathFragments.exists(p.toString.contains))
       case _ => false
     }
+    case Project(_, child)        => isDim(child)
+    case Filter(_, child)         => isDim(child)
+    case SubqueryAlias(_, child)  => isDim(child)
+    case _ => false
+  }
 
   private def broadcastHint(h: Option[HintInfo]): Option[HintInfo] =
     Some(h.getOrElse(HintInfo()).copy(strategy = Some(BROADCAST)))

@@ -25,17 +25,31 @@ case class ResidueKey(child: Expression)
   override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any =
-    ResidueKey.eval(input.asInstanceOf[UTF8String].toString)
+    ResidueKeyUtil.eval(input.asInstanceOf[UTF8String].toString)
 
+  // NB: the helper lives in ResidueKeyUtil, not the companion — scalac
+  // emits no static forwarder for a companion method whose name collides
+  // with an inherited member (Expression.eval), so a generated call to
+  // `graft.plans.ResidueKey.eval` fails Janino compilation and silently
+  // drops the stage to interpreted execution.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.plans.ResidueKey.eval($c.toString())")
+      s"graft.plans.ResidueKeyUtil.eval($c.toString())")
 
   override protected def withNewChildInternal(newChild: Expression): ResidueKey =
     copy(child = newChild)
 }
 
 object ResidueKey {
+  /** Convenience alias kept for callers/tests. */
+  def eval(s: String): Long = ResidueKeyUtil.eval(s)
+}
+
+/** Codegen-reachable helper: a plain object with no class-side name
+  * collision, so `ResidueKeyUtil.eval` exists as a JVM static forwarder
+  * that generated Java can call directly.
+  */
+object ResidueKeyUtil {
   /** "123_A" → (123 << 16) | 'A'; no inscode → low bits 0. Shared by the
     * interpreted path and generated code.
     */

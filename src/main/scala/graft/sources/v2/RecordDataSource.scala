@@ -73,19 +73,24 @@ final class RecordScanBuilder(path: String, sep: String)
       .map(f => RecordFilePartition(f.toString, sep): InputPartition)
   }
 
+  // ship the session's Hadoop configuration to executors — a bare
+  // `new Configuration()` there would drop defaultFS / object-store
+  // credentials and break on any non-local filesystem
   override def createReaderFactory(): PartitionReaderFactory =
-    new RecordReaderFactory
+    new RecordReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 final case class RecordFilePartition(file: String, sep: String)
     extends InputPartition
 
-final class RecordReaderFactory extends PartitionReaderFactory {
+final class RecordReaderFactory(
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val rp = partition.asInstanceOf[RecordFilePartition]
     new PartitionReader[InternalRow] {
-      private val fs = new Path(rp.file)
-        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      private val fs = new Path(rp.file).getFileSystem(conf.value)
       private val in = fs.open(new Path(rp.file))
       private val content =
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")

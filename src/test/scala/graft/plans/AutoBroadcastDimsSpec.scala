@@ -30,6 +30,22 @@ class AutoBroadcastDimsSpec extends SparkSpec {
           col("c_custkey") === col("o_custkey"))
         assert(!control.queryExecution.executedPlan.toString
           .contains("BroadcastHashJoin"))
+
+        // adversarial: (fact x dim) joined with another fact — the left
+        // side CONTAINS a dim leaf but IS fact-cardinality; it must not
+        // be hint-broadcast (at 100 TB that broadcast is an OOM)
+        val factDim = customer.join(nation,
+          col("c_nationkey") === col("n_nationkey"))
+        val factFact = factDim.join(orders,
+          col("c_custkey") === col("o_custkey"))
+        val ffPlan = factFact.queryExecution.optimizedPlan.toString
+        // the only broadcast hint present is the inner dim join's, never
+        // one wrapping the customer x nation intermediate against orders
+        val top = factFact.queryExecution.optimizedPlan.collectFirst {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if j.condition.exists(_.toString.contains("c_custkey")) => j
+        }.get
+        assert(top.hint.leftHint.isEmpty && top.hint.rightHint.isEmpty, ffPlan)
       } finally {
         spark.experimental.extraOptimizations = prevRules
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)

@@ -20,14 +20,28 @@ class ResidueKeySpec extends SparkSpec {
     }
     it("runs inside whole-stage codegen over a DataFrame") {
       // spark.range keeps the projection in a codegen stage (a local Seq
-      // would constant-fold to LocalTableScan on the interpreted path)
-      val df = spark.range(1, 101)
-        .select(GraftExtensions.residueKey(
-          concat(col("id"), lit("_A"))).as("k"))
-      val plan = df.queryExecution.executedPlan.toString
-      // "*(n)" marks operators fused into a WholeStageCodegen stage
-      assert(plan.contains("*(1) Project [residuekey"))
-      assert(df.as[Long].collect().toSeq.sorted.last === ((100L << 16) | 'A'.toLong))
+      // would constant-fold to LocalTableScan on the interpreted path).
+      // fallback=false + CODEGEN_ONLY make a Janino compile failure a hard
+      // test failure instead of a silent drop to interpreted execution.
+      val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+      val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      try {
+        val df = spark.range(1, 101)
+          .select(GraftExtensions.residueKey(
+            concat(col("id"), lit("_A"))).as("k"))
+        val plan = df.queryExecution.executedPlan.toString
+        // "*(n)" marks operators fused into a WholeStageCodegen stage
+        assert(plan.contains("*(1) Project [residuekey"))
+        assert(df.as[Long].collect().toSeq.sorted.last === ((100L << 16) | 'A'.toLong))
+      } finally {
+        spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+        prevFactory match {
+          case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+          case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+        }
+      }
     }
   }
 }

@@ -14,8 +14,8 @@ import graft.query.ProCogQueries.{AnyCognate, Best}
   */
 object ProCogQueryDefs {
 
-  /** DuckDB mirror of GraphTables.build. */
-  private val G = """
+  /** DuckDB mirror of GraphTables.build (shared with CoverageQueries). */
+  private[queries] val G = """
       WITH be0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                    FROM lineitem),
       be AS (SELECT ok, pk, ok || '_' || pk AS uid, 'HET' || pk AS hetCode,

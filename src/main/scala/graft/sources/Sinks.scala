@@ -53,12 +53,20 @@ object Sinks {
   def skewSplit(df: DataFrame, weightCol: String, pctl: Double = 0.8,
                 chunkSize: Int = 100): (DataFrame, DataFrame) = {
     val Array(threshold) = df.stat.approxQuantile(weightCol, Array(pctl), 0.001)
+    skewSplitAt(df, weightCol, threshold, chunkSize)
+  }
+
+  /** A11 with an externally supplied threshold (exact-percentile callers,
+    * tests, and the oracle-checked a11 query use this so both engines
+    * agree on the split point bit-for-bit).
+    */
+  def skewSplitAt(df: DataFrame, weightCol: String, threshold: Double,
+                  chunkSize: Int = 100): (DataFrame, DataFrame) = {
     val heavy = df.filter(col(weightCol) > threshold)
     val light = df.filter(col(weightCol) <= threshold)
-    val nHeavy = heavy.count()
-    val nLight = light.count()
-    val heavyParts = math.max(1, nHeavy.toInt)
-    val lightParts = math.max(1, math.ceil(nLight.toDouble / chunkSize).toInt)
+    val heavyParts = math.max(1, heavy.count().toInt)
+    val lightParts =
+      math.max(1, math.ceil(light.count().toDouble / chunkSize).toInt)
     (heavy.repartition(heavyParts), light.repartition(lightParts))
   }
 }

@@ -24,9 +24,9 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").queryExecution.toRdd.count()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .limit(10).queryExecution.toRdd.count()
-    // a failed query is recorded with a NEGATIVE elapsed time, listed in
-    // "failed", excluded from the total, and fails the run's exit code —
-    // a broken query must never masquerade as a fast one
+    // a failed query appears ONLY in "failed" — never in the "queries"
+    // timing map, so cross-round per-query comparisons always see real
+    // durations — is excluded from the total, and fails the exit code
     val results = SparkEntry.all.map { rq =>
       val t0 = System.nanoTime()
       val ok =
@@ -36,13 +36,13 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      (rq.name, if (ok) sec else -sec)
+      (rq.name, sec, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => k }
+    val failed = results.collect { case (k, _, false) => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

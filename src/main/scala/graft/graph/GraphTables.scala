@@ -74,33 +74,44 @@ object GraphTables {
   /** Registry cache: the dashboard surface issues many queries against
     * one graph build (exactly like the Neo4j instance being loaded once).
     * Hot derived tables are persisted on first use. Keyed by the session
-    * INSTANCE via a WeakHashMap (SparkSession doesn't override equals, so
-    * keys compare by identity while the map still holds a real reference)
-    * — unlike `System.identityHashCode`, which the JVM may reuse after GC
-    * or collide across live sessions, a key here can never resolve to a
-    * different session's persisted tables. When a session is GC'd its
-    * entry is dropped automatically; its persisted blocks died with the
-    * session's executors, so no explicit unpersist is needed.
+    * INSTANCE (SparkSession doesn't override equals, so a ConcurrentHashMap
+    * key compares by identity and can never resolve to a different
+    * session's persisted tables). A weak-keyed map would NOT reclaim
+    * anything here — the cached DataFrames hold their sparkSession, so the
+    * value would pin the key (the WeakHashMap value-refers-to-key caveat).
+    * Eviction is therefore explicit: a SparkListener registered at first
+    * insert drops the whole entry when the underlying context stops, the
+    * one point where a session's persisted blocks die anyway.
     */
-  private val cache = new java.util.WeakHashMap[
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, scala.collection.concurrent.TrieMap[String, GraphTables]]()
 
   def cached(s: SparkSession, dir: String,
              chem: ChemToolkit = FixtureChem): GraphTables = {
-    val perSession = cache.synchronized {
-      var m = cache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, GraphTables]
-        cache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir, {
-      val g = build(s, dir, chem)
-      GraphTables(g.entries, g.chains, g.domains,
-        g.boundEntities.persist(), g.interacts.persist(),
-        g.cognates, g.similarity.persist())
+    val perSession = cache.computeIfAbsent(s, { sess =>
+      sess.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            cache.remove(sess)
+        })
+      scala.collection.concurrent.TrieMap.empty[String, GraphTables]
     })
+    // Build-at-most-once per (session, dir): TrieMap.getOrElseUpdate may
+    // race two builders and silently drop one's persisted plans, so the
+    // build runs under the per-session map's monitor (double-checked —
+    // the fast path stays lock-free).
+    perSession.get(dir) match {
+      case Some(g) => g
+      case None => perSession.synchronized {
+        perSession.getOrElseUpdate(dir, {
+          val g = build(s, dir, chem)
+          GraphTables(g.entries, g.chains, g.domains,
+            g.boundEntities.persist(), g.interacts.persist(),
+            g.cognates, g.similarity.persist())
+        })
+      }
+    }
   }
 
   /** Ownership-classifier bands (thresholds from README.md:256-265 shape). */

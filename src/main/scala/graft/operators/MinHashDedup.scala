@@ -35,17 +35,23 @@ object MinHashDedup {
     // the per-doc counts — persist instead of re-shingling four times
     val sh = ws.select(col("doc_id"), explode(shingles(col("w"), n)).as("s"))
       .persist()
-    val seedDf = s.range(0, seeds).select(col("id").cast("int").as("seed"))
-    val sig = sh.crossJoin(broadcast(seedDf))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("s"))
-        .cast("binary"))).as("mh"))
+    // all k minhashes in ONE aggregation pass: k `min` terms over the same
+    // shingle rows, partial-aggregated map-side — no k× row explosion, no
+    // (doc_id, seed) shuffle, no second groupBy for the bands (band hashes
+    // are plain column concats of the signature row, exploded shuffle-free)
+    val minTerms = (0 until seeds).map { k =>
+      min(md5(concat(lit(s"$k|"), col("s")).cast("binary"))).as(s"mh$k")
+    }
+    val sig = sh.groupBy("doc_id").agg(minTerms.head, minTerms.tail: _*)
+    val nBands = seeds / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => col(s"mh$k"))
+      struct(lit(b.toLong).as("b"), concat(cols: _*).as("bh"))
+    }
     val band = sig
-      .groupBy(col("doc_id"),
-        floor(col("seed") / rowsPerBand).cast("long").as("b"))
-      .agg(concat_ws("", transform(
-        array_sort(collect_list(struct(col("seed"), col("mh")))),
-        x => x.getField("mh"))).as("bh"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.b").as("b"), col("x.bh").as("bh"))
     val bandA = band.select(col("doc_id").as("da"), col("b"), col("bh"))
     val bandB = band.select(col("doc_id").as("db"), col("b"), col("bh"))
     val cand = bandA.join(bandB, Seq("b", "bh"))

@@ -209,6 +209,43 @@ object ExtraQueries {
         .groupBy("r_name", "p_brand").agg(count(lit(1)).as("n"))
         .orderBy("r_name", "p_brand")),
 
+    // I3 — PARITY pairwise scorer through the mapPartitions kernel seam
+    // (get_pdb_parity.py:88-107): candidate pairs blocked on
+    // (brand, size-bucket) — never all-pairs — scored once per distinct
+    // pair with the per-pair budget handed to the kernel (rdFMCS-style
+    // self-limiting timeout, get_pdb_parity.py:96)
+    RQ("i3_parity_scorer", Some("""
+      SELECT CAST(b.p_partkey AS BIGINT) AS lig,
+             CAST(c.p_partkey AS BIGINT) AS cog,
+             CAST(100 - abs(b.p_size - c.p_size) AS DOUBLE) / 100.0 AS score,
+             CAST(least(b.p_size, c.p_size) AS BIGINT) AS n_matched,
+             'ok' AS status
+      FROM part b JOIN part c
+        ON b.p_brand = c.p_brand AND b.p_size // 10 = c.p_size // 10
+      WHERE b.p_partkey % 5 = 0 AND c.p_partkey % 5 <> 0
+      ORDER BY lig, cog"""))((s, dir) => {
+      import s.implicits._
+      val part = t(s, dir, "part")
+      val bound = part.filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("lig"), col("p_brand"),
+          floor(col("p_size") / 10).as("bucket"), col("p_size").as("bsize"))
+      val cog = part.filter(col("p_partkey") % 5 =!= 0)
+        .select(col("p_partkey").as("cogk"), col("p_brand").as("cbrand"),
+          floor(col("p_size") / 10).as("cbucket"), col("p_size").as("csize"))
+      val pairs = bound.join(cog,
+          col("p_brand") === col("cbrand") && col("bucket") === col("cbucket"))
+        .select(col("lig").cast("long").as("ligandUniqueID"),
+          col("cogk").cast("long").as("cogId"),
+          col("bsize").cast("int").as("boundSize"),
+          col("csize").cast("int").as("cognateSize"))
+        .as[graft.chem.CandidatePair]
+      graft.chem.ParityScorer.score(pairs)
+        .select(col("ligandUniqueID").as("lig"), col("cogId").as("cog"),
+          col("parityScore").as("score"),
+          size(col("matched")).cast("long").as("n_matched"), col("status"))
+        .orderBy("lig", "cog")
+    }),
+
     // I6 — cofactor-style label selection: set-reduction when-chain over a
     // collected set (get_ec_information.py:332-342)
     RQ("i6_label_select", Some("""

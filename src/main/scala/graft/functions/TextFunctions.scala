@@ -51,6 +51,18 @@ object TextFunctions {
     when(conv(substring(digest, b, 1), 16, 10).cast("long") % 2 === 1, lit(1L))
       .otherwise(lit(-1L))
 
+  /** All 32 nibble parities of a hex digest at once, as a '0'/'1' string:
+    * one `translate` per digest instead of 32 conv/mod extractions (hex
+    * digit parity = its low bit, so a 16-way character map computes it).
+    * Feed to `simhashBitTermAt`.
+    */
+  def simhashParityBits(digest: Column): Column =
+    translate(digest, "0123456789abcdef", "0101010101010101")
+
+  /** ±1 term for bit `b` (1-based) over a `simhashParityBits` string. */
+  def simhashBitTermAt(bits: Column, b: Int): Column =
+    when(substring(bits, b, 1) === "1", lit(1L)).otherwise(lit(-1L))
+
   /** Assemble a simhash value from per-bit sums: bit b set iff sums(b) >= 0.
     * `sums` is 1-based-ordered (bit 1 → least significant).
     */

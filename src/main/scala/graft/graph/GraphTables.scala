@@ -46,6 +46,17 @@ final case class GraphTables(
     similarity: DataFrame     // ligandUniqueID, cogId, parityScore, bestCognate
 ) {
 
+  /** Best-only projection of `similarity`, cached separately: every
+    * Best-mode dashboard query (p2/p4/p6/p8 — the default UI mode) filters
+    * bestCognate = 'Y', keeping ~one row per ligand out of the full
+    * candidate fan-out. Scanning the small projection instead of the full
+    * scored table is the difference between O(ligands) and O(candidates)
+    * per dashboard query — at 100 TB the full table may be 100× larger.
+    */
+  lazy val similarityBest: DataFrame =
+    similarity.filter(org.apache.spark.sql.functions.col("bestCognate") === "Y")
+      .persist()
+
   /** Typed stage-boundary views (model/Model.scala) — compile-time field
     * checking for pipeline code consuming a stage's output.
     */

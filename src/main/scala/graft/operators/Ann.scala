@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{cosine, rpLshBucket}
+import graft.functions.VectorFunctions.{cosine, dot, norm, rpLshBucket}
 
 /** Approximate-nearest-neighbor search as reusable operators over an
   * `(id, embedding array<float>)` table. Three strategies, all
@@ -34,15 +34,23 @@ object Ann {
 
   /** LSH nearest neighbor: RP-bucket every vector, search within the
     * bucket only; returns each vector's top-1 bucket-mate.
+    *
+    * Norms are computed ONCE per vector before the pair join (the join
+    * multiplies row counts; norm(q)*norm(n) recomputed per pair would
+    * triple the hot-loop HOF work). `dot/(na*nb)` evaluates the exact
+    * same IEEE-754 sequence as `cosine(a,b)` — oracle values unchanged.
     */
   def lshNearest(emb: DataFrame, idCol: String, vecCol: String,
                  planes: Int): DataFrame = {
     val b = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
-      rpLshBucket(col(vecCol), planes).as("bucket")).persist()
-    val a = b.select(col("vid").as("q_id"), col("v").as("qv"), col("bucket"))
-    val c = b.select(col("vid").as("n_id"), col("v").as("nv"), col("bucket"))
+      rpLshBucket(col(vecCol), planes).as("bucket"),
+      norm(col(vecCol)).as("nrm")).persist()
+    val a = b.select(col("vid").as("q_id"), col("v").as("qv"),
+      col("bucket"), col("nrm").as("qn"))
+    val c = b.select(col("vid").as("n_id"), col("v").as("nv"),
+      col("bucket"), col("nrm").as("nn"))
     a.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
       .filter(col("rnk") === 1)
@@ -50,16 +58,20 @@ object Ann {
   }
 
   /** Near-duplicate pairs by embedding cosine: LSH-bucketed candidates,
-    * exact verify at `threshold` — never all-pairs.
+    * exact verify at `threshold` — never all-pairs. Norms precomputed
+    * per vector (see lshNearest).
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          planes: Int, threshold: Double): DataFrame = {
     val b = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
-      rpLshBucket(col(vecCol), planes).as("bucket")).persist()
-    val a = b.select(col("vid").as("vec_a"), col("v").as("av"), col("bucket"))
-    val c = b.select(col("vid").as("vec_b"), col("v").as("bv"), col("bucket"))
+      rpLshBucket(col(vecCol), planes).as("bucket"),
+      norm(col(vecCol)).as("nrm")).persist()
+    val a = b.select(col("vid").as("vec_a"), col("v").as("av"),
+      col("bucket"), col("nrm").as("an"))
+    val c = b.select(col("vid").as("vec_b"), col("v").as("bv"),
+      col("bucket"), col("nrm").as("bn"))
     a.join(c, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("av"), col("bv")))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }

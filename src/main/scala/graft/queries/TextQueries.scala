@@ -112,8 +112,9 @@ object TextQueries {
     })((s, dir) => {
       val e = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), md5(col("tok").cast("binary")).as("dg"))
-      val sums = (1 to 32).map(b => sum(simhashBitTerm(col("dg"), b)).as(s"s$b"))
+        .select(col("doc_id"),
+          simhashParityBits(md5(col("tok").cast("binary"))).as("bits"))
+      val sums = (1 to 32).map(b => sum(simhashBitTermAt(col("bits"), b)).as(s"s$b"))
       e.groupBy("doc_id").agg(sums.head, sums.tail: _*)
         .select(col("doc_id"),
           simhashFromSums((1 to 32).map(b => col(s"s$b"))).as("simhash"))
@@ -191,8 +192,9 @@ object TextQueries {
     })((s, dir) => {
       val e = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), md5(col("tok").cast("binary")).as("dg"))
-      val sums = (1 to 32).map(b => sum(simhashBitTerm(col("dg"), b)).as(s"s$b"))
+        .select(col("doc_id"),
+          simhashParityBits(md5(col("tok").cast("binary"))).as("bits"))
+      val sums = (1 to 32).map(b => sum(simhashBitTermAt(col("bits"), b)).as(s"s$b"))
       val sh = e.groupBy("doc_id").agg(sums.head, sums.tail: _*)
         .select(col("doc_id"),
           simhashFromSums((1 to 32).map(b => col(s"s$b"))).as("simhash"))

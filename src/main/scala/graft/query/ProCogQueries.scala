@@ -21,10 +21,15 @@ object ProCogQueries {
   case object Best extends CognateMode
   case object AnyCognate extends CognateMode
 
-  private def modeFilter(mode: CognateMode)(df: DataFrame): DataFrame =
+  /** Best mode reads the cached best-only projection (one row per ligand)
+    * instead of filtering the full candidate table — plan-time dispatch,
+    * same rows, far smaller scan.
+    */
+  private def sims(g: GraphTables, cutoff: Double,
+                   mode: CognateMode): DataFrame =
     mode match {
-      case Best       => df.filter(col("bestCognate") === "Y")
-      case AnyCognate => df
+      case Best       => g.similarityBest.filter(col("parityScore") >= cutoff)
+      case AnyCognate => g.similarity.filter(col("parityScore") >= cutoff)
     }
 
   /** Home-page summary statistics (neodash_queries.yaml:3-22): four
@@ -43,11 +48,10 @@ object ProCogQueries {
     */
   def searchEntries(g: GraphTables, substr: String,
                     cutoff: Double, mode: CognateMode): DataFrame = {
-    val sims = modeFilter(mode)(
-      g.similarity.filter(col("parityScore") >= cutoff))
+    val simsDf = sims(g, cutoff, mode)
     val beCounts = g.boundEntities.groupBy("ok")
       .agg(countDistinct(col("uniqueID")).as("be_count"))
-    val cogCounts = g.boundEntities.join(sims, "ligandUniqueID")
+    val cogCounts = g.boundEntities.join(simsDf, "ligandUniqueID")
       .groupBy("ok").agg(countDistinct(col("cogId")).as("cog_count"))
     g.entries.filter(upper(col("pdbEntry")).contains(substr.toUpperCase))
       .join(beCounts, Seq("ok"), "left")
@@ -80,10 +84,9 @@ object ProCogQueries {
     */
   def ligandSimilarity(g: GraphTables, maxEntryKey: Long, cutoff: Double,
                        mode: CognateMode): DataFrame = {
-    val sims = modeFilter(mode)(
-      g.similarity.filter(col("parityScore") >= cutoff))
+    val simsDf = sims(g, cutoff, mode)
     g.boundEntities.filter(col("ok") <= maxEntryKey)
-      .join(sims, "ligandUniqueID")
+      .join(simsDf, "ligandUniqueID")
       .join(g.cognates, "cogId")
       .select(col("hetCode"), col("cogName").as("cognateLigand"),
         col("parityScore"), col("bestCognate").as("best"))
@@ -95,15 +98,14 @@ object ProCogQueries {
     */
   def superfamilyPromiscuity(g: GraphTables, cutoff: Double,
                              mode: CognateMode): DataFrame = {
-    val sims = modeFilter(mode)(
-      g.similarity.filter(col("parityScore") >= cutoff))
+    val simsDf = sims(g, cutoff, mode)
     val ssfSize = g.domains.groupBy("superfamily")
       .agg(countDistinct(col("suppkey")).as("n_dom"))
     // reduce the fact side to distinct (domain, ligand-structure) pairs
     // BEFORE the similarity fan-out — the 100-TB-critical reduction
     val binds = g.interacts
       .select(col("pk").as("ligandUniqueID"), col("suppkey")).distinct()
-      .join(sims.select("ligandUniqueID", "cogId"), "ligandUniqueID")
+      .join(simsDf.select("ligandUniqueID", "cogId"), "ligandUniqueID")
       .join(broadcast(g.domains.select("suppkey", "superfamily")), "suppkey")
       .groupBy("superfamily", "cogId")
       .agg(countDistinct(col("suppkey")).as("n_bind"))
@@ -130,16 +132,24 @@ object ProCogQueries {
     */
   def compareDomains(g: GraphTables, suppA: Long, suppB: Long,
                      cutoff: Double, mode: CognateMode): DataFrame = {
-    val sims = modeFilter(mode)(
-      g.similarity.filter(col("parityScore") >= cutoff))
-    def ligSet(supp: Long) = g.interacts.filter(col("suppkey") === supp)
-      .select(col("pk").as("ligandUniqueID")).distinct()
-      .join(sims, "ligandUniqueID").select("cogId").distinct()
-    val a = ligSet(suppA)
-    val b = ligSet(suppB)
-    a.intersect(b).agg(count(lit(1)).as("n_common"))
-      .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_a")))
-      .crossJoin(b.except(a).agg(count(lit(1)).as("n_only_b")))
+    val simsDf = sims(g, cutoff, mode)
+    // single pass: intersect/except of the two cognate sets as a
+    // membership-bitmap aggregation — one scan of interacts, one
+    // similarity join, then per-cogId A/B flags, instead of deriving each
+    // ligand set twice (a.intersect(b) + a.except(b) re-evaluate both)
+    val flags = g.interacts.filter(col("suppkey").isin(suppA, suppB))
+      .select(col("pk").as("ligandUniqueID"), col("suppkey")).distinct()
+      .join(simsDf.select("ligandUniqueID", "cogId"), "ligandUniqueID")
+      .groupBy("cogId")
+      .agg(max(when(col("suppkey") === suppA, 1).otherwise(0)).as("inA"),
+        max(when(col("suppkey") === suppB, 1).otherwise(0)).as("inB"))
+    flags.agg(
+      coalesce(sum(when(col("inA") === 1 && col("inB") === 1, 1L)
+        .otherwise(0L)), lit(0L)).as("n_common"),
+      coalesce(sum(when(col("inA") === 1 && col("inB") === 0, 1L)
+        .otherwise(0L)), lit(0L)).as("n_only_a"),
+      coalesce(sum(when(col("inA") === 0 && col("inB") === 1, 1L)
+        .otherwise(0L)), lit(0L)).as("n_only_b"))
   }
 
   /** Autocomplete select (dashboard: `ORDER BY size(value) ASC LIMIT 5`). */

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiler: run named queries N times against a sf dir, print per-run
+  * wall time and (optionally) the formatted physical plan. Not part of the
+  * driver contract — bench numbers come from graft.Bench.
+  *
+  * Usage: runMain graft.tools.Profile <sfDir> <runs> [--explain] q1 q2 ...
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val runs = args(1).toInt
+    val explain = args.contains("--explain")
+    val names = args.drop(2).filterNot(_ == "--explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").queryExecution.toRdd.count()
+    val byName = graft.SparkEntry.all.map(r => r.name -> r).toMap
+    names.foreach { n =>
+      val rq = byName(n)
+      if (explain) {
+        println(s"===== $n plan =====")
+        println(rq.build(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime()
+        rq.build(spark, sfDir).queryExecution.toRdd.count()
+        println(f"[profile] $n run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-at-or-before) left join — the canonical time-series
+  * join Spark has no native operator for.
+  *
+  * Implemented as the union + running-window trick, NOT a theta join:
+  * probe and build rows are unioned, sorted once per key by (ts, side)
+  * with build-before-probe on ties, and each probe row picks up the
+  * latest non-null build payload via `last(ignoreNulls) OVER rows
+  * unbounded-preceding`. Cost at 100 TB: ONE shuffle on the key and one
+  * sort — compare a `probe.ts >= build.ts` range join, which Spark plans
+  * as a broadcast-nested-loop or a cartesian per key. This is the same
+  * shape Flink/KDB use for temporal joins.
+  *
+  * Build rows must be unique per (key, ts) — pre-aggregate the build side
+  * (e.g. `groupBy(key, ts).agg(max(...))`) so tie order cannot make the
+  * result nondeterministic.
+  */
+object AsOfJoin {
+
+  /** @param probe   left side; all its columns are preserved
+    * @param build   right side; must contain `key`, `ts`, and `payload`
+    * @param key     equi-join key column name (same name both sides)
+    * @param ts      event-time column name (same name both sides)
+    * @param payload build columns carried onto each probe row (null when
+    *                no build row is at-or-before the probe row)
+    */
+  def asOfLeft(probe: DataFrame, build: DataFrame, key: String, ts: String,
+               payload: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val pSide = probe.select(
+      probeCols.map(col) ++ Seq(lit(1).as("__side")) ++
+        payload.map(c => lit(null).cast(build.schema(c).dataType)
+          .as(s"__b_$c")): _*)
+    val bSide = build.select(
+      probeCols.map {
+        case c if c == key || c == ts => col(c)
+        case c => lit(null).cast(probe.schema(c).dataType).as(c)
+      } ++ Seq(lit(0).as("__side")) ++
+        payload.map(c => col(c).as(s"__b_$c")): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pSide.unionByName(bSide)
+      .select(probeCols.map(col) ++ Seq(col("__side")) ++
+        payload.map(c =>
+          last(col(s"__b_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+}

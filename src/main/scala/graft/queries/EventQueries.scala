@@ -33,6 +33,31 @@ object EventQueries {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // As-of join: each click/view picks up the user's most recent error
+    // at-or-before it (operators/AsOfJoin — union+window, one shuffle;
+    // oracle is DuckDB's native ASOF LEFT JOIN)
+    RQ("e5_asof_join", Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type IN ('click', 'view')),
+           b AS (SELECT user_id, ts, max(event_id) AS err_id FROM events
+                 WHERE event_type = 'error' GROUP BY 1, 2)
+      SELECT p.event_id, b.err_id,
+             CAST(date_diff('microsecond', b.ts, p.ts) AS BIGINT) AS gap_us
+      FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+      ORDER BY event_id"""))((s, dir) => {
+      val e = ev(s, dir)
+      val probe = e.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val build = e.filter(col("event_type") === "error")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("err_id"))
+        .withColumn("err_ts", col("ts"))
+      graft.operators.AsOfJoin
+        .asOfLeft(probe, build, "user_id", "ts", Seq("err_id", "err_ts"))
+        .select(col("event_id"), col("err_id"),
+          (unix_micros(col("ts")) - unix_micros(col("err_ts"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // Time-bucketed aggregation (hourly tumbling window — identical plan
     // to a Structured Streaming groupBy(window($"ts","1 hour")) sink)
     RQ("e2_hourly_agg", Some("""

@@ -209,6 +209,47 @@ object ExtraQueries {
         .groupBy("r_name", "p_brand").agg(count(lit(1)).as("n"))
         .orderBy("r_name", "p_brand")),
 
+    // A11 — skew-aware chunk assignment (process_pdb_structure.py:195-209:
+    // top-quintile-weight structures become single-row jobs, the rest are
+    // batched in chunks of 100). Here per-brand — windows partition by a
+    // real key, never a global single-partition funnel; `Sinks.skewSplit`
+    // is the approx-quantile write path of the same semantics.
+    RQ("a11_skew_chunks", Some("""
+      WITH r AS (SELECT p_brand, p_partkey, p_retailprice,
+                        cume_dist() OVER (PARTITION BY p_brand
+                          ORDER BY p_retailprice, p_partkey) AS cd
+                 FROM part),
+           s AS (SELECT *, CASE WHEN cd > 0.8 THEN 'single' ELSE 'bulk' END
+                             AS kind,
+                        CASE WHEN cd > 0.8 THEN CAST(0 AS BIGINT)
+                             ELSE (row_number() OVER (
+                                     PARTITION BY p_brand, cd > 0.8
+                                     ORDER BY p_retailprice, p_partkey) - 1)
+                                  // 100 END AS chunk
+                 FROM r)
+      SELECT p_brand, kind,
+             CAST(count(DISTINCT CASE WHEN kind = 'single' THEN p_partkey
+                                      ELSE chunk END) AS BIGINT) AS n_chunks,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM s GROUP BY 1, 2 ORDER BY p_brand, kind"""))((s, dir) => {
+      val wcd = Window.partitionBy("p_brand")
+        .orderBy("p_retailprice", "p_partkey")
+      val r = t(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+        .withColumn("cd", cume_dist().over(wcd))
+        .withColumn("kind", when(col("cd") > 0.8, "single").otherwise("bulk"))
+      val wrn = Window.partitionBy("p_brand", "kind")
+        .orderBy("p_retailprice", "p_partkey")
+      r.withColumn("chunk",
+          when(col("kind") === "single", lit(0L))
+            .otherwise(floor((row_number().over(wrn) - 1) / 100)))
+        .groupBy("p_brand", "kind")
+        .agg(countDistinct(when(col("kind") === "single", col("p_partkey"))
+          .otherwise(col("chunk"))).as("n_chunks"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("p_brand", "kind")
+    }),
+
     // I3 — PARITY pairwise scorer through the mapPartitions kernel seam
     // (get_pdb_parity.py:88-107): candidate pairs blocked on
     // (brand, size-bucket) — never all-pairs — scored once per distinct

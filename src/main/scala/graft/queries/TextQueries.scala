@@ -121,6 +121,38 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T10 — quality-filter decision cascade (Gopher/C4-style rule chain):
+    // per-document keep/drop with the FIRST failing rule as the reason —
+    // the standard pre-training corpus filter shape. All rules are exact
+    // integer/ratio comparisons, so the decision is engine-portable.
+    RQ("t10_quality_filter", Some("""
+      WITH ws AS (SELECT doc_id, length(text) AS nc,
+                         str_split(text, ' ') AS w FROM documents),
+           x AS (SELECT doc_id, len(w) AS wc,
+                        len(list_filter(w,
+                          t -> list_contains(['the','a','of','and'], t)))
+                          AS stop_hits,
+                        (nc - (len(w) - 1))::DOUBLE / len(w)::DOUBLE AS mwl
+                 FROM ws)
+      SELECT doc_id, CAST(wc AS BIGINT) AS n_tokens,
+             CASE WHEN wc < 50 THEN 'too_short'
+                  WHEN mwl < 3 OR mwl > 10 THEN 'word_length'
+                  WHEN stop_hits < 2 THEN 'low_stopword'
+                  ELSE 'keep' END AS decision
+      FROM x ORDER BY doc_id"""))((s, dir) => {
+      val w = split(col("text"), " ")
+      val wc = size(w)
+      val stopHits = size(filter(w, t => t.isin(enMarkers: _*)))
+      val mwl = (length(col("text")) - (wc - 1)).cast("double") /
+        wc.cast("double")
+      docs(s, dir).select(col("doc_id"), wc.cast("long").as("n_tokens"),
+          when(wc < 50, "too_short")
+            .when(mwl < 3 || mwl > 10, "word_length")
+            .when(stopHits < 2, "low_stopword")
+            .otherwise("keep").as("decision"))
+        .orderBy("doc_id")
+    }),
+
     // T5 — exact-dedup stats: content-hash distinct counts per source
     RQ("t5_exact_dedup_stats", Some("""
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

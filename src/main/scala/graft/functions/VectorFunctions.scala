@@ -13,7 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  def dot(a: Column, b: Column): Column =
+  /** Fused native loop (plans/VectorDot, whole-stage codegen), resolved
+    * through the session's function registry — sessions must carry
+    * `GraftExtensions` (withExtensions / spark.sql.extensions) or call
+    * `GraftExtensions.install(session)`. The HOF-composed equivalent is
+    * kept as `dotHof`; both produce bit-identical doubles.
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions.call_function
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.residueKeyDescriptor)
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectOptimizerRule(_ =>
       AutoBroadcastDims(GraftExtensions.defaultDims))
   }
@@ -34,6 +35,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ResidueKey].getName, "residue_key"),
     (children: Seq[Expression]) => ResidueKey(children.head))
 
+  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => VectorDot(children(0), children(1)))
+
   /** Typed-API entry: sortable long key for a "num_inscode" string
     * (requires install()/extensions wiring on the session).
     */
@@ -43,8 +50,9 @@ object GraftExtensions {
     * spark.sql.extensions at build time).
     */
   def install(s: SparkSession): Unit = {
-    val (id, info, builder) = residueKeyDescriptor
-    s.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
+    Seq(residueKeyDescriptor, vecDotDescriptor).foreach {
+      case (id, info, builder) =>
+        s.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -58,6 +58,48 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // J — custom streaming state END-TO-END under the oracle gate: the
+    // events table is replayed through a MemoryStream in 4 time-ordered
+    // micro-batches into flatMapGroupsWithState sessionization
+    // (streaming/StreamingOps.sessionizeByGap); the cross-batch state must
+    // reproduce the batch lag-window answer (same oracle as e3). The
+    // driver-side collect exists only to FEED the test stream — a
+    // production pipeline points readStream at a file/Kafka source.
+    RQ("j1_stream_sessionize", Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           x AS (SELECT user_id,
+                        CASE WHEN lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS flag
+                 FROM e
+                 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT user_id, CAST(sum(flag) AS BIGINT) AS n_sessions,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM x GROUP BY 1 ORDER BY user_id"""))((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val data = ev(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .orderBy("us").as[(Long, Long)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val q = graft.streaming.StreamingOps.sessionizeByGap(mem.toDS())
+        .toDF().writeStream.format("memory").queryName("j1_sessions")
+        .outputMode("update").start()
+      try {
+        data.grouped(data.length / 4 + 1).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // update-mode sink holds one row per (user, batch); counts are
+      // monotone, so the max per user is the final state
+      s.table("j1_sessions").groupBy("user_id")
+        .agg(max("n_sessions").as("n_sessions"),
+          max("n_events").as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // Time-bucketed aggregation (hourly tumbling window — identical plan
     // to a Structured Streaming groupBy(window($"ts","1 hour")) sink)
     RQ("e2_hourly_agg", Some("""

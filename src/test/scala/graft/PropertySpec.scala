@@ -55,6 +55,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  describe("AsOfJoin vs naive range-join reference") {
+    it("agrees with max-ts-at-or-before computed per probe row (8 seeded cases)") {
+      val rnd = new Random(11)
+      (1 to 8).foreach { _ =>
+        val probe = List.tabulate(20)(i =>
+          (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(100).toLong))
+        val build = List.tabulate(15)(i =>
+          (s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong, 1000L + i))
+          // unique (key, ts) as the operator contract requires
+          .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toList
+        val got = operators.AsOfJoin.asOfLeft(
+            probe.toDF("id", "key", "ts"), build.toDF("key", "ts", "pay"),
+            "key", "ts", Seq("pay"))
+          .select("id", "pay").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toMap
+        val want = probe.map { case (id, k, ts) =>
+          val cands = build.filter(b => b._1 == k && b._2 <= ts)
+          id -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+        }.toMap
+        assert(got === want)
+      }
+    }
+  }
+
+  describe("MinHash one-pass signature vs per-seed crossJoin formulation") {
+    it("banded near-dup pairs are identical on random token docs") {
+      val rnd = new Random(23)
+      val docs = (0 until 30).map { i =>
+        val base = List.fill(12)(s"w${rnd.nextInt(20)}")
+        // make some documents near-identical so pairs actually survive
+        val words = if (i % 3 == 0) base else List.fill(12)(s"w${rnd.nextInt(20)}")
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val fast = operators.MinHashDedup
+        .nearDuplicatePairs(docs, "doc_id", "text", n = 2, seeds = 4,
+          rowsPerBand = 2, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+        .as[(Long, Long, Double)].collect().toSeq
+      // reference formulation: explicit per-seed rows (the pre-round-5
+      // crossJoin shape), same md5 seed scheme
+      val sh = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(
+            split(col("text"), " "), 2)).as("s"))
+      val seedDf = spark.range(0, 4).select(col("id").cast("int").as("seed"))
+      val sig = sh.crossJoin(seedDf)
+        .groupBy("doc_id", "seed")
+        .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("s"))
+          .cast("binary"))).as("mh"))
+      val band = sig.groupBy(col("doc_id"),
+          floor(col("seed") / 2).cast("long").as("b"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("seed"), col("mh")))),
+          x => x.getField("mh"))).as("bh"))
+      val cand = band.select(col("doc_id").as("da"), col("b"), col("bh"))
+        .join(band.select(col("doc_id").as("db"), col("b"), col("bh")),
+          Seq("b", "bh"))
+        .filter(col("da") < col("db")).select("da", "db").distinct()
+        .as[(Long, Long)].collect().toSet
+      // every reported pair must be a banded candidate of the reference
+      // formulation, and the candidate sets must agree
+      assert(fast.forall { case (a, b, _) => cand.contains((a, b)) })
+    }
+  }
+
   describe("Invariants") {
     it("requireUniqueKey passes on unique, fails on duplicated keys") {
       Invariants.requireUniqueKey(Seq(1, 2, 3).toDF("k"), Seq("k"), "uniq")

@@ -30,10 +30,15 @@ object Bench {
     // timed (import_neo4j_data.sh runs once; neodash queries assume a live
     // DB). The build cost itself is not hidden from the bench — the ETL
     // path is measured by etl1_contacts_stage/etl2_flat_export.
-    locally {
+    // warmup failure must not kill the whole bench — the p-queries will
+    // report the build error themselves via the per-query try below
+    try {
       val g = graft.graph.GraphTables.cached(spark, sfDir)
-      Seq(g.boundEntities, g.interacts, g.similarity, g.similarityBest)
+      Seq(g.boundEntities, g.interacts, g.similarity, g.similarityBest,
+          g.interactPairs)
         .foreach(_.queryExecution.toRdd.count())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] graph warmup failed: ${e.getMessage}")
     }
     // a failed query appears ONLY in "failed" — never in the "queries"
     // timing map, so cross-round per-query comparisons always see real

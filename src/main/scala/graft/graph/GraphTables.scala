@@ -57,6 +57,17 @@ final case class GraphTables(
     similarity.filter(org.apache.spark.sql.functions.col("bestCognate") === "Y")
       .persist()
 
+  /** Distinct (ligand-structure, domain) contact pairs, cached: the
+    * promiscuity/compare queries (p6/p8) start from exactly this
+    * reduction — materializing it once removes a per-query distinct over
+    * the full interaction table (the D-grain fact, arbitrarily larger).
+    */
+  lazy val interactPairs: DataFrame = {
+    import org.apache.spark.sql.functions.col
+    interacts.select(col("pk").as("ligandUniqueID"), col("suppkey"))
+      .distinct().persist()
+  }
+
   /** Typed stage-boundary views (model/Model.scala) — compile-time field
     * checking for pipeline code consuming a stage's output.
     */

@@ -101,10 +101,9 @@ object ProCogQueries {
     val simsDf = sims(g, cutoff, mode)
     val ssfSize = g.domains.groupBy("superfamily")
       .agg(countDistinct(col("suppkey")).as("n_dom"))
-    // reduce the fact side to distinct (domain, ligand-structure) pairs
-    // BEFORE the similarity fan-out — the 100-TB-critical reduction
-    val binds = g.interacts
-      .select(col("pk").as("ligandUniqueID"), col("suppkey")).distinct()
+    // the cached distinct (ligand, domain) reduction BEFORE the
+    // similarity fan-out — the 100-TB-critical step (see interactPairs)
+    val binds = g.interactPairs
       .join(simsDf.select("ligandUniqueID", "cogId"), "ligandUniqueID")
       .join(broadcast(g.domains.select("suppkey", "superfamily")), "suppkey")
       .groupBy("superfamily", "cogId")
@@ -137,8 +136,7 @@ object ProCogQueries {
     // membership-bitmap aggregation — one scan of interacts, one
     // similarity join, then per-cogId A/B flags, instead of deriving each
     // ligand set twice (a.intersect(b) + a.except(b) re-evaluate both)
-    val flags = g.interacts.filter(col("suppkey").isin(suppA, suppB))
-      .select(col("pk").as("ligandUniqueID"), col("suppkey")).distinct()
+    val flags = g.interactPairs.filter(col("suppkey").isin(suppA, suppB))
       .join(simsDf.select("ligandUniqueID", "cogId"), "ligandUniqueID")
       .groupBy("cogId")
       .agg(max(when(col("suppkey") === suppA, 1).otherwise(0)).as("inA"),

@@ -37,7 +37,7 @@ object Bench {
       Seq(g.boundEntities, g.interacts, g.similarity, g.similarityBest,
           g.interactPairs)
         .foreach(_.queryExecution.toRdd.count())
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] graph warmup failed: ${e.getMessage}")
     }
     // a failed query appears ONLY in "failed" — never in the "queries"
@@ -47,7 +47,7 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { rq.build(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] ${rq.name} failed: ${e.getMessage}")
           false
         }

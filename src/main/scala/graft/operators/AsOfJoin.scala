@@ -32,23 +32,32 @@ object AsOfJoin {
   def asOfLeft(probe: DataFrame, build: DataFrame, key: String, ts: String,
                payload: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
+    // the payload travels as ONE struct per build row: `last(ignoreNulls)`
+    // then picks whole build rows, never mixing columns from different
+    // rows when an individual payload VALUE is null (a per-column last
+    // would treat that null as "absent" and reach back to an older row)
+    val payloadStruct = struct(payload.map(col): _*)
+    val structType = {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      StructType(payload.map(c => StructField(c, build.schema(c).dataType)))
+    }
     val pSide = probe.select(
-      probeCols.map(col) ++ Seq(lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(build.schema(c).dataType)
-          .as(s"__b_$c")): _*)
-    val bSide = build.select(
+      probeCols.map(col) ++ Seq(lit(1).as("__side"),
+        lit(null).cast(structType).as("__b")): _*)
+    // null-key build rows can never match under equi-join semantics
+    // (NULL = NULL is not true) — drop them so a null-key probe row
+    // falls through to a null payload like the SQL ASOF join
+    val bSide = build.filter(col(key).isNotNull).select(
       probeCols.map {
         case c if c == key || c == ts => col(c)
         case c => lit(null).cast(probe.schema(c).dataType).as(c)
-      } ++ Seq(lit(0).as("__side")) ++
-        payload.map(c => col(c).as(s"__b_$c")): _*)
+      } ++ Seq(lit(0).as("__side"), payloadStruct.as("__b")): _*)
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pSide.unionByName(bSide)
-      .select(probeCols.map(col) ++ Seq(col("__side")) ++
-        payload.map(c =>
-          last(col(s"__b_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__m", last(col("__b"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(probeCols.map(col) ++
+        payload.map(c => col(s"__m.$c").as(c)): _*)
   }
 }

@@ -27,6 +27,9 @@ object MinHashDedup {
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, seeds: Int = 8, rowsPerBand: Int = 2,
                          threshold: Double = 0.8): DataFrame = {
+    require(seeds % rowsPerBand == 0,
+      s"seeds ($seeds) must be a multiple of rowsPerBand ($rowsPerBand) — " +
+        "a trailing partial band would silently change recall")
     val s = docs.sparkSession
     val ws = docs.select(col(idCol).as("doc_id"),
         split(col(textCol), " ").as("w"))

@@ -39,7 +39,11 @@ object GraftExtensions {
       Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-    (children: Seq[Expression]) => VectorDot(children(0), children(1)))
+    (children: Seq[Expression]) => children match {
+      case Seq(a, b) => VectorDot(a, b)
+      case other => throw new IllegalArgumentException(
+        s"vec_dot requires exactly 2 arguments, got ${other.length}")
+    })
 
   /** Typed-API entry: sortable long key for a "num_inscode" string
     * (requires install()/extensions wiring on the session).

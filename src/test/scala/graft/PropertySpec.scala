@@ -114,9 +114,19 @@ class PropertySpec extends SparkSpec {
           Seq("b", "bh"))
         .filter(col("da") < col("db")).select("da", "db").distinct()
         .as[(Long, Long)].collect().toSet
-      // every reported pair must be a banded candidate of the reference
-      // formulation, and the candidate sets must agree
-      assert(fast.forall { case (a, b, _) => cand.contains((a, b)) })
+      // reference RESULT: exact Jaccard over the reference candidates —
+      // the fast pipeline must produce exactly this set (both directions;
+      // a subset-only check could not see dropped bands/candidates)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val shSets = sh.as[(Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = cand.flatMap { case (a, b) =>
+        val i = (shSets(a) intersect shSets(b)).size.toDouble
+        val j = i / (cnt(a) + cnt(b) - i).toDouble
+        if (j >= 0.5) Some((a, b, j)) else None
+      }
+      assert(fast.toSet === want)
     }
   }
 

@@ -38,6 +38,35 @@ class AsOfJoinSpec extends SparkSpec {
       assert(out.collect()(0).getAs[String]("extra") == "x")
     }
 
+    it("takes the matched row whole: a null payload VALUE is not 'absent'") {
+      val s = spark
+      import s.implicits._
+      val probe = Seq((1L, "k", 25L)).toDF("id", "key", "ts")
+      val build = Seq(("k", 10L, Some(5L), Some(7L)),
+          ("k", 20L, None, Some(9L)))
+        .toDF("key", "ts", "x", "y")
+      val out = AsOfJoin.asOfLeft(probe, build, "key", "ts", Seq("x", "y"))
+        .collect()(0)
+      // ASOF semantics: the ts=20 row matches → (x=NULL, y=9); per-column
+      // lasts would have produced the never-existing row (x=5, y=9)
+      assert(out.isNullAt(out.fieldIndex("x")))
+      assert(out.getAs[Long]("y") == 9L)
+    }
+
+    it("null keys never match (SQL equi-join semantics)") {
+      val s = spark
+      import s.implicits._
+      val probe = Seq((1L, Option.empty[String], 20L),
+          (2L, Option("k"), 20L))
+        .toDF("id", "key", "ts")
+      val build = Seq((Option.empty[String], 10L, 1L), (Option("k"), 10L, 2L))
+        .toDF("key", "ts", "pay")
+      val out = AsOfJoin.asOfLeft(probe, build, "key", "ts", Seq("pay"))
+        .orderBy("id").collect()
+      assert(out(0).isNullAt(out(0).fieldIndex("pay")))
+      assert(out(1).getAs[Long]("pay") == 2L)
+    }
+
     it("plans one shuffle on the key — no nested-loop range join") {
       val s = spark
       import s.implicits._

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{RQ, Tables}
@@ -151,6 +152,40 @@ object TextQueries {
             .when(stopHits < 2, "low_stopword")
             .otherwise("keep").as("decision"))
         .orderBy("doc_id")
+    }),
+
+    // T12 — corpus budgeting stats: the per-(source, lang) doc/token
+    // totals and exact token-count order statistics (p50/p95) a training-
+    // data pipeline reports before sampling. Medians are the ceil(n/2)-th
+    // order statistic (d8's engine-portable definition); totals are exact
+    // integer sums.
+    RQ("t12_corpus_stats", Some("""
+      WITH d AS (SELECT source, lang, doc_id,
+                        len(str_split(text, ' ')) AS toks FROM documents),
+           r AS (SELECT *, row_number() OVER (PARTITION BY source, lang
+                            ORDER BY toks, doc_id) AS rn,
+                        count(*) OVER (PARTITION BY source, lang) AS n
+                 FROM d)
+      SELECT source, lang, CAST(max(n) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS total_tokens,
+             CAST(max(CASE WHEN rn = (n + 1) // 2 THEN toks END) AS BIGINT)
+               AS p50_tokens,
+             CAST(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN toks END)
+               AS BIGINT) AS p95_tokens
+      FROM r GROUP BY 1, 2 ORDER BY source, lang"""))((s, dir) => {
+      val w = Window.partitionBy("source", "lang")
+      docs(s, dir)
+        .select(col("source"), col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("rn", row_number().over(w.orderBy("toks", "doc_id")))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy("source", "lang")
+        .agg(max("n").as("n_docs"), sum("toks").as("total_tokens"),
+          max(when(col("rn") === floor((col("n") + 1) / 2), col("toks")))
+            .as("p50_tokens"),
+          max(when(col("rn") === floor((col("n") * 95 + 99) / 100),
+            col("toks"))).as("p95_tokens"))
+        .orderBy("source", "lang")
     }),
 
     // T5 — exact-dedup stats: content-hash distinct counts per source

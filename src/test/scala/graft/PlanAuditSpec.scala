@@ -46,5 +46,22 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin"))
       assert(!p.contains("SortMergeJoin"))
     }
+    it("e5_asof_join never degenerates into a range join (nested loop / cartesian)") {
+      val p = executed("e5_asof_join")
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+      assert(!p.contains("CartesianProduct"))
+    }
+    it("a11/t12 windows partition by real keys — no single-partition funnel") {
+      Seq("a11_skew_chunks", "t12_corpus_stats").foreach { n =>
+        val p = executed(n)
+        assert(!p.contains("Exchange SinglePartition"),
+          s"$n plans a global single-partition exchange:\n$p")
+      }
+    }
+    it("ANN queries actually use the native vec_dot expression") {
+      Seq("v1_ann_brute_topk", "v2_lsh_ann", "v4_cosine_neardup").foreach { n =>
+        assert(executed(n).contains("vectordot"), s"$n lost VectorDot")
+      }
+    }
   }
 }

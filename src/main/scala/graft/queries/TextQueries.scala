@@ -188,6 +188,103 @@ object TextQueries {
         .orderBy("source", "lang")
     }),
 
+    // T13 — the COMPOSED training-data prep pipeline, end-to-end under one
+    // oracle: quality filter (t10 rules) → MinHash-LSH near-dup detection
+    // among the kept docs (t6 pipeline) → connected-component canonical
+    // keep (t9 GraphX CC vs recursive min-label CTE) → per-source
+    // accounting. This is the "switch your pipeline to this library" query:
+    // every stage is the registered operator, chained.
+    RQ("t13_dedup_pipeline", Some("""
+      WITH RECURSIVE
+           ws AS (SELECT doc_id, source, length(text) AS nc,
+                         str_split(text, ' ') AS w FROM documents),
+           x AS (SELECT doc_id, source, w, len(w) AS wc,
+                        len(list_filter(w,
+                          t -> list_contains(['the','a','of','and'], t)))
+                          AS stop_hits,
+                        (nc - (len(w) - 1))::DOUBLE / len(w)::DOUBLE AS mwl
+                 FROM ws),
+           dec AS (SELECT doc_id, source, w,
+                          CASE WHEN wc >= 50 AND mwl >= 3 AND mwl <= 10
+                                    AND stop_hits >= 2
+                               THEN 'keep' ELSE 'drop' END AS decision
+                   FROM x),
+           keep0 AS (SELECT doc_id, source, w FROM dec
+                     WHERE decision = 'keep'),
+           sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                  FROM keep0 WHERE len(w) >= 3),
+           seeds AS (SELECT unnest(range(0, 8)) AS seed),
+           sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+                   FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+           band AS (SELECT doc_id, seed // 2 AS b,
+                           string_agg(mh, '' ORDER BY seed) AS bh
+                    FROM sig GROUP BY 1, 2),
+           cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+                    FROM band a JOIN band c USING (b, bh)
+                    WHERE a.doc_id < c.doc_id),
+           cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           inter AS (SELECT da, db, count(*) AS i FROM cand
+                     JOIN sh sx ON sx.doc_id = da
+                     JOIN sh sy ON sy.doc_id = db AND sx.s = sy.s
+                     GROUP BY 1, 2),
+           dup AS (SELECT da, db FROM inter
+                   JOIN cnt ca ON ca.doc_id = da
+                   JOIN cnt cb ON cb.doc_id = db
+                   WHERE i::DOUBLE / (ca.n + cb.n - i)::DOUBLE >= 0.8),
+           edges AS (SELECT da AS a, db AS c FROM dup
+                     UNION SELECT db, da FROM dup),
+           nodes AS (SELECT DISTINCT a AS node FROM edges),
+           reach(node, lab) AS (
+             SELECT node, node FROM nodes
+             UNION
+             SELECT e.c, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+           canon AS (SELECT node, min(lab) AS canonical FROM reach
+                     GROUP BY node),
+           dd AS (SELECT k.source, count(*) AS n_dup_drop
+                  FROM keep0 k JOIN canon c
+                    ON c.node = k.doc_id AND c.canonical <> k.doc_id
+                  GROUP BY 1),
+           base AS (SELECT source, count(*) AS n_input,
+                           sum(CASE WHEN decision = 'drop' THEN 1 ELSE 0 END)
+                             AS n_quality_drop
+                    FROM dec GROUP BY 1)
+      SELECT b.source, CAST(b.n_input AS BIGINT) AS n_input,
+             CAST(b.n_quality_drop AS BIGINT) AS n_quality_drop,
+             CAST(coalesce(d.n_dup_drop, 0) AS BIGINT) AS n_dup_drop,
+             CAST(b.n_input - b.n_quality_drop - coalesce(d.n_dup_drop, 0)
+               AS BIGINT) AS n_kept
+      FROM base b LEFT JOIN dd d USING (source)
+      ORDER BY source"""))((s, dir) => {
+      val w = split(col("text"), " ")
+      val wc = size(w)
+      val stopHits = size(filter(w, t => t.isin(enMarkers: _*)))
+      val mwl = (length(col("text")) - (wc - 1)).cast("double") /
+        wc.cast("double")
+      val dec = docs(s, dir).select(col("doc_id"), col("source"), col("text"),
+        when(wc >= 50 && mwl >= 3 && mwl <= 10 && stopHits >= 2, "keep")
+          .otherwise("drop").as("decision"))
+      val keep0 = dec.filter(col("decision") === "keep")
+        .select("doc_id", "source", "text").persist()
+      val pairs = graft.operators.MinHashDedup
+        .nearDuplicatePairs(keep0, "doc_id", "text",
+          n = 3, seeds = 8, rowsPerBand = 2, threshold = 0.8)
+      val dupDrop = keep0
+        .join(graft.operators.MinHashDedup.canonicalize(pairs), "doc_id")
+        .filter(col("doc_id") =!= col("canonical"))
+      val base = dec.groupBy("source").agg(count(lit(1)).as("n_input"),
+        sum(when(col("decision") === "drop", 1L).otherwise(0L))
+          .as("n_quality_drop"))
+      val dd = dupDrop.groupBy("source").agg(count(lit(1)).as("ndd"))
+      base.join(dd, Seq("source"), "left")
+        .select(col("source"), col("n_input"), col("n_quality_drop"),
+          coalesce(col("ndd"), lit(0L)).as("n_dup_drop"),
+          (col("n_input") - col("n_quality_drop") -
+            coalesce(col("ndd"), lit(0L))).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // T5 — exact-dedup stats: content-hash distinct counts per source
     RQ("t5_exact_dedup_stats", Some("""
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -17,6 +17,29 @@ object ScaleQueries {
 
   val defs: Seq[RQ] = Seq(
 
+    // Partition-pruned scan: orders written hive-partitioned by status,
+    // read back with a partition-column filter — the scan must touch ONLY
+    // the matching partition directory (PlanAuditSpec asserts the
+    // PartitionFilters entry). At 100 TB this is the difference between
+    // reading one partition and reading the table.
+    RQ("s4_partition_pruning", Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY 1 ORDER BY o_orderpriority"""))((s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_fixtures/$safe/s4_part"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        Tables(s, dir, "orders").write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path).filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Salted equi-join: result is EXACTLY the plain join (the oracle), but
     // the plan spreads each hot key over 8 salt buckets
     RQ("s1_salted_join", Some("""

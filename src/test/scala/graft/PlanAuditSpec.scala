@@ -58,6 +58,11 @@ class PlanAuditSpec extends SparkSpec {
           s"$n plans a global single-partition exchange:\n$p")
       }
     }
+    it("s4_partition_pruning prunes to the matching partition directory") {
+      val p = executed("s4_partition_pruning")
+      val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+      assert(pf.contains("o_orderstatus"), pf)
+    }
     it("ANN queries actually use the native vec_dot expression") {
       Seq("v1_ann_brute_topk", "v2_lsh_ann", "v4_cosine_neardup").foreach { n =>
         assert(executed(n).contains("vectordot"), s"$n lost VectorDot")

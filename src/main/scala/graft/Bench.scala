@@ -14,6 +14,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single-digit-MB test parquet would otherwise scan as ONE input
+      // partition (default split 128 MB) — size the split to the SF so
+      // scan+map stages use the cores; at production SF the default holds
+      .config("spark.sql.files.maxPartitionBytes", 2097152L)
+      .config("spark.sql.files.openCostInBytes", 262144L)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)

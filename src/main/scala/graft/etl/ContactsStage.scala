@@ -56,15 +56,13 @@ object ContactsStage {
           .as("hbond_count"),
         sum(when(array_contains(col("contact"), "covalent"), 1L).otherwise(0L))
           .as("covalent_count"))
+    // withGroupShare already emits perc = contact_count / total_contacts
+    // (long/long division auto-widens to double — same value either way);
+    // the band thresholds are the one shared classifier definition
     WindowOps.withGroupShare(perDomain, Seq("pdb_id", "entity_chain"),
         col("contact_count"), "total_contacts", "perc")
-      .withColumn("perc",
-        col("contact_count").cast("double") / col("total_contacts").cast("double"))
       .withColumn("ownership",
-        when(col("perc") > 0.9, "exclusive")
-          .when(col("perc") > 0.5, "dominant")
-          .when(col("perc") > 0.1, "partner")
-          .otherwise("minor"))
+        graft.graph.GraphTables.ownershipBand(col("perc")))
   }
 
   /** Read an arpeggio-contacts JSON-lines directory with the explicit

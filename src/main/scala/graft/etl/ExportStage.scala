@@ -103,7 +103,9 @@ object Pipeline {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val written = ExportStage.run(GraphTables.build(spark, sfDir), outDir)
+    // cached(): the 7 sink writes are separate actions over shared
+    // lineages (boundEntities feeds 3 sinks) — persist once, not rebuild
+    val written = ExportStage.run(GraphTables.cached(spark, sfDir), outDir)
     written.foreach { case (n, p) => println(s"[pipeline] wrote $n -> $p") }
     spark.stop()
   }

@@ -136,8 +136,11 @@ object GraphTables {
     }
   }
 
-  /** Ownership-classifier bands (thresholds from README.md:256-265 shape). */
-  private[graph] def ownershipBand(share: org.apache.spark.sql.Column) =
+  /** Ownership-classifier bands (thresholds from README.md:256-265 shape).
+    * Public: the ETL contacts stage classifies with the SAME bands — one
+    * definition, so a threshold change cannot silently diverge the two.
+    */
+  def ownershipBand(share: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(share > 0.9, "exclusive")
       .when(share > 0.5, "dominant")
       .when(share > 0.1, "partner")
@@ -181,10 +184,9 @@ object GraphTables {
       .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
         col("l_suppkey").as("suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("contactCount"))
+    // withGroupShare's share IS perc (long/long division widens to double)
     val interacts = WindowOps.withGroupShare(perDomain, Seq("ok", "pk"),
         col("contactCount"), "totalContacts", "perc")
-      .withColumn("perc",
-        col("contactCount").cast("double") / col("totalContacts").cast("double"))
       .withColumn("interactionMode", ownershipBand(col("perc")))
       .withColumn("uniqueID", concat(col("ok"), lit("_"), col("pk")))
 

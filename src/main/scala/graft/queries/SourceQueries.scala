@@ -154,7 +154,7 @@ object SourceQueries {
         .groupBy(col("n_nationkey").cast("long").as("key"), col("n_name").as("name"))
         .agg(array_sort(collect_set(col("c_mktsegment"))).as("segments"))
       Sinks.neo4jTsv(nodes, path, Map("key" -> "key:ID(nation)"))
-      s.read.option("sep", "\t").option("header", "true").csv(path)
+      Sinks.readNeo4jTsv(s, path)
         .select(col("key:ID(nation)").cast("long").as("key"), col("name"),
           col("`segments:string[]`").as("segments"))
         .orderBy("key")

@@ -72,13 +72,18 @@ object Readers {
   def mmcifCategory(s: SparkSession, path: String, category: String): DataFrame = {
     import s.implicits._
     val raw = s.read.option("wholetext", "true").text(path).as[String]
-    val parsed = raw.flatMap(parseMmcifLoop(_, category))
-    // first row carries the column names; re-shape to a DataFrame
-    val cols = parseMmcifHeader(
-      raw.take(1).headOption.getOrElse(""), category)
+    // every file re-keys its values by ITS OWN declared field order (files
+    // may order a category's fields differently, or lack the category);
+    // the output schema is the union of field names seen across files —
+    // deriving it from one arbitrary file would misalign or drop the rest
+    val keyed = raw.flatMap { text =>
+      val cols = parseMmcifHeader(text, category)
+      parseMmcifLoop(text, category).map(row => cols.zip(row).toMap)
+    }.persist()
+    val cols = keyed.flatMap(_.keys).distinct().collect().sorted.toSeq
     if (cols.isEmpty) s.emptyDataFrame
-    else parsed.toDF("row")
-      .select((0 until cols.length).map(i => col("row").getItem(i).as(cols(i))): _*)
+    else keyed.toDF("kv")
+      .select(cols.map(c => col("kv").getItem(c).as(c)): _*)
   }
 
   private[sources] def parseMmcifHeader(text: String, category: String): Seq[String] = {

@@ -19,26 +19,48 @@ object Sinks {
     * `Map("uniqueID" -> "uniqueID:ID(be-id)", "score" -> "score:float")`;
     * unmapped columns derive a typed header from their Spark type.
     */
+  /** neo4j-admin honors a header only in the FIRST file of a group, so a
+    * multi-partition write with per-part headers would feed later files'
+    * header lines in as data. The layout here is the tool's own contract
+    * for that: one driver-written `header.tsv` plus headerless gzip data
+    * parts under `data/` — imported as `--nodes=header.tsv,data/part-.*`.
+    */
   def neo4jTsv(df: DataFrame, path: String,
                headerFor: Map[String, String] = Map.empty): Unit = {
-    val cols: Seq[Column] = df.schema.fields.toSeq.map { f =>
-      val header = headerFor.getOrElse(f.name, f.dataType match {
+    val headers: Seq[String] = df.schema.fields.toSeq.map { f =>
+      headerFor.getOrElse(f.name, f.dataType match {
         case LongType | IntegerType => s"${f.name}:long"
         case DoubleType | FloatType => s"${f.name}:float"
         case ArrayType(_, _)        => s"${f.name}:string[]"
         case _                      => f.name
       })
+    }
+    val cols: Seq[Column] = df.schema.fields.toSeq.map { f =>
       f.dataType match {
-        case ArrayType(_, _) => concat_ws("|", col(f.name)).as(header)
-        case _               => col(f.name).as(header)
+        case ArrayType(_, _) => concat_ws("|", col(f.name)).as(f.name)
+        case _               => col(f.name)
       }
     }
     df.select(cols: _*)
       .write.mode("overwrite")
-      .option("sep", "\t").option("header", "true")
+      .option("sep", "\t").option("header", "false")
       .option("compression", "gzip")
       .option("emptyValue", "")
-      .csv(path)
+      .csv(s"$path/data")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "header.tsv"),
+      headers.mkString("\t") + "\n")
+  }
+
+  /** Read back a `neo4jTsv` table (tests / the a10 roundtrip query). */
+  def readNeo4jTsv(s: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    val headers = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(path, "header.tsv"))
+      .trim.split("\t").toSeq
+    s.read.option("sep", "\t").option("header", "false")
+      .option("emptyValue", "").csv(s"$path/data")
+      .toDF(headers: _*)
   }
 
   /** A11 — skew-aware chunked repartition (molwt 80th-percentile split,
@@ -62,11 +84,21 @@ object Sinks {
     */
   def skewSplitAt(df: DataFrame, weightCol: String, threshold: Double,
                   chunkSize: Int = 100): (DataFrame, DataFrame) = {
-    val heavy = df.filter(col(weightCol) > threshold)
-    val light = df.filter(col(weightCol) <= threshold)
-    val heavyParts = math.max(1, heavy.count().toInt)
-    val lightParts =
-      math.max(1, math.ceil(light.count().toDouble / chunkSize).toInt)
-    (heavy.repartition(heavyParts), light.repartition(lightParts))
+    // NULL weights (unweighable rows) must not vanish: they join the light
+    // side, so heavy ∪ light == df always. Both counts come from ONE
+    // aggregation pass (two filtered count() jobs would scan df twice),
+    // and stay Long until clamped — a .toInt on a >2^31 count would go
+    // negative and collapse the heavy side to one partition.
+    val isHeavy = col(weightCol) > threshold
+    val row = df.agg(
+      sum(when(isHeavy, 1L).otherwise(0L)).as("h"),
+      sum(when(isHeavy.isNull || !isHeavy, 1L).otherwise(0L)).as("l")).head()
+    val h = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val l = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val heavy = df.filter(isHeavy)
+    val light = df.filter(isHeavy.isNull || !isHeavy)
+    def clamp(n: Long): Int = math.max(1L, math.min(n, Int.MaxValue.toLong)).toInt
+    val lightParts = clamp((l + chunkSize - 1) / chunkSize)
+    (heavy.repartition(clamp(h)), light.repartition(lightParts))
   }
 }

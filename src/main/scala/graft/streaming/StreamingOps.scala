@@ -44,29 +44,47 @@ object StreamingOps {
 
   /** Custom-state sessionization via flatMapGroupsWithState: counts
     * 30-minute-gap sessions per user. The streaming form of the
-    * e3_sessionize lag-window query — on a fully-ingested stream the
-    * outputs agree (asserted in StreamingSpec). Events must arrive
-    * time-ordered per key within a batch for gap semantics (guaranteed
-    * by sorting each micro-batch's group iterator below, so the operator
-    * is also safe under out-of-order arrival inside one batch).
+    * e3_sessionize lag-window query — on a fully-ingested in-order stream
+    * the outputs agree (asserted in StreamingSpec; e5's oracle gate runs
+    * it cross-batch). Out-of-order arrival INSIDE a batch is handled by
+    * sorting the group iterator; an event older than the state's
+    * watermark-equivalent (`lastUs`) arriving in a LATER batch is late
+    * data and is dropped — processing it would move `lastUs` backwards
+    * and corrupt every subsequent gap computation.
+    *
+    * State lifecycle: pass `stateTtlMs > 0` to evict idle users via
+    * ProcessingTimeTimeout — on an unbounded key space the default
+    * NoTimeout grows state forever; a production deployment sets a TTL
+    * comfortably above the session gap.
     */
   def sessionizeByGap(events: Dataset[(Long, Long)],
-                      gapUs: Long = 1800000000L): Dataset[SessionCount] = {
+                      gapUs: Long = 1800000000L,
+                      stateTtlMs: Long = 0L): Dataset[SessionCount] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionCount](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeout) {
         (user: Long, rows: Iterator[(Long, Long)],
          state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          sorted.foreach { us =>
-            val newSession = st.lastUs == Long.MinValue || us - st.lastUs > gapUs
-            st = SessionState(us,
-              st.nSessions + (if (newSession) 1L else 0L), st.nEvents + 1L)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+            // drop late events (older than anything already processed)
+            val sorted = rows.map(_._2).filter(_ >= st.lastUs).toSeq.sorted
+            sorted.foreach { us =>
+              val newSession = st.lastUs == Long.MinValue || us - st.lastUs > gapUs
+              st = SessionState(us,
+                st.nSessions + (if (newSession) 1L else 0L), st.nEvents + 1L)
+            }
+            state.update(st)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            Iterator(SessionCount(user, st.nSessions, st.nEvents))
           }
-          state.update(st)
-          Iterator(SessionCount(user, st.nSessions, st.nEvents))
       }
   }
 }

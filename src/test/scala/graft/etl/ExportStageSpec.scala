@@ -12,8 +12,14 @@ import graft.graph.GraphTables
   */
 class ExportStageSpec extends SparkSpec {
 
-  private def headerOf(dir: String): String = {
-    val part = new java.io.File(dir).listFiles
+  private def headerOf(dir: String): String =
+    Files.readString(java.nio.file.Paths.get(dir, "header.tsv")).trim
+
+  /** Data parts must be headerless — neo4j-admin reads every data file's
+    * first line as a row; the single header lives in header.tsv.
+    */
+  private def firstDataLine(dir: String): String = {
+    val part = new java.io.File(s"$dir/data").listFiles
       .filter(_.getName.endsWith(".csv.gz")).minBy(_.getName)
     val r = new BufferedReader(new InputStreamReader(
       new GZIPInputStream(Files.newInputStream(part.toPath))))
@@ -38,6 +44,10 @@ class ExportStageSpec extends SparkSpec {
       assert(interacts.contains("contactCount:long"))
       assert(headerOf(written("has_similarity_rels")) ===
         ":START_ID(be-id)\t:END_ID(cl-id)\tparityScore:float\tbestCognate")
+      // data parts are headerless (the header would be ingested as a row)
+      assert(firstDataLine(written("entry_nodes")).startsWith("pdb"))
+      assert(!firstDataLine(written("bound_entity_nodes"))
+        .startsWith("uniqueID:ID"))
     }
   }
 }

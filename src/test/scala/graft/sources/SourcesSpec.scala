@@ -32,9 +32,10 @@ class SourcesSpec extends SparkSpec {
       val df = Seq((1L, "x", Seq("a", "b"), 0.5))
         .toDF("id", "name", "tags", "score")
       Sinks.neo4jTsv(df, dir, Map("id" -> "id:ID(test)"))
-      val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".csv.gz"))
+      val files = new java.io.File(s"$dir/data").listFiles
+        .filter(_.getName.endsWith(".csv.gz"))
       assert(files.nonEmpty, "gzip part files written")
-      val back = spark.read.option("sep", "\t").option("header", "true").csv(dir)
+      val back = Sinks.readNeo4jTsv(spark, dir)
       assert(back.columns.toSet ===
         Set("id:ID(test)", "name", "tags:string[]", "score:float"))
       assert(back.select("`tags:string[]`").as[String].head() === "a|b")

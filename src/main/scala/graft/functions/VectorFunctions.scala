@@ -28,7 +28,13 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm (empty / all-zero) vectors yield NULL, never NaN: Spark
+    * sorts NaN ABOVE every double and evaluates `NaN >= t` as true, so a
+    * 0/0 cosine would rank a degenerate vector as everyone's nearest
+    * neighbor; a null drops out of both ranking and threshold filters.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Random-hyperplane LSH bucket key: `planes` sign bits concatenated to a
     * bit-string. Plane weights are a deterministic integer function of

@@ -119,14 +119,18 @@ object GraphTables {
         })
       scala.collection.concurrent.TrieMap.empty[String, GraphTables]
     })
-    // Build-at-most-once per (session, dir): TrieMap.getOrElseUpdate may
-    // race two builders and silently drop one's persisted plans, so the
-    // build runs under the per-session map's monitor (double-checked —
-    // the fast path stays lock-free).
-    perSession.get(dir) match {
+    // Key includes the toolkit identity: similarity/cogName are DERIVED
+    // from the chem implementation, so a caller passing a different
+    // toolkit must not silently receive another toolkit's scores.
+    val key = s"$dir|${chem.getClass.getName}"
+    // Build-at-most-once per (session, dir, toolkit): TrieMap
+    // .getOrElseUpdate may race two builders and silently drop one's
+    // persisted plans, so the build runs under the per-session map's
+    // monitor (double-checked — the fast path stays lock-free).
+    perSession.get(key) match {
       case Some(g) => g
       case None => perSession.synchronized {
-        perSession.getOrElseUpdate(dir, {
+        perSession.getOrElseUpdate(key, {
           val g = build(s, dir, chem)
           GraphTables(g.entries, g.chains, g.domains,
             g.boundEntities.persist(), g.interacts.persist(),

@@ -57,10 +57,12 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, payload: String, frameBytes: Int,
                    stride: Int): DataFrame =
-    df.withColumn("frame_idx",
+    // payloads shorter than one frame emit ZERO frames — a clamped index
+    // would emit a truncated partial "frame" that downstream dedup counts
+    df.filter(length(col(payload)) >= frameBytes)
+      .withColumn("frame_idx",
         explode(sequence(lit(0),
-          greatest(lit(0), floor((length(col(payload)) - frameBytes)
-            / stride).cast("int")))))
+          floor((length(col(payload)) - frameBytes) / stride).cast("int"))))
       .withColumn("frame",
         hex(expr(s"substring($payload, frame_idx * $stride + 1, $frameBytes)")))
 }

@@ -8,7 +8,16 @@ import graft.functions.VectorFunctions.{cosine, dot, norm, rpLshBucket}
 
 /** Approximate-nearest-neighbor search as reusable operators over an
   * `(id, embedding array<float>)` table. Three strategies, all
-  * oracle-checked by the v1/v2/v4 queries:
+  * oracle-checked by the v1/v2/v4 queries.
+  *
+  * Cache ownership: the bucketed projection is persisted because the
+  * returned plan consumes it from both sides of the pair join; the blocks
+  * are MEMORY_AND_DISK and LRU-evictable, but the CacheManager entry
+  * lives until the session ends — a long-lived session issuing many ANN
+  * calls should `spark.catalog.clearCache()` between batches (the same
+  * note applies to MinHashDedup's shingle table).
+  *
+  * Strategies:
   *
   *  - brute: exact, broadcast the (small) query set — N×Q work;
   *  - LSH: random-hyperplane bucket equi-join — Σ bucket² work;
@@ -50,7 +59,7 @@ object Ann {
     val c = b.select(col("vid").as("n_id"), col("v").as("nv"),
       col("bucket"), col("nrm").as("nn"))
     a.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("cos", dot(col("qv"), col("nv")) / nullif(col("qn") * col("nn"), lit(0.0)))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
       .filter(col("rnk") === 1)
@@ -71,7 +80,7 @@ object Ann {
     val c = b.select(col("vid").as("vec_b"), col("v").as("bv"),
       col("bucket"), col("nrm").as("bn"))
     a.join(c, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("cos", dot(col("av"), col("bv")) / nullif(col("an") * col("bn"), lit(0.0)))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }

@@ -16,12 +16,12 @@ object Invariants {
     * many-to-one join). One countDistinct pass.
     */
   def requireUniqueKey(dim: DataFrame, keys: Seq[String], what: String): Unit = {
-    val Array(total, distinct) = dim
-      .agg(count(lit(1)),
-        countDistinct(col(keys.head), keys.tail.map(col): _*))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    require(total == distinct,
-      s"$what: expected unique ${keys.mkString(",")} — $total rows, $distinct distinct")
+    // groupBy, not count-vs-countDistinct: countDistinct skips null-keyed
+    // rows, so a single null key would false-positive as a "duplicate"
+    val dups = dim.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+    require(dups == 0L,
+      s"$what: duplicate ${keys.mkString(",")} key(s) in the dimension side")
   }
 
   /** Fails if an inner join on `keys` would drop probe rows — the

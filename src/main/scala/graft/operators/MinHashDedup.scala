@@ -30,7 +30,6 @@ object MinHashDedup {
     require(seeds % rowsPerBand == 0,
       s"seeds ($seeds) must be a multiple of rowsPerBand ($rowsPerBand) — " +
         "a trailing partial band would silently change recall")
-    val s = docs.sparkSession
     val ws = docs.select(col(idCol).as("doc_id"),
         split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
@@ -42,8 +41,11 @@ object MinHashDedup {
     // shingle rows, partial-aggregated map-side — no k× row explosion, no
     // (doc_id, seed) shuffle, no second groupBy for the bands (band hashes
     // are plain column concats of the signature row, exploded shuffle-free)
+    // ONE definition of the seed-hash scheme: TextFunctions.minhashAgg
+    // (changing the scheme there and here separately would silently
+    // diverge the operator from the tested expression)
     val minTerms = (0 until seeds).map { k =>
-      min(md5(concat(lit(s"$k|"), col("s")).cast("binary"))).as(s"mh$k")
+      graft.functions.TextFunctions.minhashAgg(col("s"), k).as(s"mh$k")
     }
     val sig = sh.groupBy("doc_id").agg(minTerms.head, minTerms.tail: _*)
     val nBands = seeds / rowsPerBand
@@ -80,6 +82,13 @@ object MinHashDedup {
     * is the final dedup action.
     */
   def canonicalize(pairs: DataFrame): DataFrame = {
+    // GraphX vertex ids are Long — enforce the contract loudly instead of
+    // an ANSI cast error (string doc ids must be mapped to longs first)
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    require(Seq("doc_a", "doc_b").forall(c =>
+      Seq(LongType, IntegerType).contains(pairs.schema(c).dataType)),
+      "canonicalize requires integral doc ids (GraphX vertex ids); " +
+        "map string ids to longs first")
     val s = pairs.sparkSession
     val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))

@@ -92,7 +92,12 @@ object WindowOps {
     */
   def rangeCompress(df: DataFrame, groupCol: String, intCol: String,
                     outName: String): DataFrame = {
-    val distinctVals = df.select(col(groupCol), col(intCol).cast("long").as("v")).distinct()
+    // try_cast + explicit drop: under Spark 4's default ANSI mode a plain
+    // cast would THROW on the reference's non-numeric final-level ECs
+    // ("n1"), and a silent null would otherwise form a phantom null-island
+    val distinctVals = df
+      .select(col(groupCol), expr(s"try_cast(`$intCol` AS BIGINT)").as("v"))
+      .filter(col("v").isNotNull).distinct()
     val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("v"))
     val islands = distinctVals
       .withColumn("grp", col("v") - row_number().over(wOrd))

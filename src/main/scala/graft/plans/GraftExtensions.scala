@@ -33,7 +33,11 @@ object GraftExtensions {
       Seq[Expression] => Expression) = (
     FunctionIdentifier("residue_key"),
     new ExpressionInfo(classOf[ResidueKey].getName, "residue_key"),
-    (children: Seq[Expression]) => ResidueKey(children.head))
+    (children: Seq[Expression]) => children match {
+      case Seq(c) => ResidueKey(c)
+      case other => throw new IllegalArgumentException(
+        s"residue_key requires exactly 1 argument, got ${other.length}")
+    })
 
   val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (

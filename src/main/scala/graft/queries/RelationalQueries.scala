@@ -357,7 +357,6 @@ object RelationalQueries {
           col("l_quantity").cast("long").as("qty"))
       WindowOps.withGroupShare(base, Seq("l_orderkey"), col("qty"),
           "total", "share")
-        .withColumn("share", col("qty").cast("double") / col("total").cast("double"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -640,11 +639,7 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .withColumn("share", col("l_quantity").cast("long").cast("double") /
           sum(col("l_quantity").cast("long")).over(w).cast("double"))
-        .withColumn("band",
-          when(col("share") > 0.9, "exclusive")
-            .when(col("share") > 0.5, "dominant")
-            .when(col("share") > 0.1, "partner")
-            .otherwise("minor"))
+        .withColumn("band", graft.graph.GraphTables.ownershipBand(col("share")))
         .groupBy("l_returnflag", "band").agg(count(lit(1)).as("n"))
         .orderBy("l_returnflag", "band")
     }),

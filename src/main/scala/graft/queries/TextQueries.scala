@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,11 @@ import graft.functions.TextFunctions._
   * Scale shape: everything is either a per-row codegen'd expression or a
   * key-partitioned aggregation; the near-dup candidate join is bucketed
   * (band-hash equi-join), never all-pairs.
+  *
+  * Every rule/scheme that more than one query depends on has exactly ONE
+  * definition below (quality thresholds, the simhash construction, the
+  * MinHash-LSH oracle chain) — the same no-silent-divergence policy as
+  * GraphTables.ownershipBand.
   */
 object TextQueries {
 
@@ -24,6 +29,106 @@ object TextQueries {
   private val enMarkers = Seq("the", "a", "of", "and")
   private val esMarkers = Seq("el", "la", "de")
   private val deMarkers = Seq("der", "die", "das")
+
+  // ---- quality-filter rules (t10 standalone + the t13 pipeline) ----
+  private val MinTokens = 50
+  private val MinStopHits = 2
+  private val MwlLo = "3.0" // mean-word-length bounds (chars/word)
+  private val MwlHi = "10.0"
+
+  /** Spark columns (n_tokens, stop_hits, mean_word_len) over `text`. */
+  private def qualityParts: (Column, Column, Column) = {
+    val w = split(col("text"), " ")
+    val wc = size(w)
+    val stopHits = size(filter(w, t => t.isin(enMarkers: _*)))
+    val mwl = (length(col("text")) - (wc - 1)).cast("double") /
+      wc.cast("double")
+    (wc, stopHits, mwl)
+  }
+
+  /** DuckDB mirror of qualityParts: ws/x CTEs computing wc/stop_hits/mwl;
+    * `extra` carries extra projected columns (e.g. ", source").
+    */
+  private def qualitySqlCtes(extra: String): String = s"""
+           ws AS (SELECT doc_id$extra, length(text) AS nc,
+                         str_split(text, ' ') AS w FROM documents),
+           x AS (SELECT doc_id$extra, w, len(w) AS wc,
+                        len(list_filter(w,
+                          t -> list_contains(['the','a','of','and'], t)))
+                          AS stop_hits,
+                        (nc - (len(w) - 1))::DOUBLE / len(w)::DOUBLE AS mwl
+                 FROM ws)"""
+
+  private val keepPredSql =
+    s"wc >= $MinTokens AND mwl >= $MwlLo AND mwl <= $MwlHi " +
+      s"AND stop_hits >= $MinStopHits"
+
+  // ---- 32-bit SimHash construction (t4 + t8) ----
+  private val simhashSumsSql: String = (1 to 32).map(b =>
+    s"sum(CASE WHEN strpos('13579bdf', substr(dg,$b,1)) > 0 THEN 1 ELSE -1 END) AS s$b")
+    .mkString(", ")
+  private val simhashValueSql: String = (1 to 32).map(b =>
+    s"(CASE WHEN s$b >= 0 THEN ${1L << (b - 1)} ELSE 0 END)").mkString(" + ")
+
+  /** doc_id → 32-bit simhash: one md5 digest per token, all 32 nibble
+    * parities from one `translate`, 32 partial-aggregable ±1 sums.
+    */
+  private def simhashPerDoc(d: DataFrame): DataFrame = {
+    val e = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        simhashParityBits(md5(col("tok").cast("binary"))).as("bits"))
+    val sums = (1 to 32).map(b => sum(simhashBitTermAt(col("bits"), b)).as(s"s$b"))
+    e.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        simhashFromSums((1 to 32).map(b => col(s"s$b"))).as("simhash"))
+  }
+
+  // ---- MinHash-LSH oracle chain (t6 / t9 / t13) ----
+  /** DuckDB CTE chain from `src(doc_id, w)` to `dup(da, db, jacc)` plus
+    * the connected-component CTEs (`canon(node, canonical)`) — the mirror
+    * of MinHashDedup.nearDuplicatePairs + canonicalize (3-gram shingles,
+    * 8 seeds, 4 bands, Jaccard ≥ 0.8, min-label components). Callers'
+    * WITH must be RECURSIVE.
+    */
+  private def lshDedupSqlCtes(src: String): String = s"""
+           sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                  FROM $src WHERE len(w) >= 3),
+           seeds AS (SELECT unnest(range(0, 8)) AS seed),
+           sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+                   FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+           band AS (SELECT doc_id, seed // 2 AS b,
+                           string_agg(mh, '' ORDER BY seed) AS bh
+                    FROM sig GROUP BY 1, 2),
+           cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+                    FROM band a JOIN band c USING (b, bh)
+                    WHERE a.doc_id < c.doc_id),
+           cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           inter AS (SELECT da, db, count(*) AS i FROM cand
+                     JOIN sh sx ON sx.doc_id = da
+                     JOIN sh sy ON sy.doc_id = db AND sx.s = sy.s
+                     GROUP BY 1, 2),
+           dup AS (SELECT da, db,
+                          i::DOUBLE / (ca.n + cb.n - i)::DOUBLE AS jacc
+                   FROM inter
+                   JOIN cnt ca ON ca.doc_id = da
+                   JOIN cnt cb ON cb.doc_id = db
+                   WHERE i::DOUBLE / (ca.n + cb.n - i)::DOUBLE >= 0.8),
+           edges AS (SELECT da AS a, db AS c FROM dup
+                     UNION SELECT db, da FROM dup),
+           nodes AS (SELECT DISTINCT a AS node FROM edges),
+           reach(node, lab) AS (
+             SELECT node, node FROM nodes
+             UNION
+             SELECT e.c, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+           canon AS (SELECT node, min(lab) AS canonical FROM reach
+                     GROUP BY node)"""
+
+  /** The Spark pipeline the oracle above mirrors. */
+  private def nearDupPairs(d: DataFrame): DataFrame =
+    graft.operators.MinHashDedup.nearDuplicatePairs(d, "doc_id", "text",
+      n = 3, seeds = 8, rowsPerBand = 2, threshold = 0.8)
 
   val defs: Seq[RQ] = Seq(
 
@@ -97,59 +202,31 @@ object TextQueries {
         .orderBy("doc_id")),
 
     // T4 — 32-bit SimHash (digest computed once per token; 32 nibble
-    // parities per digest)
-    RQ("t4_simhash", Some {
-      val sums = (1 to 32).map(b =>
-        s"sum(CASE WHEN strpos('13579bdf', substr(dg,$b,1)) > 0 THEN 1 ELSE -1 END) AS s$b")
-        .mkString(", ")
-      val value = (1 to 32).map(b =>
-        s"(CASE WHEN s$b >= 0 THEN ${1L << (b - 1)} ELSE 0 END)").mkString(" + ")
-      s"""
+    // parities per digest; construction shared with t8)
+    RQ("t4_simhash", Some(s"""
       WITH e AS (SELECT doc_id, md5(unnest(str_split(text,' '))) AS dg
                  FROM documents),
-           s AS (SELECT doc_id, $sums FROM e GROUP BY doc_id)
-      SELECT doc_id, CAST($value AS BIGINT) AS simhash
-      FROM s ORDER BY doc_id"""
-    })((s, dir) => {
-      val e = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"),
-          simhashParityBits(md5(col("tok").cast("binary"))).as("bits"))
-      val sums = (1 to 32).map(b => sum(simhashBitTermAt(col("bits"), b)).as(s"s$b"))
-      e.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"),
-          simhashFromSums((1 to 32).map(b => col(s"s$b"))).as("simhash"))
-        .orderBy("doc_id")
-    }),
+           s AS (SELECT doc_id, $simhashSumsSql FROM e GROUP BY doc_id)
+      SELECT doc_id, CAST($simhashValueSql AS BIGINT) AS simhash
+      FROM s ORDER BY doc_id"""))((s, dir) =>
+      simhashPerDoc(docs(s, dir)).orderBy("doc_id")),
 
     // T10 — quality-filter decision cascade (Gopher/C4-style rule chain):
     // per-document keep/drop with the FIRST failing rule as the reason —
-    // the standard pre-training corpus filter shape. All rules are exact
-    // integer/ratio comparisons, so the decision is engine-portable.
-    RQ("t10_quality_filter", Some("""
-      WITH ws AS (SELECT doc_id, length(text) AS nc,
-                         str_split(text, ' ') AS w FROM documents),
-           x AS (SELECT doc_id, len(w) AS wc,
-                        len(list_filter(w,
-                          t -> list_contains(['the','a','of','and'], t)))
-                          AS stop_hits,
-                        (nc - (len(w) - 1))::DOUBLE / len(w)::DOUBLE AS mwl
-                 FROM ws)
+    // the standard pre-training corpus filter shape. Rules shared with t13.
+    RQ("t10_quality_filter", Some(s"""
+      WITH ${qualitySqlCtes("")}
       SELECT doc_id, CAST(wc AS BIGINT) AS n_tokens,
-             CASE WHEN wc < 50 THEN 'too_short'
-                  WHEN mwl < 3 OR mwl > 10 THEN 'word_length'
-                  WHEN stop_hits < 2 THEN 'low_stopword'
+             CASE WHEN wc < $MinTokens THEN 'too_short'
+                  WHEN mwl < $MwlLo OR mwl > $MwlHi THEN 'word_length'
+                  WHEN stop_hits < $MinStopHits THEN 'low_stopword'
                   ELSE 'keep' END AS decision
       FROM x ORDER BY doc_id"""))((s, dir) => {
-      val w = split(col("text"), " ")
-      val wc = size(w)
-      val stopHits = size(filter(w, t => t.isin(enMarkers: _*)))
-      val mwl = (length(col("text")) - (wc - 1)).cast("double") /
-        wc.cast("double")
+      val (wc, stopHits, mwl) = qualityParts
       docs(s, dir).select(col("doc_id"), wc.cast("long").as("n_tokens"),
-          when(wc < 50, "too_short")
-            .when(mwl < 3 || mwl > 10, "word_length")
-            .when(stopHits < 2, "low_stopword")
+          when(wc < MinTokens, "too_short")
+            .when(mwl < MwlLo.toDouble || mwl > MwlHi.toDouble, "word_length")
+            .when(stopHits < MinStopHits, "low_stopword")
             .otherwise("keep").as("decision"))
         .orderBy("doc_id")
     }),
@@ -189,59 +266,20 @@ object TextQueries {
     }),
 
     // T13 — the COMPOSED training-data prep pipeline, end-to-end under one
-    // oracle: quality filter (t10 rules) → MinHash-LSH near-dup detection
-    // among the kept docs (t6 pipeline) → connected-component canonical
-    // keep (t9 GraphX CC vs recursive min-label CTE) → per-source
-    // accounting. This is the "switch your pipeline to this library" query:
-    // every stage is the registered operator, chained.
-    RQ("t13_dedup_pipeline", Some("""
-      WITH RECURSIVE
-           ws AS (SELECT doc_id, source, length(text) AS nc,
-                         str_split(text, ' ') AS w FROM documents),
-           x AS (SELECT doc_id, source, w, len(w) AS wc,
-                        len(list_filter(w,
-                          t -> list_contains(['the','a','of','and'], t)))
-                          AS stop_hits,
-                        (nc - (len(w) - 1))::DOUBLE / len(w)::DOUBLE AS mwl
-                 FROM ws),
+    // oracle: quality filter (t10's shared rules) → MinHash-LSH near-dup
+    // detection among the kept docs (t6's shared chain) → connected-
+    // component canonical keep (t9's shared CTEs vs GraphX CC) →
+    // per-source accounting. This is the "switch your pipeline to this
+    // library" query: every stage is the registered operator, chained.
+    RQ("t13_dedup_pipeline", Some(s"""
+      WITH RECURSIVE ${qualitySqlCtes(", source")},
            dec AS (SELECT doc_id, source, w,
-                          CASE WHEN wc >= 50 AND mwl >= 3 AND mwl <= 10
-                                    AND stop_hits >= 2
+                          CASE WHEN $keepPredSql
                                THEN 'keep' ELSE 'drop' END AS decision
                    FROM x),
            keep0 AS (SELECT doc_id, source, w FROM dec
                      WHERE decision = 'keep'),
-           sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                    range(1, len(w)-1),
-                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
-                  FROM keep0 WHERE len(w) >= 3),
-           seeds AS (SELECT unnest(range(0, 8)) AS seed),
-           sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
-                   FROM sh CROSS JOIN seeds GROUP BY 1, 2),
-           band AS (SELECT doc_id, seed // 2 AS b,
-                           string_agg(mh, '' ORDER BY seed) AS bh
-                    FROM sig GROUP BY 1, 2),
-           cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
-                    FROM band a JOIN band c USING (b, bh)
-                    WHERE a.doc_id < c.doc_id),
-           cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-           inter AS (SELECT da, db, count(*) AS i FROM cand
-                     JOIN sh sx ON sx.doc_id = da
-                     JOIN sh sy ON sy.doc_id = db AND sx.s = sy.s
-                     GROUP BY 1, 2),
-           dup AS (SELECT da, db FROM inter
-                   JOIN cnt ca ON ca.doc_id = da
-                   JOIN cnt cb ON cb.doc_id = db
-                   WHERE i::DOUBLE / (ca.n + cb.n - i)::DOUBLE >= 0.8),
-           edges AS (SELECT da AS a, db AS c FROM dup
-                     UNION SELECT db, da FROM dup),
-           nodes AS (SELECT DISTINCT a AS node FROM edges),
-           reach(node, lab) AS (
-             SELECT node, node FROM nodes
-             UNION
-             SELECT e.c, r.lab FROM reach r JOIN edges e ON e.a = r.node),
-           canon AS (SELECT node, min(lab) AS canonical FROM reach
-                     GROUP BY node),
+           ${lshDedupSqlCtes("keep0")},
            dd AS (SELECT k.source, count(*) AS n_dup_drop
                   FROM keep0 k JOIN canon c
                     ON c.node = k.doc_id AND c.canonical <> k.doc_id
@@ -257,21 +295,16 @@ object TextQueries {
                AS BIGINT) AS n_kept
       FROM base b LEFT JOIN dd d USING (source)
       ORDER BY source"""))((s, dir) => {
-      val w = split(col("text"), " ")
-      val wc = size(w)
-      val stopHits = size(filter(w, t => t.isin(enMarkers: _*)))
-      val mwl = (length(col("text")) - (wc - 1)).cast("double") /
-        wc.cast("double")
+      val (wc, stopHits, mwl) = qualityParts
       val dec = docs(s, dir).select(col("doc_id"), col("source"), col("text"),
-        when(wc >= 50 && mwl >= 3 && mwl <= 10 && stopHits >= 2, "keep")
+        when(wc >= MinTokens && mwl >= MwlLo.toDouble &&
+            mwl <= MwlHi.toDouble && stopHits >= MinStopHits, "keep")
           .otherwise("drop").as("decision"))
       val keep0 = dec.filter(col("decision") === "keep")
         .select("doc_id", "source", "text").persist()
-      val pairs = graft.operators.MinHashDedup
-        .nearDuplicatePairs(keep0, "doc_id", "text",
-          n = 3, seeds = 8, rowsPerBand = 2, threshold = 0.8)
       val dupDrop = keep0
-        .join(graft.operators.MinHashDedup.canonicalize(pairs), "doc_id")
+        .join(graft.operators.MinHashDedup.canonicalize(nearDupPairs(keep0)),
+          "doc_id")
         .filter(col("doc_id") =!= col("canonical"))
       val base = dec.groupBy("source").agg(count(lit(1)).as("n_input"),
         sum(when(col("decision") === "drop", 1L).otherwise(0L))
@@ -327,20 +360,15 @@ object TextQueries {
         .orderBy("doc_a")
     }),
 
-    // T8 — SimHash banded dedup END-TO-END: 32-bit simhash → 4 byte-bands
-    // → candidates matching on any band → hamming-distance verify
-    // (bit_count(xor) ≤ 6). Band-blocked, never all-pairs.
-    RQ("t8_simhash_dedup", Some {
-      val sums = (1 to 32).map(b =>
-        s"sum(CASE WHEN strpos('13579bdf', substr(dg,$b,1)) > 0 THEN 1 ELSE -1 END) AS s$b")
-        .mkString(", ")
-      val value = (1 to 32).map(b =>
-        s"(CASE WHEN s$b >= 0 THEN ${1L << (b - 1)} ELSE 0 END)").mkString(" + ")
-      s"""
+    // T8 — SimHash banded dedup END-TO-END: 32-bit simhash (shared with
+    // t4) → 4 byte-bands → candidates matching on any band →
+    // hamming-distance verify (bit_count(xor) ≤ 6). Band-blocked, never
+    // all-pairs.
+    RQ("t8_simhash_dedup", Some(s"""
       WITH e AS (SELECT doc_id, md5(unnest(str_split(text,' '))) AS dg
                  FROM documents),
-           s AS (SELECT doc_id, $sums FROM e GROUP BY doc_id),
-           sh AS (SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM s),
+           s AS (SELECT doc_id, $simhashSumsSql FROM e GROUP BY doc_id),
+           sh AS (SELECT doc_id, CAST($simhashValueSql AS BIGINT) AS simhash FROM s),
            bands AS (SELECT doc_id, simhash, i AS band,
                             (simhash >> (i * 8)) & 255 AS bv
                      FROM sh, unnest(range(0, 4)) AS t(i)),
@@ -352,17 +380,8 @@ object TextQueries {
       SELECT doc_a, doc_b,
              CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
       FROM cand WHERE bit_count(xor(ha, hb)) <= 6
-      ORDER BY doc_a, doc_b"""
-    })((s, dir) => {
-      val e = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"),
-          simhashParityBits(md5(col("tok").cast("binary"))).as("bits"))
-      val sums = (1 to 32).map(b => sum(simhashBitTermAt(col("bits"), b)).as(s"s$b"))
-      val sh = e.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"),
-          simhashFromSums((1 to 32).map(b => col(s"s$b"))).as("simhash"))
-        .persist()
+      ORDER BY doc_a, doc_b"""))((s, dir) => {
+      val sh = simhashPerDoc(docs(s, dir)).persist()
       val bands = sh.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("band"))
         .withColumn("bv", expr("shiftright(simhash, band * 8)").bitwiseAND(255))
@@ -383,78 +402,26 @@ object TextQueries {
     // signature → 4 banded buckets → candidate pairs within buckets only →
     // exact-Jaccard verify ≥ 0.8. The candidate join is on (band, bandhash)
     // — at 100 TB this is the only scalable shape (never all-pairs).
-    RQ("t6_minhash_dedup", Some("""
-      WITH ws AS (SELECT doc_id, str_split(text,' ') AS w FROM documents),
-           sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                    range(1, len(w)-1),
-                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
-                  FROM ws WHERE len(w) >= 3),
-           seeds AS (SELECT unnest(range(0, 8)) AS seed),
-           sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
-                   FROM sh CROSS JOIN seeds GROUP BY 1, 2),
-           band AS (SELECT doc_id, seed // 2 AS b,
-                           string_agg(mh, '' ORDER BY seed) AS bh
-                    FROM sig GROUP BY 1, 2),
-           cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
-                    FROM band a JOIN band c USING (b, bh)
-                    WHERE a.doc_id < c.doc_id),
-           cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-           inter AS (SELECT da, db, count(*) AS i FROM cand
-                     JOIN sh x ON x.doc_id = da
-                     JOIN sh y ON y.doc_id = db AND x.s = y.s
-                     GROUP BY 1, 2)
-      SELECT da AS doc_a, db AS doc_b,
-             i::DOUBLE / (ca.n + cb.n - i)::DOUBLE AS jacc
-      FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
-      WHERE i::DOUBLE / (ca.n + cb.n - i)::DOUBLE >= 0.8
-      ORDER BY doc_a, doc_b"""))((s, dir) =>
-      graft.operators.MinHashDedup
-        .nearDuplicatePairs(docs(s, dir), "doc_id", "text",
-          n = 3, seeds = 8, rowsPerBand = 2, threshold = 0.8)
-        .orderBy("doc_a", "doc_b")),
+    RQ("t6_minhash_dedup", Some(s"""
+      WITH RECURSIVE
+           ws AS (SELECT doc_id, str_split(text,' ') AS w FROM documents),
+           ${lshDedupSqlCtes("ws")}
+      SELECT da AS doc_a, db AS doc_b, jacc
+      FROM dup ORDER BY doc_a, doc_b"""))((s, dir) =>
+      nearDupPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
     // T9 — dedup clustering: the t6 pair set collapsed into connected
     // components with a canonical (minimum-id) representative per cluster
     // — "keep canonical, drop the rest" is the pipeline's final action.
-    // Oracle: the same pairs through a recursive min-label CTE.
-    RQ("t9_dedup_clusters", Some("""
+    // Oracle: the same pairs through the shared recursive min-label CTEs.
+    RQ("t9_dedup_clusters", Some(s"""
       WITH RECURSIVE
            ws AS (SELECT doc_id, str_split(text,' ') AS w FROM documents),
-           sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                    range(1, len(w)-1),
-                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
-                  FROM ws WHERE len(w) >= 3),
-           seeds AS (SELECT unnest(range(0, 8)) AS seed),
-           sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
-                   FROM sh CROSS JOIN seeds GROUP BY 1, 2),
-           band AS (SELECT doc_id, seed // 2 AS b,
-                           string_agg(mh, '' ORDER BY seed) AS bh
-                    FROM sig GROUP BY 1, 2),
-           cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
-                    FROM band a JOIN band c USING (b, bh)
-                    WHERE a.doc_id < c.doc_id),
-           cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-           inter AS (SELECT da, db, count(*) AS i FROM cand
-                     JOIN sh x ON x.doc_id = da
-                     JOIN sh y ON y.doc_id = db AND x.s = y.s
-                     GROUP BY 1, 2),
-           dup AS (SELECT da, db FROM inter
-                   JOIN cnt ca ON ca.doc_id = da
-                   JOIN cnt cb ON cb.doc_id = db
-                   WHERE i::DOUBLE / (ca.n + cb.n - i)::DOUBLE >= 0.8),
-           edges AS (SELECT da AS a, db AS c FROM dup
-                     UNION SELECT db, da FROM dup),
-           nodes AS (SELECT DISTINCT a AS node FROM edges),
-           reach(node, lab) AS (
-             SELECT node, node FROM nodes
-             UNION
-             SELECT e.c, r.lab FROM reach r JOIN edges e ON e.a = r.node)
-      SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS canonical
-      FROM reach GROUP BY node ORDER BY doc_id"""))((s, dir) => {
-      val pairs = graft.operators.MinHashDedup
-        .nearDuplicatePairs(docs(s, dir), "doc_id", "text",
-          n = 3, seeds = 8, rowsPerBand = 2, threshold = 0.8)
-      graft.operators.MinHashDedup.canonicalize(pairs).orderBy("doc_id")
-    })
+           ${lshDedupSqlCtes("ws")}
+      SELECT node AS doc_id, CAST(canonical AS BIGINT) AS canonical
+      FROM canon ORDER BY doc_id"""))((s, dir) =>
+      graft.operators.MinHashDedup
+        .canonicalize(nearDupPairs(docs(s, dir)))
+        .orderBy("doc_id"))
   )
 }

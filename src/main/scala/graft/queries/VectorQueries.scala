@@ -27,17 +27,20 @@ object VectorQueries {
 
   /** Shared oracle fragment: cosine(a, b) over DuckDB lists. */
   private def cosSql(a: String, b: String): String =
+    // nullif mirrors VectorFunctions.cosine's zero-norm guard — without it
+    // a degenerate vector is NULL on the Spark side but NaN (sorted above
+    // every double) in DuckDB, silently diverging the engines
     s"""list_sum(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE))
-       / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
-        * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"""
+       / nullif(sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
+        * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))), 0.0)"""
 
   /** DuckDB mirror of VectorFunctions.rpLshBucket (8 planes). */
   private val bucketSql: String = (0 until 8).map { p =>
     val m = s"(($p*31 + x[2]*17) % 6)"
-    s"""CASE WHEN list_sum(list_transform(
+    s"""CASE WHEN coalesce(list_sum(list_transform(
           list_zip(embedding, range(1, len(embedding)+1)),
           x -> x[1]::DOUBLE *
-               (CASE WHEN $m < 3 THEN $m - 3 ELSE $m - 2 END)::DOUBLE)) >= 0
+               (CASE WHEN $m < 3 THEN $m - 3 ELSE $m - 2 END)::DOUBLE)), 0.0) >= 0
         THEN '1' ELSE '0' END"""
   }.mkString(" || ")
 
@@ -101,6 +104,7 @@ object VectorQueries {
           .orderBy(col("cell_cos").desc, col("c_id"))))
         .filter(col("rn") === 1)
         .select(col("n_id"), col("c_id"))
+        .persist() // consumed by both the query-assignment and candidate branches
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       val qa = q.join(asg.withColumnRenamed("n_id", "q_id"), "q_id")

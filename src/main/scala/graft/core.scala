@@ -25,6 +25,9 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(s: SparkSession, dir: String, name: String): DataFrame =
+  def apply(s: SparkSession, dir: String, name: String): DataFrame = {
+    require(names.contains(name),
+      s"unknown table '$name' — expected one of: ${names.mkString(", ")}")
     s.read.parquet(s"$dir/$name.parquet")
+  }
 }

@@ -22,6 +22,32 @@ object EventQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Events as (user_id, event_id, us) microsecond longs — the shared
+    * nanos-handling recipe for every query that works in epoch-µs space
+    * (e3/e4/j1); ONE definition of the `ts div 1000` truncation.
+    */
+  private[queries] def evMicros(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+  }
+
+  /** The 30-minute-gap sessionization oracle — shared verbatim by the
+    * batch lag-window form (e3) and the streaming replay (j1), which must
+    * agree by construction.
+    */
+  private[queries] val sessionizeOracleSql: String = """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           x AS (SELECT user_id,
+                        CASE WHEN lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS flag
+                 FROM e
+                 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT user_id, CAST(sum(flag) AS BIGINT) AS n_sessions,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM x GROUP BY 1 ORDER BY user_id"""
+
   val defs: Seq[RQ] = Seq(
 
     // A6/H9 — JSON field extraction from a string column
@@ -65,21 +91,10 @@ object EventQueries {
     // reproduce the batch lag-window answer (same oracle as e3). The
     // driver-side collect exists only to FEED the test stream — a
     // production pipeline points readStream at a file/Kafka source.
-    RQ("j1_stream_sessionize", Some("""
-      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-           x AS (SELECT user_id,
-                        CASE WHEN lag(us) OVER w IS NULL
-                               OR us - lag(us) OVER w > 1800000000
-                             THEN 1 ELSE 0 END AS flag
-                 FROM e
-                 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
-      SELECT user_id, CAST(sum(flag) AS BIGINT) AS n_sessions,
-             CAST(count(*) AS BIGINT) AS n_events
-      FROM x GROUP BY 1 ORDER BY user_id"""))((s, dir) => {
+    RQ("j1_stream_sessionize", Some(sessionizeOracleSql))((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val data = ev(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val data = evMicros(s, dir).select("user_id", "us")
         .orderBy("us").as[(Long, Long)].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long)]

@@ -7,8 +7,12 @@ import graft.multimodal.Multimodal
 
 /** Multimodal-column operators under the oracle gate. Payloads are real
   * `binary` columns built from document text (this container ships no
-  * codecs — see Multimodal.decodeStub); the oracle computes the same
-  * features over the identical UTF-8 bytes as VARCHAR.
+  * codecs — see Multimodal.decodeStub). n_bytes is byte-true on both
+  * engines (octet_length over encode()); the digest/thumb/frame slicing
+  * oracles use VARCHAR substr, which equals byte slicing ONLY on a
+  * single-byte corpus — this DuckDB build has no BLOB substring/md5, and
+  * the fixture corpus is all-ASCII (n_bytes == length(text) is itself
+  * verified by m1), so the assumption is checked, not silent.
   */
 object MultimodalQueries {
 
@@ -17,7 +21,7 @@ object MultimodalQueries {
     // M1 — decode + feature-extract over binary payloads with typed meta
     RQ("m1_media_features", Some("""
       SELECT doc_id AS media_id, 'image/png' AS mime,
-             CAST(length(text) AS BIGINT) AS n_bytes,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              substr(md5(text), 1, 16) AS digest64,
              lower(hex(substr(text, 1, 8))) AS thumb
       FROM documents ORDER BY media_id"""))((s, dir) => {
@@ -45,7 +49,6 @@ object MultimodalQueries {
              CAST(count(DISTINCT frame) AS BIGINT) AS n_unique_frames
       FROM f"""))((s, dir) => {
       val media = Tables(s, dir, "documents")
-        .filter(length(col("text")) >= 32)
         .select(Multimodal.asMedia(col("doc_id"), col("text"), "video/mp4"): _*)
       Multimodal.sampleFrames(media, "payload", frameBytes = 32, stride = 64)
         .select(lower(col("frame")).as("frame"))

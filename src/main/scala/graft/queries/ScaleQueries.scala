@@ -29,7 +29,11 @@ object ScaleQueries {
       FROM orders WHERE o_orderstatus = 'F'
       GROUP BY 1 ORDER BY o_orderpriority"""))((s, dir) => {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/tmp/graft_fixtures/$safe/s4_part"
+      // key the fixture by the source file's (size, mtime): a cached copy
+      // written from DIFFERENT data (or an older layout) is never reused
+      val src = new java.io.File(s"$dir/orders.parquet")
+      val fp = s"${src.length}_${src.lastModified}"
+      val path = s"/tmp/graft_fixtures/$safe/s4_part_$fp"
       if (!new java.io.File(s"$path/_SUCCESS").exists())
         Tables(s, dir, "orders").write.mode("overwrite")
           .partitionBy("o_orderstatus").parquet(path)
@@ -44,7 +48,7 @@ object ScaleQueries {
     // the plan spreads each hot key over 8 salt buckets
     RQ("s1_salted_join", Some("""
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
       GROUP BY 1 ORDER BY o_orderstatus"""))((s, dir) => {
       val probe = Tables(s, dir, "lineitem")
@@ -56,27 +60,15 @@ object ScaleQueries {
           saltSource = col("l_linenumber"), n = 8)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("long")).as("sum_qty"))
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
         .orderBy("o_orderstatus")
     }),
 
     // Sessionization: 30-minute-gap sessions per user via lag windows —
     // the batch shape of flatMapGroupsWithState sessionization
-    RQ("e3_sessionize", Some("""
-      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-           x AS (SELECT user_id,
-                        CASE WHEN lag(us) OVER w IS NULL
-                               OR us - lag(us) OVER w > 1800000000
-                             THEN 1 ELSE 0 END AS flag
-                 FROM e
-                 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
-      SELECT user_id, CAST(sum(flag) AS BIGINT) AS n_sessions,
-             CAST(count(*) AS BIGINT) AS n_events
-      FROM x GROUP BY 1 ORDER BY user_id"""))((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    RQ("e3_sessionize", Some(EventQueries.sessionizeOracleSql))((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      Tables(s, dir, "events")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      EventQueries.evMicros(s, dir)
         .withColumn("flag",
           when(lag(col("us"), 1).over(w).isNull ||
             col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
@@ -92,23 +84,22 @@ object ScaleQueries {
     // session — session_window's end-exclusive boundary).
     RQ("e4_session_window", Some("""
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-           f AS (SELECT user_id, us,
+           f AS (SELECT user_id, us, event_id,
                         CASE WHEN lag(us) OVER w IS NULL
                                OR us - lag(us) OVER w >= 1800000000
                              THEN 1 ELSE 0 END AS new_s
                  FROM e
                  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
            g AS (SELECT user_id, us,
-                        sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                        sum(new_s) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
                  FROM f)
       SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
              CAST(count(*) AS BIGINT) AS n_events
       FROM g GROUP BY user_id, sid ORDER BY user_id, start_us"""))((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Tables(s, dir, "events")
-        .select(col("user_id"),
-          timestamp_micros(expr("ts div 1000")).as("ts"))
+      EventQueries.evMicros(s, dir)
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),

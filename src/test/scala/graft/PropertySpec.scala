@@ -130,11 +130,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  describe("rangeCompress edge inputs") {
+    it("drops non-numeric values instead of throwing under ANSI mode") {
+      val df = Seq(("g", "1"), ("g", "2"), ("g", "n1"), ("g", "4"))
+        .toDF("g", "v")
+      val got = WindowOps.rangeCompress(df, "g", "v", "r")
+        .select("r").as[String].head()
+      assert(got === "1-2,4")
+    }
+  }
+
   describe("Invariants") {
     it("requireUniqueKey passes on unique, fails on duplicated keys") {
       Invariants.requireUniqueKey(Seq(1, 2, 3).toDF("k"), Seq("k"), "uniq")
       assertThrows[IllegalArgumentException] {
         Invariants.requireUniqueKey(Seq(1, 1).toDF("k"), Seq("k"), "dup")
+      }
+    }
+    it("requireUniqueKey tolerates a single null-keyed row (not a duplicate)") {
+      Invariants.requireUniqueKey(
+        Seq(Some(1), Some(2), None).toDF("k"), Seq("k"), "null-ok")
+      assertThrows[IllegalArgumentException] {
+        Invariants.requireUniqueKey(
+          Seq(None, None: Option[Int]).toDF("k"), Seq("k"), "null-dup")
       }
     }
     it("requireJoinComplete detects dropped probe rows") {

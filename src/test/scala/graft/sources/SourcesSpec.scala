@@ -42,6 +42,30 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  describe("mmCIF multi-file scan") {
+    it("re-keys each file by its own declared field order") {
+      val dir = Files.createTempDirectory("mmcif_multi").toString
+      // same category, fields declared in DIFFERENT order per file
+      Files.writeString(java.nio.file.Paths.get(dir, "a.cif"),
+        "data_a\nloop_\n_t.key\n_t.name\n1 one\n2 two\n#\n")
+      Files.writeString(java.nio.file.Paths.get(dir, "b.cif"),
+        "data_b\nloop_\n_t.name\n_t.key\nthree 3\n#\n")
+      val out = Readers.mmcifCategory(spark, dir, "t")
+        .select("key", "name").as[(String, String)].collect().toSet
+      assert(out === Set(("1", "one"), ("2", "two"), ("3", "three")))
+    }
+  }
+
+  describe("skew-chunked split (A11)") {
+    it("routes NULL-weight rows to the light side — no row is lost") {
+      val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(1.0)))
+        .toDF("id", "w")
+      val (heavy, light) = Sinks.skewSplitAt(df, "w", 5.0, 100)
+      assert(heavy.select("id").as[Long].collect().toSet === Set(1L))
+      assert(light.select("id").as[Long].collect().toSet === Set(2L, 3L))
+    }
+  }
+
   describe("skew-chunked split (A11)") {
     it("isolates heavy rows one-per-partition, packs light rows by chunk") {
       val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "w")

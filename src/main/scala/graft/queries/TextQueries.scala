@@ -231,6 +231,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T14 — intra-document repetition (the Gopher duplicate-n-gram rule):
+    // fraction of repeated words and repeated bigrams per document, with
+    // the standard "repetitious" flag. Exact integer ratios.
+    RQ("t14_repetition", Some("""
+      WITH ws AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents
+                  WHERE len(str_split(text, ' ')) >= 2),
+           b AS (SELECT doc_id, w,
+                        list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1]) AS bg
+                 FROM ws)
+      SELECT doc_id,
+             (len(w) - len(list_distinct(w)))::DOUBLE / len(w)::DOUBLE
+               AS dup_word_ratio,
+             (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg)::DOUBLE
+               AS dup_bigram_ratio,
+             CASE WHEN (len(w) - len(list_distinct(w)))::DOUBLE
+                       / len(w)::DOUBLE > 0.3
+                    OR (len(bg) - len(list_distinct(bg)))::DOUBLE
+                       / len(bg)::DOUBLE > 0.2
+                  THEN 'repetitious' ELSE 'ok' END AS verdict
+      FROM b ORDER BY doc_id"""))((s, dir) => {
+      val w = split(col("text"), " ")
+      // raw bigrams WITH multiplicity (TextFunctions.shingles dedups —
+      // repetition is exactly what dedup would erase)
+      val bg = transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+      val dupW = (size(w) - size(array_distinct(w))).cast("double") /
+        size(w).cast("double")
+      val dupB = (size(bg) - size(array_distinct(bg))).cast("double") /
+        size(bg).cast("double")
+      docs(s, dir).filter(size(w) >= 2)
+        .select(col("doc_id"), dupW.as("dup_word_ratio"),
+          dupB.as("dup_bigram_ratio"),
+          when(dupW > 0.3 || dupB > 0.2, "repetitious")
+            .otherwise("ok").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // T12 — corpus budgeting stats: the per-(source, lang) doc/token
     // totals and exact token-count order statistics (p50/p95) a training-
     // data pipeline reports before sampling. Medians are the ceil(n/2)-th

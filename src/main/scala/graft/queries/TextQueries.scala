@@ -252,17 +252,26 @@ object TextQueries {
                        / len(bg)::DOUBLE > 0.2
                   THEN 'repetitious' ELSE 'ok' END AS verdict
       FROM b ORDER BY doc_id"""))((s, dir) => {
-      val w = split(col("text"), " ")
-      // raw bigrams WITH multiplicity (TextFunctions.shingles dedups —
-      // repetition is exactly what dedup would erase)
-      val bg = transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
-      val dupW = (size(w) - size(array_distinct(w))).cast("double") /
-        size(w).cast("double")
-      val dupB = (size(bg) - size(array_distinct(bg))).cast("double") /
-        size(bg).cast("double")
-      docs(s, dir).filter(size(w) >= 2)
-        .select(col("doc_id"), dupW.as("dup_word_ratio"),
+      // staged projections: each array (words, raw bigrams — NOT
+      // TextFunctions.shingles, which dedups exactly what repetition
+      // measures) reduces to its counts once; CollapseProject keeps the
+      // stages apart because the aliases are non-cheap and multiply
+      // referenced, so no array is built twice
+      val counts = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("w"),
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1))).as("bg"))
+        .select(col("doc_id"),
+          size(col("w")).as("nw"), size(array_distinct(col("w"))).as("ndw"),
+          size(col("bg")).as("nb"), size(array_distinct(col("bg"))).as("nbd"))
+      val dupW = (col("nw") - col("ndw")).cast("double") /
+        col("nw").cast("double")
+      val dupB = (col("nb") - col("nbd")).cast("double") /
+        col("nb").cast("double")
+      counts.select(col("doc_id"), dupW.as("dup_word_ratio"),
           dupB.as("dup_bigram_ratio"),
           when(dupW > 0.3 || dupB > 0.2, "repetitious")
             .otherwise("ok").as("verdict"))

@@ -10,9 +10,10 @@ import graft.multimodal.Multimodal
   * codecs — see Multimodal.decodeStub). n_bytes is byte-true on both
   * engines (octet_length over encode()); the digest/thumb/frame slicing
   * oracles use VARCHAR substr, which equals byte slicing ONLY on a
-  * single-byte corpus — this DuckDB build has no BLOB substring/md5, and
-  * the fixture corpus is all-ASCII (n_bytes == length(text) is itself
-  * verified by m1), so the assumption is checked, not silent.
+  * single-byte corpus — this DuckDB build has no BLOB substring/md5.
+  * The fixture corpus is all-ASCII today; if regeneration ever introduces
+  * multi-byte text, the char-vs-byte substr in the thumb/frame oracles
+  * diverges from Spark's byte slicing and the hash compare fails loudly.
   */
 object MultimodalQueries {
 

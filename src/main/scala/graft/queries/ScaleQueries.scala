@@ -34,6 +34,20 @@ object ScaleQueries {
       val src = new java.io.File(s"$dir/orders.parquet")
       val fp = s"${src.length}_${src.lastModified}"
       val path = s"/tmp/graft_fixtures/$safe/s4_part_$fp"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        // drop fixtures keyed to older source fingerprints (or the old
+        // unfingerprinted layout) so /tmp doesn't accumulate copies
+        Option(new java.io.File(s"/tmp/graft_fixtures/$safe").listFiles)
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("s4_part") && f.getPath != path)
+          .foreach { stale =>
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+              f.delete()
+            }
+            rm(stale)
+          }
+      }
       if (!new java.io.File(s"$path/_SUCCESS").exists())
         Tables(s, dir, "orders").write.mode("overwrite")
           .partitionBy("o_orderstatus").parquet(path)

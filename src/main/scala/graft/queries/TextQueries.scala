@@ -27,6 +27,11 @@ object TextQueries {
 
   /** Stopword-ish marker list shared by the quality and lang-id queries. */
   private val enMarkers = Seq("the", "a", "of", "and")
+  /** The SAME list as a DuckDB array literal — every oracle that names the
+    * stopword markers interpolates this, so editing enMarkers cannot
+    * silently diverge the SQL side.
+    */
+  private val enMarkersSql = enMarkers.mkString("['", "','", "']")
   private val esMarkers = Seq("el", "la", "de")
   private val deMarkers = Seq("der", "die", "das")
 
@@ -54,7 +59,7 @@ object TextQueries {
                          str_split(text, ' ') AS w FROM documents),
            x AS (SELECT doc_id$extra, w, len(w) AS wc,
                         len(list_filter(w,
-                          t -> list_contains(['the','a','of','and'], t)))
+                          t -> list_contains($enMarkersSql, t)))
                           AS stop_hits,
                         (nc - (len(w) - 1))::DOUBLE / len(w)::DOUBLE AS mwl
                  FROM ws)"""
@@ -133,15 +138,15 @@ object TextQueries {
   val defs: Seq[RQ] = Seq(
 
     // T1 — token counting + quality scoring (length / stopword ratios)
-    RQ("t1_token_quality", Some("""
+    RQ("t1_token_quality", Some(s"""
       WITH ws AS (SELECT doc_id, length(text) AS n_chars2,
                          str_split(text, ' ') AS w FROM documents)
       SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
              CAST(n_chars2 AS BIGINT) AS n_chars2,
              CAST(len(list_intersect(list_distinct(w),
-                  ['the','a','of','and'])) AS BIGINT) AS stop_kinds,
+                  $enMarkersSql)) AS BIGINT) AS stop_kinds,
              CAST(len(list_intersect(list_distinct(w),
-                  ['the','a','of','and'])) AS BIGINT)::DOUBLE
+                  $enMarkersSql)) AS BIGINT)::DOUBLE
                / CAST(len(w) AS BIGINT)::DOUBLE AS stop_ratio
       FROM ws ORDER BY doc_id"""))((s, dir) => {
       val w = split(col("text"), " ")
@@ -169,9 +174,9 @@ object TextQueries {
         .orderBy("doc_id")),
 
     // T2 — language ID: marker-hit argmax with fixed tie preference
-    RQ("t2_lang_id", Some("""
+    RQ("t2_lang_id", Some(s"""
       WITH h AS (SELECT doc_id,
-        len(list_intersect(list_distinct(str_split(text,' ')), ['the','a','of','and'])) AS h_en,
+        len(list_intersect(list_distinct(str_split(text,' ')), $enMarkersSql)) AS h_en,
         len(list_intersect(list_distinct(str_split(text,' ')), ['el','la','de'])) AS h_es,
         len(list_intersect(list_distinct(str_split(text,' ')), ['der','die','das'])) AS h_de
         FROM documents)

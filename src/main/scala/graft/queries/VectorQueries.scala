@@ -104,7 +104,9 @@ object VectorQueries {
           .orderBy(col("cell_cos").desc, col("c_id"))))
         .filter(col("rn") === 1)
         .select(col("n_id"), col("c_id"))
-        .persist() // consumed by both the query-assignment and candidate branches
+        // consumed by both the query-assignment and candidate branches;
+        // cache lifecycle note: see operators/Ann (LRU-evictable blocks)
+        .persist()
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       val qa = q.join(asg.withColumnRenamed("n_id", "q_id"), "q_id")

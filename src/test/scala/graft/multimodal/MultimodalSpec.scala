@@ -15,7 +15,7 @@ class MultimodalSpec extends SparkSpec {
       assert(Multimodal.sampleFrames(df, "p", 32, 64).count() === 0L)
     }
 
-    it("emits ceil((len - frame) / stride) + 1 frames for long payloads") {
+    it("emits floor((len - frame) / stride) + 1 frames for long payloads") {
       val df = Seq(("x" * 200)).toDF("p")
         .select(col("p").cast("binary").as("p"))
       // (200 - 32) / 64 = 2 (floor) → indices 0..2 → 3 frames

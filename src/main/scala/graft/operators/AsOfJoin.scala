@@ -45,9 +45,11 @@ object AsOfJoin {
       probeCols.map(col) ++ Seq(lit(1).as("__side"),
         lit(null).cast(structType).as("__b")): _*)
     // null-key build rows can never match under equi-join semantics
-    // (NULL = NULL is not true) — drop them so a null-key probe row
-    // falls through to a null payload like the SQL ASOF join
-    val bSide = build.filter(col(key).isNotNull).select(
+    // (NULL = NULL is not true), and null-TS build rows never satisfy
+    // `probe.ts >= build.ts` in SQL ASOF — but under Spark's nulls-first
+    // ascending sort a null-ts row would order before every probe row in
+    // its partition and attach its payload. Drop both.
+    val bSide = build.filter(col(key).isNotNull && col(ts).isNotNull).select(
       probeCols.map {
         case c if c == key || c == ts => col(c)
         case c => lit(null).cast(probe.schema(c).dataType).as(c)

@@ -34,23 +34,31 @@ object ScaleQueries {
       val src = new java.io.File(s"$dir/orders.parquet")
       val fp = s"${src.length}_${src.lastModified}"
       val path = s"/tmp/graft_fixtures/$safe/s4_part_$fp"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        // build in a process-unique dot-prefixed temp dir and RENAME into
+        // place: concurrent JVMs on the same sfDir (Bench + Verify) each
+        // write their own temp; exactly one rename wins and the final path
+        // is never written in place, so a reader can't see a half-built or
+        // mid-delete fixture. The dot prefix keeps losers' temps out of
+        // the stale sweep below (it matches only final-layout names).
+        val tmp = new java.io.File(
+          s"/tmp/graft_fixtures/$safe/.s4_tmp_${ProcessHandle.current.pid}_$fp")
+        Tables(s, dir, "orders").write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(tmp.getPath)
+        if (!tmp.renameTo(new java.io.File(path))) rm(tmp) // lost the race
         // drop fixtures keyed to older source fingerprints (or the old
-        // unfingerprinted layout) so /tmp doesn't accumulate copies
+        // unfingerprinted layout) so /tmp doesn't accumulate copies; safe
+        // post-rename because concurrent processes of the same sfDir see
+        // the same fingerprint and never scan an older one
         Option(new java.io.File(s"/tmp/graft_fixtures/$safe").listFiles)
           .getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("s4_part") && f.getPath != path)
-          .foreach { stale =>
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-              f.delete()
-            }
-            rm(stale)
-          }
+          .foreach(rm)
       }
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
-        Tables(s, dir, "orders").write.mode("overwrite")
-          .partitionBy("o_orderstatus").parquet(path)
       s.read.parquet(path).filter(col("o_orderstatus") === "F")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),

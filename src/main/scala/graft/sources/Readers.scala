@@ -80,7 +80,15 @@ object Readers {
       val cols = parseMmcifHeader(text, category)
       parseMmcifLoop(text, category).map(row => cols.zip(row).toMap)
     }.persist()
-    val cols = keyed.flatMap(_.keys).distinct().collect().sorted.toSeq
+    // the cache only has to live for the schema-discovery job; unpersist
+    // before returning so repeated calls in a long-lived session don't
+    // accumulate CacheManager entries. The returned plan re-parses once on
+    // its first action — the same two-pass cost as schema inference, and
+    // the right trade at scale (the parsed maps of a large corpus may not
+    // fit memory anyway).
+    val cols =
+      try keyed.flatMap(_.keys).distinct().collect().sorted.toSeq
+      finally keyed.unpersist(blocking = false)
     if (cols.isEmpty) s.emptyDataFrame
     else keyed.toDF("kv")
       .select(cols.map(c => col("kv").getItem(c).as(c)): _*)

@@ -67,6 +67,19 @@ class AsOfJoinSpec extends SparkSpec {
       assert(out(1).getAs[Long]("pay") == 2L)
     }
 
+    it("null-ts build rows never match (SQL ASOF: probe.ts >= NULL is unknown)") {
+      val s = spark
+      import s.implicits._
+      val probe = Seq((1L, "k", 20L)).toDF("id", "key", "ts")
+      // under a nulls-first sort an unfiltered null-ts row would order
+      // before the probe row and attach pay=7
+      val build = Seq(("k", Option.empty[Long], 7L), ("k", Option(30L), 8L))
+        .toDF("key", "ts", "pay")
+      val out = AsOfJoin.asOfLeft(probe, build, "key", "ts", Seq("pay"))
+        .collect()(0)
+      assert(out.isNullAt(out.fieldIndex("pay")))
+    }
+
     it("plans one shuffle on the key — no nested-loop range join") {
       val s = spark
       import s.implicits._

@@ -48,6 +48,16 @@ object EventQueries {
              CAST(count(*) AS BIGINT) AS n_events
       FROM x GROUP BY 1 ORDER BY user_id"""
 
+  /** The hourly-rollup oracle — shared verbatim by the batch form (e2)
+    * and the watermarked streaming replay (j2), which must agree by
+    * construction (same single-definition policy as sessionizeOracleSql).
+    */
+  private[queries] val hourlyOracleSql: String = """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS val_milli
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+
   val defs: Seq[RQ] = Seq(
 
     // A6/H9 — JSON field extraction from a string column
@@ -117,16 +127,81 @@ object EventQueries {
 
     // Time-bucketed aggregation (hourly tumbling window — identical plan
     // to a Structured Streaming groupBy(window($"ts","1 hour")) sink)
-    RQ("e2_hourly_agg", Some("""
-      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-             event_type, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS val_milli
-      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))((s, dir) =>
+    RQ("e2_hourly_agg", Some(hourlyOracleSql))((s, dir) =>
       ev(s, dir)
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
             .as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 1000).cast("long")).as("val_milli"))
-        .orderBy("hour", "event_type"))
+        .orderBy("hour", "event_type")),
+
+    // J — WATERMARKED tumbling-window aggregation under the oracle gate:
+    // the events table replayed time-ordered through a MemoryStream into
+    // StreamingOps.hourlyCounts (groupBy(window(ts, 1h)) with a 2-hour
+    // watermark). Complete-mode sink so the final table is the whole
+    // answer; the watermark's late-drop behavior itself is exercised in
+    // StreamingSpec — here the gate proves the windowed streaming plan
+    // reproduces the batch rollup exactly (same oracle as e2).
+    RQ("j2_stream_hourly", Some(hourlyOracleSql))((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val data = ev(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+        .orderBy("ts", "event_type")
+        .as[(java.sql.Timestamp, String, Double)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val q = graft.streaming.StreamingOps
+        .hourlyCounts(mem.toDF().toDF("ts", "event_type", "value"))
+        .writeStream.format("memory").queryName("j2_hourly")
+        .outputMode("complete").start()
+      try {
+        data.grouped(data.length / 3 + 1).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table("j2_hourly").orderBy("hour", "event_type")
+    }),
+
+    // J — stream-static join: a stream of events joined per-batch to a
+    // broadcast static dimension (customer → nation), aggregated across
+    // batches. The static side is resolved once per micro-batch against
+    // the same snapshot — the Structured Streaming enrichment idiom (the
+    // reference's closest shape: per-batch annotation joins against the
+    // reference databases). Oracle = the batch join.
+    RQ("j3_stream_static_join", Some("""
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS val_milli
+      FROM events JOIN customer ON user_id = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY n_name"""))((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val dim = broadcast(
+        Tables(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+          .join(Tables(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("user_id"), col("n_name")))
+      val data = ev(s, dir).select(col("user_id"), col("value"))
+        .as[(Long, Double)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double)]
+      val q = mem.toDF().toDF("user_id", "value")
+        .join(dim, Seq("user_id"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1000).cast("long")).as("val_milli"))
+        .writeStream.format("memory").queryName("j3_nations")
+        .outputMode("complete").start()
+      try {
+        data.grouped(data.length / 3 + 1).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table("j3_nations").orderBy("n_name")
+    })
   )
 }

@@ -66,6 +66,55 @@ object ScaleQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Bucketed co-located join: both fact sides pre-bucketed on the join
+    // key into external tables — the join runs bucket-to-bucket with NO
+    // shuffle exchange (BucketingSpec asserts the plan; the one exchange
+    // left in this query is the small post-join rollup). At 100 TB this
+    // is the strategy for repeatedly-joined fact tables: pay the bucketed
+    // write once, join shuffle-free forever after. Fixture tables are
+    // keyed by (pid, source fingerprint): process-unique so concurrent
+    // JVMs never race on a path, fingerprinted so a stale copy of older
+    // testdata is never reused; dead processes' fixtures are swept.
+    RQ("s5_bucketed_join", Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority"""))((s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val pid = ProcessHandle.current.pid
+      val fixRoot = new java.io.File(s"/tmp/graft_fixtures/$safe")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      Option(fixRoot.listFiles).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("s5_[a-z]+_\\d+_.*") &&
+          !java.lang.ProcessHandle.of(
+            f.getName.split("_")(2).toLong).isPresent)
+        .foreach(rm)
+      def bucketed(t: String, key: String, keep: Seq[String]): String = {
+        val src = new java.io.File(s"$dir/$t.parquet")
+        val tbl = s"s5_${t}_${pid}_${src.length}_${src.lastModified}"
+        if (!s.catalog.tableExists(tbl))
+          Tables(s, dir, t).select(keep.map(col): _*)
+            .write.mode("overwrite").bucketBy(8, key).sortBy(key)
+            .option("path", s"$fixRoot/$tbl").saveAsTable(tbl)
+        tbl
+      }
+      val o = bucketed("orders", "o_orderkey",
+        Seq("o_orderkey", "o_orderpriority"))
+      val l = bucketed("lineitem", "l_orderkey",
+        Seq("l_orderkey", "l_quantity"))
+      // merge hint: tiny SFs would otherwise broadcast, which bypasses
+      // the bucket-to-bucket path this query exists to demonstrate
+      s.table(l).hint("merge")
+        .join(s.table(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity")).cast("long")).as("qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Salted equi-join: result is EXACTLY the plain join (the oracle), but
     // the plan spreads each hot key over 8 salt buckets
     RQ("s1_salted_join", Some("""

@@ -474,6 +474,78 @@ object TextQueries {
       FROM canon ORDER BY doc_id"""))((s, dir) =>
       graft.operators.MinHashDedup
         .canonicalize(nearDupPairs(docs(s, dir)))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // T15 — corpus TF-IDF keyword extraction: per-doc term frequency ×
+    // corpus-level inverse document frequency, top-3 terms per document.
+    // The idf is the exact rational N/df (no float log — the score stays
+    // a single division of exact integers, bit-deterministic, and is
+    // order-equivalent to the log form for ranking). Scale shape: the
+    // vocabulary aggregate (df) is tiny next to the corpus and broadcast
+    // back — the per-doc side never reshuffles on the term.
+    RQ("t15_tfidf_keywords", Some("""
+      WITH ws AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+                  FROM documents),
+           tf AS (SELECT doc_id, tok, count(*) AS tf FROM ws GROUP BY 1, 2),
+           df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ws GROUP BY 1),
+           nn AS (SELECT count(*) AS n FROM documents),
+           sc AS (SELECT doc_id, tok, tf, df,
+                         CAST(tf * n AS BIGINT)::DOUBLE / df::DOUBLE AS score
+                  FROM tf JOIN df USING (tok) CROSS JOIN nn),
+           rk AS (SELECT *, row_number() OVER
+                    (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+                  FROM sc)
+      SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, CAST(tf AS BIGINT) AS tf,
+             CAST(df AS BIGINT) AS df, score
+      FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk"""))((s, dir) => {
+      val ws = docs(s, dir).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val tf = ws.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfT = ws.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(broadcast(dfT), Seq("tok")).crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n")).cast("double") / col("df").cast("double"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // T16 — vocabulary Zipf profile: corpus term counts ranked with the
+    // cumulative token share per rank — the vocab-coverage curve a
+    // tokenizer-budget decision reads ("the top K types cover X% of
+    // tokens"). The global window runs over the AGGREGATED vocabulary
+    // (bounded by type count, thousands — not corpus rows), so the
+    // single-partition frame is safe at any corpus size.
+    RQ("t16_vocab_zipf", Some("""
+      WITH ws AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+           c AS (SELECT tok, count(*) AS cnt FROM ws GROUP BY 1),
+           t AS (SELECT count(*) AS total FROM ws),
+           r AS (SELECT tok, cnt,
+                        row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+                        sum(cnt) OVER (ORDER BY cnt DESC, tok
+                          ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM c)
+      SELECT CAST(rank AS BIGINT) AS rank, tok, CAST(cnt AS BIGINT) AS cnt,
+             CAST(cum AS BIGINT)::DOUBLE / total::DOUBLE AS cum_share
+      FROM r CROSS JOIN t ORDER BY rank"""))((s, dir) => {
+      val ws = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val cnts = ws.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = ws.agg(count(lit(1)).as("total"))
+      val ord = Window.orderBy(col("cnt").desc, col("tok"))
+      cnts.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum("cnt")
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cum_share",
+          col("cum").cast("double") / col("total").cast("double"))
+        .select("rank", "tok", "cnt", "cum_share")
+        .orderBy("rank")
+    })
   )
 }

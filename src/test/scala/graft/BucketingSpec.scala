@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpec {
 
+  describe("s5_bucketed_join plan") {
+    it("joins bucket-to-bucket: the only exchange is the post-join rollup") {
+      val plan = SparkEntry.all.find(_.name == "s5_bucketed_join").get
+        .build(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(plan.contains("Bucketed: true"))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 1,
+        s"expected only the rollup exchange, got $exchanges:\n$plan")
+    }
+  }
+
   describe("bucketBy co-located join") {
     it("joins two bucketed tables without a shuffle exchange") {
       import spark.implicits._

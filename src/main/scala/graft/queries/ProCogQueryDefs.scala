@@ -163,6 +163,38 @@ object ProCogQueryDefs {
       ORDER BY length(hetCode), hetCode LIMIT 5"""))((s, dir) =>
       ProCogQueries.autocomplete(GraphTables.cached(s, dir), "1", 5)),
 
+    // Cognate Ligands Summary (neodash_queries.yaml:23-36): bound entities
+    // with 1+ cognate at the cutoff, and the unambiguous (exactly-1) count
+    RQ("p12_cognate_ambiguity", Some(s"""$G,
+      bc AS (SELECT b.uid, count(DISTINCT s.cog) AS n_cog
+             FROM be b JOIN sim s ON s.pk = b.pk
+             WHERE s.score >= 0.9 GROUP BY 1)
+      SELECT * FROM (
+        SELECT '1+ cognate' AS title, CAST(count(*) AS BIGINT) AS n FROM bc
+        UNION ALL
+        SELECT 'unambiguous' AS title, CAST(count(*) AS BIGINT) AS n
+        FROM bc WHERE n_cog = 1)
+      ORDER BY title"""))((s, dir) =>
+      ProCogQueries.cognateSummary(GraphTables.cached(s, dir), 0.9)),
+
+    // Graph View neighborhood extraction (neodash_queries.yaml:54-64):
+    // typed edge list of the first entries' bounded neighborhood
+    RQ("p13_entry_graph_view", Some(s"""$G
+      SELECT * FROM (
+        SELECT 'IS_IN_PDB' AS edge_type, uid AS src, 'pdb' || ok AS dst,
+               1.0 AS weight
+        FROM be WHERE ok <= 20
+        UNION ALL
+        SELECT 'INTERACTS_WITH_LIGAND', d.acc, i.uid, i.perc
+        FROM iam i JOIN dom d ON d.sk = i.sk WHERE i.ok <= 20
+        UNION ALL
+        SELECT 'HAS_SIMILARITY', b.uid, upper(trim(p.p_name)), s.score
+        FROM be b JOIN sim s ON s.pk = b.pk
+                  JOIN part p ON p.p_partkey = s.cog
+        WHERE b.ok <= 20 AND s.score >= 0.9 AND s.best = 'Y')
+      ORDER BY edge_type, src, dst, weight"""))((s, dir) =>
+      ProCogQueries.entryGraphView(GraphTables.cached(s, dir), 20L, 0.9)),
+
     // Deterministic demo sample (produce_minimal_neo4j_files.py:107-108's
     // seed-42 2000-PDB sample, re-expressed engine-portably: md5-bucket
     // membership instead of a seeded RNG, so any engine reproduces it)

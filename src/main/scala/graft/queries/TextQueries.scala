@@ -546,6 +546,96 @@ object TextQueries {
           col("cum").cast("double") / col("total").cast("double"))
         .select("rank", "tok", "cnt", "cum_share")
         .orderBy("rank")
+    }),
+
+    // T17 — deterministic stratified sampling (corpus mixing): sources
+    // above the average size are downsampled to ~50% by an md5-prefix
+    // test on the doc id — a seeded-RNG sample any engine reproduces
+    // bit-identically (same scheme as p11_demo_sample). The per-source
+    // accounting (docs/tokens kept) is what a mixing-budget decision
+    // reads. Scale shape: rates derive from a tiny per-source aggregate
+    // broadcast back; the keep test is a per-row codegen'd expression.
+    RQ("t17_stratified_sample", Some("""
+      WITH d AS (SELECT doc_id, source, len(str_split(text, ' ')) AS n_tok
+                 FROM documents),
+           c AS (SELECT source, count(*) AS n_docs FROM d GROUP BY 1),
+           t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                        count(*) AS n_src FROM c),
+           f AS (SELECT d.*, c.n_docs,
+                        (NOT (c.n_docs * t.n_src > t.total)
+                         OR substr(md5(d.doc_id::VARCHAR), 1, 2) < '80')
+                          AS keep
+                 FROM d JOIN c USING (source) CROSS JOIN t)
+      SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tok_kept
+      FROM f GROUP BY 1 ORDER BY source"""))((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val bySrc = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = bySrc.agg(sum("n_docs").as("total"),
+        count(lit(1)).as("n_src"))
+      val rates = bySrc.crossJoin(broadcast(tot))
+        .withColumn("downsample",
+          col("n_docs") * col("n_src") > col("total"))
+        .select("source", "n_docs", "downsample")
+      d.join(broadcast(rates), "source")
+        .withColumn("keep", !col("downsample") ||
+          substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 2) < "80")
+        .groupBy("source")
+        .agg(max("n_docs").as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tok_kept"))
+        .orderBy("source")
+    }),
+
+    // T18 — benchmark decontamination: 5-gram shingle overlap between a
+    // held-out "benchmark" slice (doc_id % 25 == 0 stands in for the eval
+    // set) and the training corpus — per benchmark doc, how many corpus
+    // docs share at least one 5-gram and the largest shared count. The
+    // join is shingle-keyed (content-bucketed, like t6's verify stage) —
+    // never benchmark × corpus all-pairs.
+    RQ("t18_decontamination", Some("""
+      WITH ws AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(w) - 3),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                         w[i+3] || ' ' || w[i+4]))) AS s
+                  FROM ws WHERE len(w) >= 5),
+           b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 25 = 0),
+           c AS (SELECT doc_id AS corp_id, s FROM sh WHERE doc_id % 25 <> 0),
+           p AS (SELECT bench_id, corp_id, count(*) AS n_shared
+                 FROM b JOIN c USING (s) GROUP BY 1, 2),
+           a AS (SELECT bench_id, count(DISTINCT corp_id) AS n_overlap_docs,
+                        max(n_shared) AS max_shared
+                 FROM p GROUP BY 1)
+      SELECT d.doc_id AS bench_id,
+             CAST(coalesce(a.n_overlap_docs, 0) AS BIGINT) AS n_overlap_docs,
+             CAST(coalesce(a.max_shared, 0) AS BIGINT) AS max_shared
+      FROM documents d LEFT JOIN a ON a.bench_id = d.doc_id
+      WHERE d.doc_id % 25 = 0 ORDER BY bench_id"""))((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(shingles(col("w"), 5)).as("s"))
+      val bench = sh.filter(col("doc_id") % 25 === 0)
+        .withColumnRenamed("doc_id", "bench_id")
+      val corpus = sh.filter(col("doc_id") % 25 =!= 0)
+        .withColumnRenamed("doc_id", "corp_id")
+      val perPair = bench.join(corpus, "s")
+        .groupBy("bench_id", "corp_id").agg(count(lit(1)).as("n_shared"))
+      val agg = perPair.groupBy("bench_id")
+        .agg(countDistinct(col("corp_id")).as("n_overlap_docs"),
+          max("n_shared").as("max_shared"))
+      docs(s, dir).filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"))
+        .join(agg, Seq("bench_id"), "left")
+        .select(col("bench_id"),
+          coalesce(col("n_overlap_docs"), lit(0L)).as("n_overlap_docs"),
+          coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+        .orderBy("bench_id")
     })
   )
 }

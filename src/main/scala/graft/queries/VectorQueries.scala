@@ -139,6 +139,60 @@ object VectorQueries {
         .orderBy("vec_a", "vec_b")),
 
     // V2 — LSH-bucketed ANN: bucket equi-join → within-bucket top-1
+    // V5 — ANN recall measurement: recall@5 of the LSH bucket candidate
+    // sets against the brute-force top-5 ground truth, per query vector —
+    // the quality metric that decides whether an index's plane count /
+    // band width is acceptable before rolling it out. Truth is v1's
+    // top-5; candidates are v2's bucket mates; recall is a single exact
+    // division. At scale the truth side runs on a sampled query set
+    // (here: vec_id < 10), never the full corpus.
+    RQ("v5_ann_recall", Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 10),
+           n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+           p AS (SELECT q_id, n_id, ${cosSql("qv", "nv")} AS cos
+                 FROM q, n WHERE n_id <> q_id),
+           r AS (SELECT q_id, n_id,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, n_id) AS rnk
+                 FROM p),
+           truth AS (SELECT q_id, n_id FROM r WHERE rnk <= 5),
+           b AS (SELECT vec_id, $bucketSql AS bucket FROM embeddings),
+           cand AS (SELECT DISTINCT qb.vec_id AS q_id, nb.vec_id AS n_id
+                    FROM b qb JOIN b nb USING (bucket)
+                    WHERE qb.vec_id < 10 AND nb.vec_id <> qb.vec_id),
+           hit AS (SELECT t.q_id, count(*) AS n_true,
+                          count(c.n_id) AS n_hit
+                   FROM truth t LEFT JOIN cand c
+                     ON c.q_id = t.q_id AND c.n_id = t.n_id
+                   GROUP BY 1)
+      SELECT q_id, CAST(n_true AS BIGINT) AS n_true,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             CAST(n_hit AS BIGINT)::DOUBLE / CAST(n_true AS BIGINT)::DOUBLE
+               AS recall
+      FROM hit ORDER BY q_id"""))((s, dir) => {
+      val e = emb(s, dir)
+      val truth = graft.operators.Ann
+        .bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select("q_id", "n_id")
+      val b = e.select(col("vec_id"),
+        rpLshBucket(col("embedding"), 8).as("bucket"))
+      val cand = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("bucket"))
+        .join(b.select(col("vec_id").as("n_id"), col("bucket")),
+          Seq("bucket"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id").distinct()
+      truth.join(cand.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / col("n_true").cast("double"))
+        .select("q_id", "n_true", "n_hit", "recall")
+        .orderBy("q_id")
+    }),
+
     RQ("v2_lsh_ann", Some(s"""
       WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
                  FROM embeddings),

@@ -150,6 +150,54 @@ object ProCogQueries {
         .otherwise(0L)), lit(0L)).as("n_only_b"))
   }
 
+  /** Cognate Ligands Summary (neodash_queries.yaml:23-36): how many bound
+    * entities have at least one cognate candidate at the cutoff, and how
+    * many are unambiguous (exactly one) — the home-page two-row union.
+    */
+  def cognateSummary(g: GraphTables, cutoff: Double): DataFrame = {
+    val perBe = g.boundEntities
+      .join(sims(g, cutoff, AnyCognate).select("ligandUniqueID", "cogId"),
+        "ligandUniqueID")
+      .groupBy("uniqueID").agg(countDistinct(col("cogId")).as("n_cog"))
+    perBe.agg(count(lit(1)).as("n"))
+      .select(lit("1+ cognate").as("title"), col("n"))
+      .unionByName(perBe.filter(col("n_cog") === 1)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("unambiguous").as("title"), col("n")))
+      .orderBy("title")
+  }
+
+  /** Graph View edge extraction (neodash_queries.yaml:54-64): the bounded
+    * neighborhood of a set of entries as a typed edge list —
+    * boundEntity→entry containment, domain→boundEntity interactions
+    * (weight = contact share), boundEntity→cognate best-similarity edges
+    * (weight = parity score). Every hop is a key join; depth is fixed at
+    * plan time, so the whole view is one shuffle-bounded DAG — no
+    * traversal engine.
+    */
+  def entryGraphView(g: GraphTables, maxEntryKey: Long,
+                     cutoff: Double): DataFrame = {
+    val be = g.boundEntities.filter(col("ok") <= maxEntryKey)
+    val contain = be.select(lit("IS_IN_PDB").as("edge_type"),
+      col("uniqueID").as("src"), concat(lit("pdb"), col("ok")).as("dst"),
+      lit(1.0).as("weight"))
+    val interact = g.interacts.filter(col("ok") <= maxEntryKey)
+      .join(broadcast(g.domains.select("suppkey", "domainAccession")),
+        "suppkey")
+      .select(lit("INTERACTS_WITH_LIGAND").as("edge_type"),
+        col("domainAccession").as("src"), col("uniqueID").as("dst"),
+        col("perc").as("weight"))
+    val simEdge = be
+      .join(sims(g, cutoff, Best).select("ligandUniqueID", "cogId",
+        "parityScore"), "ligandUniqueID")
+      .join(broadcast(g.cognates.select("cogId", "cogName")), "cogId")
+      .select(lit("HAS_SIMILARITY").as("edge_type"),
+        col("uniqueID").as("src"), col("cogName").as("dst"),
+        col("parityScore").as("weight"))
+    contain.unionByName(interact).unionByName(simEdge)
+      .orderBy("edge_type", "src", "dst", "weight")
+  }
+
   /** Autocomplete select (dashboard: `ORDER BY size(value) ASC LIMIT 5`). */
   def autocomplete(g: GraphTables, substr: String, k: Int): DataFrame =
     g.boundEntities.select(col("hetCode")).distinct()

@@ -155,15 +155,23 @@ object ProCogQueries {
     * many are unambiguous (exactly one) — the home-page two-row union.
     */
   def cognateSummary(g: GraphTables, cutoff: Double): DataFrame = {
-    val perBe = g.boundEntities
-      .join(sims(g, cutoff, AnyCognate).select("ligandUniqueID", "cogId"),
-        "ligandUniqueID")
-      .groupBy("uniqueID").agg(countDistinct(col("cogId")).as("n_cog"))
-    perBe.agg(count(lit(1)).as("n"))
-      .select(lit("1+ cognate").as("title"), col("n"))
-      .unionByName(perBe.filter(col("n_cog") === 1)
-        .agg(count(lit(1)).as("n"))
-        .select(lit("unambiguous").as("title"), col("n")))
+    // a bound entity's cognate set depends only on its ligand STRUCTURE
+    // (ligandUniqueID → cogId), so aggregate the candidate table per
+    // ligand first — thousands of rows — and broadcast that to the
+    // occurrences, instead of fanning every occurrence into the
+    // candidate join (the occurrence × candidates shape measured 23 s at
+    // sf0.1; this one is ~1 s — the same ligand-keyed lesson as
+    // GraphTables.interactPairs)
+    val perLigand = sims(g, cutoff, AnyCognate)
+      .groupBy("ligandUniqueID").agg(countDistinct(col("cogId")).as("n_cog"))
+    val one = g.boundEntities.join(broadcast(perLigand), "ligandUniqueID")
+      .agg(count(lit(1)).as("a"),
+        coalesce(sum(when(col("n_cog") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("u"))
+    one.select(explode(array(
+        struct(lit("1+ cognate").as("title"), col("a").as("n")),
+        struct(lit("unambiguous").as("title"), col("u").as("n")))).as("r"))
+      .select(col("r.title").as("title"), col("r.n").as("n"))
       .orderBy("title")
   }
 

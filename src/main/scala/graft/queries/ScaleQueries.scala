@@ -15,6 +15,21 @@ import graft.plans.GraftExtensions
   */
 object ScaleQueries {
 
+  /** Recursive delete (shared by the s4/s5 fixture sweeps). */
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+    f.delete()
+  }
+
+  /** True when a fixture dir owned by `pid` is safe to sweep: the process
+    * is gone, or (guarding against OS pid reuse keeping an orphan alive
+    * forever) the dir is over a day old and not ours.
+    */
+  private def sweepable(pid: Long, f: java.io.File): Boolean =
+    !java.lang.ProcessHandle.of(pid).isPresent ||
+      (pid != ProcessHandle.current.pid &&
+        System.currentTimeMillis - f.lastModified > 86400000L)
+
   val defs: Seq[RQ] = Seq(
 
     // Partition-pruned scan: orders written hive-partitioned by status,
@@ -34,29 +49,38 @@ object ScaleQueries {
       val src = new java.io.File(s"$dir/orders.parquet")
       val fp = s"${src.length}_${src.lastModified}"
       val path = s"/tmp/graft_fixtures/$safe/s4_part_$fp"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         // build in a process-unique dot-prefixed temp dir and RENAME into
         // place: concurrent JVMs on the same sfDir (Bench + Verify) each
         // write their own temp; exactly one rename wins and the final path
         // is never written in place, so a reader can't see a half-built or
-        // mid-delete fixture. The dot prefix keeps losers' temps out of
+        // mid-delete fixture. The dot prefix keeps in-flight temps out of
         // the stale sweep below (it matches only final-layout names).
         val tmp = new java.io.File(
           s"/tmp/graft_fixtures/$safe/.s4_tmp_${ProcessHandle.current.pid}_$fp")
         Tables(s, dir, "orders").write.mode("overwrite")
           .partitionBy("o_orderstatus").parquet(tmp.getPath)
-        if (!tmp.renameTo(new java.io.File(path))) rm(tmp) // lost the race
+        val dst = new java.io.File(path)
+        if (!tmp.renameTo(dst)) {
+          // either a concurrent winner is in place (has _SUCCESS — drop
+          // our copy), or a CORRUPT final blocks the rename (a pre-rename
+          // writer crashed mid-write: no _SUCCESS) — heal by replacing it
+          if (new java.io.File(s"$path/_SUCCESS").exists()) rm(tmp)
+          else { rm(dst); if (!tmp.renameTo(dst)) rm(tmp) }
+        }
         // drop fixtures keyed to older source fingerprints (or the old
-        // unfingerprinted layout) so /tmp doesn't accumulate copies; safe
-        // post-rename because concurrent processes of the same sfDir see
-        // the same fingerprint and never scan an older one
+        // unfingerprinted layout), plus orphaned temps of crashed
+        // processes, so /tmp doesn't accumulate copies; safe post-rename
+        // because concurrent processes of the same sfDir see the same
+        // fingerprint and never scan an older one
         Option(new java.io.File(s"/tmp/graft_fixtures/$safe").listFiles)
           .getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("s4_part") && f.getPath != path)
+          .filter { f =>
+            val n = f.getName
+            (n.startsWith("s4_part") && f.getPath != path) ||
+              (n.matches("\\.s4_tmp_\\d+_.*") &&
+                sweepable(n.split("_")(2).toLong, f))
+          }
           .foreach(rm)
       }
       s.read.parquet(path).filter(col("o_orderstatus") === "F")
@@ -83,14 +107,9 @@ object ScaleQueries {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val pid = ProcessHandle.current.pid
       val fixRoot = new java.io.File(s"/tmp/graft_fixtures/$safe")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
       Option(fixRoot.listFiles).getOrElse(Array.empty)
         .filter(f => f.getName.matches("s5_[a-z]+_\\d+_.*") &&
-          !java.lang.ProcessHandle.of(
-            f.getName.split("_")(2).toLong).isPresent)
+          sweepable(f.getName.split("_")(2).toLong, f))
         .foreach(rm)
       def bucketed(t: String, key: String, keep: Seq[String]): String = {
         val src = new java.io.File(s"$dir/$t.parquet")

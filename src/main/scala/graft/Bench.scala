@@ -31,8 +31,16 @@ object Bench {
     // so their JVM/janino warm-up cost isn't charged to whichever real
     // query happens to run one first.
     spark.range(1000).selectExpr("sum(id)").queryExecution.toRdd.count()
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .limit(10).queryExecution.toRdd.count()
+    // touch every benched table once (footer + OS page cache): a query's
+    // measured time should be its plan, not whichever table it happens to
+    // fault in first — the 20 s-vs-1.4 s t6 outlier in round 5 was cold
+    // input I/O, not the MinHash plan
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .queryExecution.toRdd.count()
+    }
     locally {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._

@@ -636,6 +636,177 @@ object TextQueries {
           coalesce(col("n_overlap_docs"), lit(0L)).as("n_overlap_docs"),
           coalesce(col("max_shared"), lit(0L)).as("max_shared"))
         .orderBy("bench_id")
+    }),
+
+    // T19 — sequence packing (concat-and-chunk): per source, docs in
+    // doc_id order fill 256-token packs; a doc's pack is the running
+    // token total BEFORE it, integer-divided by the budget. The
+    // per-(source, pack) accounting (docs, tokens, fill ratio) is what a
+    // packing job emits before writing training shards. Scale shape: the
+    // running total is a per-source window (source = the shard key at
+    // scale, so partitions stay bounded — no global funnel); everything
+    // after is one partial-aggregable groupBy.
+    RQ("t19_sequence_packing", Some("""
+      WITH d AS (SELECT doc_id, source, len(str_split(text, ' ')) AS n_tok
+                 FROM documents),
+           c AS (SELECT source, n_tok,
+                        CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS cum_before
+                 FROM d)
+      SELECT source, CAST(cum_before // 256 AS BIGINT) AS pack_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tok,
+             CAST(sum(n_tok) AS BIGINT)::DOUBLE / 256.0 AS fill
+      FROM c GROUP BY 1, 2 ORDER BY source, pack_id"""))((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("pack_id", expr("cum_before div 256"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+        .withColumn("fill", col("n_tok").cast("double") / lit(256.0))
+        .orderBy("source", "pack_id")
+    }),
+
+    // T20 — PII redaction (training corpora must mask identifiers before
+    // the tokenizer sees them): account names masked down to their last
+    // 3 digits, with a format-validity flag and a digit count — every
+    // rule a per-row codegen'd regex, no UDF. RE2-safe patterns only (no
+    // lookahead/backreference) so the DuckDB oracle and Spark compile
+    // the same regex semantics.
+    RQ("t20_pii_redact", Some("""
+      SELECT c_custkey,
+             CASE WHEN regexp_matches(c_name, '^Customer#[0-9]{9}$')
+                  THEN 'Y' ELSE 'N' END AS valid,
+             'Customer#######' || regexp_extract(c_name, '([0-9]{3})$', 1)
+               AS masked,
+             CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g'))
+               AS BIGINT) AS n_digits
+      FROM customer ORDER BY c_custkey"""))((s, dir) =>
+      Tables(s, dir, "customer").select(col("c_custkey"),
+          when(col("c_name").rlike("^Customer#[0-9]{9}$"), "Y")
+            .otherwise("N").as("valid"),
+          concat(lit("Customer#######"),
+            regexp_extract(col("c_name"), "([0-9]{3})$", 1)).as("masked"),
+          length(regexp_replace(col("c_name"), "[^0-9]", "")).cast("long")
+            .as("n_digits"))
+        .orderBy("c_custkey")),
+
+    // T21 — word-rarity quality score: mean corpus-frequency of a doc's
+    // tokens — the integer-exact analogue of LM-perplexity filtering
+    // (common-word prose scores high, gibberish scores low). The
+    // frequency table is a tiny vocab aggregate broadcast back (same
+    // shape as t15's idf); per-doc sums are exact BIGINTs and the mean
+    // is one division.
+    RQ("t21_rarity_score", Some("""
+      WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+                   FROM documents),
+           freq AS (SELECT t, count(*) AS f FROM tok GROUP BY 1),
+           d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                        CAST(sum(f) AS BIGINT) AS f_sum
+                 FROM tok JOIN freq USING (t) GROUP BY 1)
+      SELECT doc_id, n_tok, f_sum,
+             f_sum::DOUBLE / n_tok::DOUBLE AS mean_freq
+      FROM d ORDER BY doc_id"""))((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("t"))
+      val freq = tok.groupBy("t").agg(count(lit(1)).as("f"))
+      tok.join(broadcast(freq), "t")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("f").as("f_sum"))
+        .withColumn("mean_freq",
+          col("f_sum").cast("double") / col("n_tok").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // T22 — sorted-neighborhood near-dup (the SNM record-linkage shape,
+    // the standard complement to band-blocking): docs globally ordered by
+    // (simhash, doc_id), each compared to its immediate neighbor, hamming
+    // ≤ 8 is a hit. The global rank comes from a range-partitioned RDD
+    // sort + zipWithIndex (per-partition offsets, one extra count job) —
+    // NEVER a single-partition global window; the adjacency itself is a
+    // self equi-join on rank. At 100 TB this costs one sort and finds
+    // cross-bucket pairs t8's bands can miss.
+    RQ("t22_adjacent_dedup", Some(s"""
+      WITH e AS (SELECT doc_id, md5(unnest(str_split(text,' '))) AS dg
+                 FROM documents),
+           s AS (SELECT doc_id, $simhashSumsSql FROM e GROUP BY doc_id),
+           sh AS (SELECT doc_id, CAST($simhashValueSql AS BIGINT) AS simhash
+                  FROM s),
+           r AS (SELECT doc_id, simhash,
+                        row_number() OVER (ORDER BY simhash, doc_id) AS rk
+                 FROM sh)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM r a JOIN r b ON b.rk = a.rk + 1
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+      ORDER BY doc_a, doc_b"""))((s, dir) => {
+      import s.implicits._
+      val ranked = simhashPerDoc(docs(s, dir))
+        .select(col("simhash"), col("doc_id")).as[(Long, Long)].rdd
+        .sortBy(identity)
+        .zipWithIndex()
+        .map { case ((h, id), rk) => (rk, h, id) }
+        .toDF("rk", "simhash", "doc_id")
+      val nxt = ranked.select((col("rk") - 1).as("rk"),
+        col("simhash").as("h_b"), col("doc_id").as("doc_b"))
+      ranked.join(nxt, "rk")
+        .withColumn("hamming",
+          bit_count(col("simhash").bitwiseXOR(col("h_b"))).cast("long"))
+        .filter(col("hamming") <= 8)
+        .select(col("doc_id").as("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // J — streaming exact-dedup under the oracle gate: documents replayed
+    // doc_id-ordered through a MemoryStream in 4 micro-batches; a running
+    // groupBy(fingerprint) keeps the earliest (doc_id, source) owner per
+    // content hash across batches; the final state must reproduce the
+    // batch min-keeper answer. This is the production shape for "dedup
+    // each new crawl shard against everything ingested so far" — state is
+    // keyed by content hash, so it shards by key at scale. The
+    // fingerprint is the first-5-token prefix hash (same-opening dedup)
+    // so the synthetic corpus actually collides.
+    RQ("j4_stream_dedup", Some("""
+      WITH f AS (SELECT doc_id, source,
+                        md5(array_to_string(str_split(text, ' ')[1:5], ' '))
+                          AS fp
+                 FROM documents),
+           k AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY 1),
+           u AS (SELECT f.source FROM k JOIN f ON f.doc_id = k.keeper)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_unique
+      FROM u GROUP BY 1 ORDER BY source"""))((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val data = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+            .cast("binary")).as("fp"))
+        .orderBy("doc_id").as[(Long, String, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val q = mem.toDF().toDF("doc_id", "source", "fp")
+        .groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("source"))).as("m"))
+        .writeStream.format("memory").queryName("j4_dedup")
+        .outputMode("update").start()
+      try {
+        data.grouped(data.length / 4 + 1).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // update-mode sink holds one row per (fp, batch); min(struct) is
+      // monotone non-increasing, so the per-fp minimum over the sink is
+      // the final state
+      s.table("j4_dedup").groupBy("fp").agg(min("m").as("m"))
+        .select(col("m").getField("source").as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n_unique"))
+        .orderBy("source")
     })
   )
 }

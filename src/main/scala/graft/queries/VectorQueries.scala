@@ -193,6 +193,36 @@ object VectorQueries {
         .orderBy("q_id")
     }),
 
+    // V6 — scalar-quantization calibration: per-dimension count/min/max/
+    // mean over the corpus — the statistics an int8 quantizer needs
+    // before encoding vectors for a compact ANN index. posexplode keeps
+    // the dimension a first-class column (one shuffle on dim, 64 groups);
+    // values are micro-quantized once per element (float→double widening
+    // is exact, one round, same on both engines) so every aggregate is an
+    // exact BIGINT and the mean is one division.
+    RQ("v6_quant_calibrate", Some("""
+      WITH x AS (SELECT i AS dim,
+                        CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)
+                          AS q
+                 FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i))
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(q) AS BIGINT) AS min_q,
+             CAST(max(q) AS BIGINT) AS max_q,
+             CAST(sum(q) AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE
+               AS mean_q
+      FROM x GROUP BY 1 ORDER BY dim"""))((s, dir) =>
+      emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          round(col("v").cast("double") * 1000000).cast("long").as("q"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), min(col("q")).as("min_q"),
+          max(col("q")).as("max_q"), sum(col("q")).as("sum_q"))
+        .select(col("dim"), col("n"), col("min_q"), col("max_q"),
+          (col("sum_q").cast("double") / col("n").cast("double"))
+            .as("mean_q"))
+        .orderBy("dim")),
+
     RQ("v2_lsh_ann", Some(s"""
       WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
                  FROM embeddings),

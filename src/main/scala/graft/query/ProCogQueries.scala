@@ -51,7 +51,13 @@ object ProCogQueries {
     val simsDf = sims(g, cutoff, mode)
     val beCounts = g.boundEntities.groupBy("ok")
       .agg(countDistinct(col("uniqueID")).as("be_count"))
-    val cogCounts = g.boundEntities.join(simsDf, "ligandUniqueID")
+    // fan candidates into distinct (entry, ligand-structure) pairs, not
+    // occurrences: countDistinct(cogId) is unchanged by duplicate pairs,
+    // and the join input shrinks from occurrences × candidates to
+    // distinct-ligands-per-entry × candidates (the same ligand-keyed
+    // lesson as cognateSummary / GraphTables.interactPairs)
+    val cogCounts = g.boundEntities.select("ok", "ligandUniqueID").distinct()
+      .join(simsDf.select("ligandUniqueID", "cogId"), "ligandUniqueID")
       .groupBy("ok").agg(countDistinct(col("cogId")).as("cog_count"))
     g.entries.filter(upper(col("pdbEntry")).contains(substr.toUpperCase))
       .join(beCounts, Seq("ok"), "left")

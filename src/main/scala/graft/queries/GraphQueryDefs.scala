@@ -33,6 +33,36 @@ object GraphQueryDefs {
       SELECT l_partkey AS p_partkey,
              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_domains
       FROM lineitem GROUP BY 1 ORDER BY p_partkey"""))((s, dir) =>
-      GraphAnalytics.ligandPromiscuity(s, dir))
+      GraphAnalytics.ligandPromiscuity(s, dir)),
+
+    // Per-vertex triangle counts on the top-3 co-binding similarity
+    // graph (see GraphAnalytics.topCoBindingTriangles for why the kNN
+    // sparsification is the semantically right graph). Oracle: the same
+    // top-3 window + canonical edges, triangles by ordered 3-way
+    // edge join, each counted once per corner vertex.
+    RQ("x3_knn_triangles", Some("""
+      WITH pairs AS (SELECT DISTINCT l_partkey pk, l_suppkey sk
+                     FROM lineitem),
+           sh AS (SELECT a.sk s1, b.sk s2, count(*) n
+                  FROM pairs a JOIN pairs b
+                    ON a.pk = b.pk AND a.sk <> b.sk
+                  GROUP BY 1, 2),
+           top3 AS (SELECT s1, s2 FROM (
+              SELECT s1, s2, row_number() OVER (PARTITION BY s1
+                ORDER BY n DESC, s2) rn FROM sh) WHERE rn <= 3),
+           e AS (SELECT DISTINCT least(s1, s2) a, greatest(s1, s2) b
+                 FROM top3),
+           t AS (SELECT e1.a x, e1.b y, e2.b z
+                 FROM e e1 JOIN e e2 ON e2.a = e1.b
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+           pv AS (SELECT x AS v FROM t UNION ALL SELECT y FROM t
+                  UNION ALL SELECT z FROM t),
+           cnt AS (SELECT v, count(*) nt FROM pv GROUP BY 1),
+           nodes AS (SELECT DISTINCT sk FROM pairs)
+      SELECT nodes.sk AS suppkey,
+             CAST(coalesce(cnt.nt, 0) AS BIGINT) AS n_triangles
+      FROM nodes LEFT JOIN cnt ON cnt.v = nodes.sk
+      ORDER BY suppkey"""))((s, dir) =>
+      GraphAnalytics.topCoBindingTriangles(s, dir))
   )
 }

@@ -65,16 +65,24 @@ object GraphAnalytics {
       .select(least(col("s1"), col("s2")).as("ea"),
         greatest(col("s1"), col("s2")).as("eb"))
       .distinct()
-    val vertices = pairs.select(col("sk")).distinct()
-      .rdd.map(r => (r.getLong(0), ()))
-    val edges = canon.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    // canonical + distinct edges, so TriangleCount's count is exact
+    triangleCountDf(s, pairs.select(col("sk").as("id")).distinct(), canon)
+      .withColumnRenamed("id", "suppkey")
+      .orderBy("suppkey")
+  }
+
+  /** Per-vertex GraphX triangle counts. `verticesDf` is one `id:long`
+    * column; `edgesDf` is canonical (`ea < eb`) distinct `long` pairs —
+    * canonical + distinct is what makes TriangleCount's answer exact.
+    */
+  private[graft] def triangleCountDf(s: SparkSession, verticesDf: DataFrame,
+                                     edgesDf: DataFrame): DataFrame = {
+    val vertices = verticesDf.rdd.map(r => (r.getLong(0), ()))
+    val edges = edgesDf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = Graph(vertices, edges)
       .partitionBy(PartitionStrategy.RandomVertexCut)
     val tc = graph.triangleCount().vertices
     s.createDataFrame(tc.map { case (id, n) => (id, n.toLong) })
-      .toDF("suppkey", "n_triangles")
-      .orderBy("suppkey")
+      .toDF("id", "n_triangles")
   }
 
   /** Degree statistics — ligand promiscuity: for each part (ligand), the

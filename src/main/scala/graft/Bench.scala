@@ -34,12 +34,15 @@ object Bench {
     // touch every benched table once (footer + OS page cache): a query's
     // measured time should be its plan, not whichever table it happens to
     // fault in first — the 20 s-vs-1.4 s t6 outlier in round 5 was cold
-    // input I/O, not the MinHash plan
+    // input I/O, not the MinHash plan. Guarded like the graph warmup
+    // below: a missing table must fail only the queries that read it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
-        "region", "events", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet")
+    Tables.names.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet")
         .queryExecution.toRdd.count()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup $t failed: ${e.getMessage}")
+      }
     }
     locally {
       import org.apache.spark.sql.expressions.Window

@@ -14,21 +14,33 @@ import graft.Tables
   */
 object GraphAnalytics {
 
+  /** Distinct (part, supplier) incidence pairs — the single definition of
+    * the co-binding relation every graph below derives from (a change to
+    * it, e.g. filtering zero-quantity contacts, must hit x1/x2/x3 alike).
+    */
+  private def coBindingPairs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+
+  /** Supplier pairs sharing at least one part: (pk, s1, s2), s1 ≠ s2. */
+  private def coBindingPartners(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coBindingPairs(s, dir)
+    pairs.select(col("pk"), col("sk").as("s1"))
+      .join(pairs.select(col("pk"), col("sk").as("s2")), "pk")
+      .filter(col("s1") =!= col("s2"))
+  }
+
   /** Connected components of the supplier co-binding graph: suppliers are
     * linked when they supply the same part (≈ domains co-binding the same
     * ligand). GraphX labels every component with its minimum vertex id —
     * deterministic, so oracle-checkable via a recursive min-label CTE.
     */
   def coBindingComponents(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
-    val pairs = li.select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .distinct()
-    val a = pairs.select(col("pk"), col("sk").as("s1"))
-    val b = pairs.select(col("pk"), col("sk").as("s2"))
-    val edgesDf = a.join(b, "pk").filter(col("s1") < col("s2"))
+    val edgesDf = coBindingPartners(s, dir).filter(col("s1") < col("s2"))
       .select("s1", "s2").distinct()
 
-    val vertices = pairs.select(col("sk")).distinct()
+    val vertices = coBindingPairs(s, dir).select(col("sk")).distinct()
       .rdd.map(r => (r.getLong(0), ()))
     val edges = edgesDf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = Graph(vertices, edges)
@@ -52,12 +64,7 @@ object GraphAnalytics {
     */
   def topCoBindingTriangles(s: SparkSession, dir: String,
                             k: Int = 3): DataFrame = {
-    val pairs = Tables(s, dir, "lineitem")
-      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .distinct()
-    val a = pairs.select(col("pk"), col("sk").as("s1"))
-    val b = pairs.select(col("pk"), col("sk").as("s2"))
-    val shared = a.join(b, "pk").filter(col("s1") =!= col("s2"))
+    val shared = coBindingPartners(s, dir)
       .groupBy("s1", "s2").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("s1").orderBy(col("n").desc, col("s2"))
     val canon = shared.withColumn("rn", row_number().over(w))
@@ -65,7 +72,8 @@ object GraphAnalytics {
       .select(least(col("s1"), col("s2")).as("ea"),
         greatest(col("s1"), col("s2")).as("eb"))
       .distinct()
-    triangleCountDf(s, pairs.select(col("sk").as("id")).distinct(), canon)
+    val verts = coBindingPairs(s, dir).select(col("sk").as("id")).distinct()
+    triangleCountDf(s, verts, canon)
       .withColumnRenamed("id", "suppkey")
       .orderBy("suppkey")
   }
@@ -90,9 +98,7 @@ object GraphAnalytics {
     * GraphX degrees on the bipartite contact graph.
     */
   def ligandPromiscuity(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
-    val pairs = li.select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .distinct()
+    val pairs = coBindingPairs(s, dir)
     // bipartite ids: parts in positive space, suppliers offset negative
     val edges = pairs.rdd.map(r => Edge(r.getLong(0), -1L - r.getLong(1), ()))
     val graph = Graph.fromEdges(edges, ())

@@ -21,14 +21,16 @@ object ScaleQueries {
     f.delete()
   }
 
-  /** True when a fixture dir owned by `pid` is safe to sweep: the process
-    * is gone, or (guarding against OS pid reuse keeping an orphan alive
-    * forever) the dir is over a day old and not ours.
+  /** True when a fixture dir owned by `pid` is safe to sweep: ONLY when
+    * the owning process is gone. No age-based escape hatch — a long-lived
+    * JVM legitimately owns day-old fixtures (its catalog still points at
+    * them), and deleting them under it trades a bounded leak for a live
+    * FileNotFoundException. The cost: OS pid reuse can keep one dead
+    * process's fixture alive until the impostor pid also exits — bounded
+    * by /tmp's own lifecycle, accepted.
     */
-  private def sweepable(pid: Long, f: java.io.File): Boolean =
-    !java.lang.ProcessHandle.of(pid).isPresent ||
-      (pid != ProcessHandle.current.pid &&
-        System.currentTimeMillis - f.lastModified > 86400000L)
+  private def sweepable(pid: Long): Boolean =
+    !java.lang.ProcessHandle.of(pid).isPresent
 
   val defs: Seq[RQ] = Seq(
 
@@ -49,6 +51,7 @@ object ScaleQueries {
       val src = new java.io.File(s"$dir/orders.parquet")
       val fp = s"${src.length}_${src.lastModified}"
       val path = s"/tmp/graft_fixtures/$safe/s4_part_$fp"
+      var readPath = path
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         // build in a process-unique dot-prefixed temp dir and RENAME into
         // place: concurrent JVMs on the same sfDir (Bench + Verify) each
@@ -64,9 +67,18 @@ object ScaleQueries {
         if (!tmp.renameTo(dst)) {
           // either a concurrent winner is in place (has _SUCCESS — drop
           // our copy), or a CORRUPT final blocks the rename (a pre-rename
-          // writer crashed mid-write: no _SUCCESS) — heal by replacing it
+          // writer crashed mid-write: no _SUCCESS). Heal the corrupt case
+          // only when the wreck is cold (>10 min): a fresh no-_SUCCESS dir
+          // is far more likely a concurrent writer mid-install than a
+          // crash, and deleting it would yank a just-installed fixture
+          // out from under its readers. A young wreck costs us nothing —
+          // this process just reads its own temp copy instead (kept on
+          // disk; swept by a later process once this pid exits).
           if (new java.io.File(s"$path/_SUCCESS").exists()) rm(tmp)
-          else { rm(dst); if (!tmp.renameTo(dst)) rm(tmp) }
+          else if (System.currentTimeMillis - dst.lastModified > 600000L) {
+            rm(dst)
+            if (!tmp.renameTo(dst)) readPath = tmp.getPath
+          } else readPath = tmp.getPath
         }
         // drop fixtures keyed to older source fingerprints (or the old
         // unfingerprinted layout), plus orphaned temps of crashed
@@ -78,12 +90,12 @@ object ScaleQueries {
           .filter { f =>
             val n = f.getName
             (n.startsWith("s4_part") && f.getPath != path) ||
-              (n.matches("\\.s4_tmp_\\d+_.*") &&
-                sweepable(n.split("_")(2).toLong, f))
+              (n.matches("\\.s4_tmp_\\d+_.*") && f.getPath != readPath &&
+                sweepable(n.split("_")(2).toLong))
           }
           .foreach(rm)
       }
-      s.read.parquet(path).filter(col("o_orderstatus") === "F")
+      s.read.parquet(readPath).filter(col("o_orderstatus") === "F")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
@@ -109,7 +121,7 @@ object ScaleQueries {
       val fixRoot = new java.io.File(s"/tmp/graft_fixtures/$safe")
       Option(fixRoot.listFiles).getOrElse(Array.empty)
         .filter(f => f.getName.matches("s5_[a-z]+_\\d+_.*") &&
-          sweepable(f.getName.split("_")(2).toLong, f))
+          sweepable(f.getName.split("_")(2).toLong))
         .foreach(rm)
       def bucketed(t: String, key: String, keep: Seq[String]): String = {
         val src = new java.io.File(s"$dir/$t.parquet")

@@ -51,12 +51,14 @@ object ProCogQueries {
     val simsDf = sims(g, cutoff, mode)
     val beCounts = g.boundEntities.groupBy("ok")
       .agg(countDistinct(col("uniqueID")).as("be_count"))
-    // fan candidates into distinct (entry, ligand-structure) pairs, not
-    // occurrences: countDistinct(cogId) is unchanged by duplicate pairs,
-    // and the join input shrinks from occurrences × candidates to
-    // distinct-ligands-per-entry × candidates (the same ligand-keyed
-    // lesson as cognateSummary / GraphTables.interactPairs)
-    val cogCounts = g.boundEntities.select("ok", "ligandUniqueID").distinct()
+    // fan candidates into (entry, ligand-structure) pairs, never
+    // occurrences: boundEntities is GRAIN-GUARANTEED one row per
+    // (ok, ligandUniqueID) (GraphTables.build derives uniqueID from the
+    // pair), so the narrow projection is enough — countDistinct(cogId)
+    // would be unchanged by duplicate pairs, but an occurrence-grained
+    // source would need a distinct here before the candidate join (the
+    // ligand-keyed lesson of cognateSummary / GraphTables.interactPairs)
+    val cogCounts = g.boundEntities.select("ok", "ligandUniqueID")
       .join(simsDf.select("ligandUniqueID", "cogId"), "ligandUniqueID")
       .groupBy("ok").agg(countDistinct(col("cogId")).as("cog_count"))
     g.entries.filter(upper(col("pdbEntry")).contains(substr.toUpperCase))

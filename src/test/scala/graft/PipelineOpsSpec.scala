@@ -48,12 +48,16 @@ class PipelineOpsSpec extends SparkSpec {
       assert(joined.filter(col("packed_tok") =!= col("tok") ||
         col("packed_docs") =!= col("docs")).count() === 0)
     }
-    it("pack ids start at 0 and are gap-free per source") {
+    it("pack ids start at 0 and stay within the token-budget bound") {
+      // NOT asserting gap-free: concat-and-chunk legitimately skips pack
+      // ids when a single doc exceeds the 256-token budget (a 600-token
+      // doc at cum_before=0 sends the next doc to pack 2). The definition
+      // guarantees only: packs start at 0 and max pack_id ≤ total div 256.
       val bad = q("t19_sequence_packing")
         .groupBy("source")
         .agg(min("pack_id").as("lo"), max("pack_id").as("hi"),
-          countDistinct(col("pack_id")).as("n"))
-        .filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1)
+          sum("n_tok").as("tok"))
+        .filter(col("lo") =!= 0 || col("hi") > expr("tok div 256"))
       assert(bad.count() === 0)
     }
   }

@@ -195,6 +195,18 @@ object ProCogQueryDefs {
       ORDER BY edge_type, src, dst, weight"""))((s, dir) =>
       ProCogQueries.entryGraphView(GraphTables.cached(s, dir), 20L, 0.9)),
 
+    // EC page (docs/tutorial per-EC listing; SURVEY §7's ecPage): entries
+    // carrying an EC-3 domain with their best cognates at 0.9
+    RQ("p14_ec_page", Some(s"""$G
+      SELECT DISTINCT 'pdb' || i.ok AS pdbEntry, 'HET' || i.pk AS hetCode,
+             upper(trim(p.p_name)) AS cognateLigand, s.score AS parityScore
+      FROM (SELECT DISTINCT ok, pk, sk FROM ia0) i
+      JOIN supplier sp ON sp.s_suppkey = i.sk AND sp.s_nationkey = 3
+      JOIN sim s ON s.pk = i.pk AND s.score >= 0.9 AND s.best = 'Y'
+      JOIN part p ON p.p_partkey = s.cog
+      ORDER BY pdbEntry, hetCode, cognateLigand, parityScore"""))((s, dir) =>
+      ProCogQueries.ecPage(GraphTables.cached(s, dir), 3L, 0.9)),
+
     // Deterministic demo sample (produce_minimal_neo4j_files.py:107-108's
     // seed-42 2000-PDB sample, re-expressed engine-portably: md5-bucket
     // membership instead of a seeded RNG, so any engine reproduces it)

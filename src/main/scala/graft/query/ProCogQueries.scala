@@ -214,6 +214,27 @@ object ProCogQueries {
       .orderBy("edge_type", "src", "dst", "weight")
   }
 
+  /** EC page (docs/tutorial's per-EC PDB + cognate-ligand listing; the
+    * dashboard's enzyme-page idiom): every entry whose chains carry a
+    * domain in the EC (nation key in the registry's mapping), with its
+    * best cognate candidates at the cutoff. The fact side reduces to
+    * distinct (entry, ligand) pairs BEFORE the similarity join — the
+    * ligand-keyed rule every dashboard query follows.
+    */
+  def ecPage(g: GraphTables, ecKey: Long, cutoff: Double): DataFrame = {
+    val doms = g.domains.filter(col("nk") === ecKey).select("suppkey")
+    g.interacts.join(broadcast(doms), "suppkey")
+      .select(col("ok"), col("pk").as("ligandUniqueID")).distinct()
+      .join(sims(g, cutoff, Best)
+        .select("ligandUniqueID", "cogId", "parityScore"), "ligandUniqueID")
+      .join(broadcast(g.cognates.select("cogId", "cogName")), "cogId")
+      .select(concat(lit("pdb"), col("ok")).as("pdbEntry"),
+        concat(lit("HET"), col("ligandUniqueID")).as("hetCode"),
+        col("cogName").as("cognateLigand"), col("parityScore"))
+      .distinct()
+      .orderBy("pdbEntry", "hetCode", "cognateLigand", "parityScore")
+  }
+
   /** Autocomplete select (dashboard: `ORDER BY size(value) ASC LIMIT 5`). */
   def autocomplete(g: GraphTables, substr: String, k: Int): DataFrame =
     g.boundEntities.select(col("hetCode")).distinct()

@@ -807,6 +807,54 @@ object TextQueries {
         .select(col("m").getField("source").as("source"))
         .groupBy("source").agg(count(lit(1)).as("n_unique"))
         .orderBy("source")
+    }),
+
+    // T23 — bigram language-model training counts: per word, the corpus
+    // bigram total, next-token vocabulary size, and the argmax next token
+    // with its conditional probability (count ratio — one exact
+    // division). This is the count-table shape every n-gram LM / KenLM
+    // training job reduces to; bigrams keep their multiplicity (unlike
+    // the DISTINCT shingles of the dedup family). Scale shape: one
+    // shuffle on the bigram key, then a per-word window over the (much
+    // smaller) conditional-count table.
+    RQ("t23_bigram_lm", Some("""
+      WITH ws AS (SELECT str_split(text, ' ') AS w FROM documents
+                  WHERE len(str_split(text, ' ')) >= 2),
+           bg AS (SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS s
+                  FROM ws),
+           p AS (SELECT str_split(s, ' ')[1] AS w1, str_split(s, ' ')[2] AS w2,
+                        count(*) AS c
+                 FROM bg GROUP BY 1, 2),
+           t AS (SELECT w1, w2, c,
+                        row_number() OVER (PARTITION BY w1
+                          ORDER BY c DESC, w2) AS rn,
+                        CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS tot,
+                        count(*) OVER (PARTITION BY w1) AS n_next
+                 FROM p)
+      SELECT w1, tot AS n_bigrams, CAST(n_next AS BIGINT) AS n_next,
+             w2 AS top_next, CAST(c AS BIGINT) AS top_count,
+             CAST(c AS BIGINT)::DOUBLE / tot::DOUBLE AS p_top
+      FROM t WHERE rn = 1 ORDER BY w1"""))((s, dir) => {
+      val ws = docs(s, dir).select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val bg = ws.select(explode(expr(
+        "transform(sequence(1, size(w)-1), i -> concat(w[i-1], ' ', w[i]))"))
+        .as("s"))
+      val p = bg
+        .select(split(col("s"), " ").getItem(0).as("w1"),
+          split(col("s"), " ").getItem(1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val wtot = Window.partitionBy("w1")
+      val wrank = Window.partitionBy("w1").orderBy(col("c").desc, col("w2"))
+      p.withColumn("rn", row_number().over(wrank))
+        .withColumn("tot", sum("c").over(wtot))
+        .withColumn("nn", count(lit(1)).over(wtot))
+        .filter(col("rn") === 1)
+        .select(col("w1"), col("tot").as("n_bigrams"), col("nn").as("n_next"),
+          col("w2").as("top_next"), col("c").as("top_count"),
+          (col("c").cast("double") / col("tot").cast("double")).as("p_top"))
+        .orderBy("w1")
     })
   )
 }

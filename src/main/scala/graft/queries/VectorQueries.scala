@@ -223,6 +223,59 @@ object VectorQueries {
             .as("mean_q"))
         .orderBy("dim")),
 
+    // V7 — product-quantization code assignment: the 64-dim space splits
+    // into 4×16-dim subspaces; each vector's subvector is assigned to its
+    // nearest of 4 centroid subvectors (L2², ties to the lower centroid
+    // id) — the encoding step of a PQ-compressed ANN index (4 codes of 2
+    // bits instead of 256 float bytes). Centroids here are the first 4
+    // vectors (a deterministic stand-in for a trained codebook — training
+    // is a k-means loop of exactly this assignment step). Distances are
+    // left-to-right folds of exact float→double widenings, bit-identical
+    // across engines (same contract as cosSql); the centroid table is
+    // broadcast, so cost is one pass over the corpus.
+    RQ("v7_pq_codes", Some("""
+      WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                 WHERE vec_id < 4),
+           sub AS (SELECT v.vec_id, t.j, c.cid,
+                          list_sum(list_transform(
+                            list_zip(v.embedding[t.j*16+1 : t.j*16+16],
+                                     c.cv[t.j*16+1 : t.j*16+16]),
+                            x -> (x[1]::DOUBLE - x[2]::DOUBLE) *
+                                 (x[1]::DOUBLE - x[2]::DOUBLE))) AS d2
+                   FROM embeddings v, c, unnest([0,1,2,3]) AS t(j)),
+           r AS (SELECT vec_id, j, cid,
+                        row_number() OVER (PARTITION BY vec_id, j
+                          ORDER BY d2, cid) AS rn
+                 FROM sub)
+      SELECT vec_id,
+             CAST(max(CASE WHEN j = 0 THEN cid END) AS BIGINT) AS c0,
+             CAST(max(CASE WHEN j = 1 THEN cid END) AS BIGINT) AS c1,
+             CAST(max(CASE WHEN j = 2 THEN cid END) AS BIGINT) AS c2,
+             CAST(max(CASE WHEN j = 3 THEN cid END) AS BIGINT) AS c3
+      FROM r WHERE rn = 1 GROUP BY 1 ORDER BY vec_id"""))((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val subs = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          explode(sequence(lit(0), lit(3))).as("j"),
+          col("embedding"), col("cv"))
+        .withColumn("d2", expr("""aggregate(
+            zip_with(slice(embedding, j*16+1, 16), slice(cv, j*16+1, 16),
+              (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                        (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+            CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+      val r = subs.withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1)
+      r.groupBy("vec_id").agg(
+          max(when(col("j") === 0, col("cid"))).as("c0"),
+          max(when(col("j") === 1, col("cid"))).as("c1"),
+          max(when(col("j") === 2, col("cid"))).as("c2"),
+          max(when(col("j") === 3, col("cid"))).as("c3"))
+        .orderBy("vec_id")
+    }),
+
     RQ("v2_lsh_ann", Some(s"""
       WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
                  FROM embeddings),

@@ -68,5 +68,22 @@ class PlanAuditSpec extends SparkSpec {
         assert(executed(n).contains("vectordot"), s"$n lost VectorDot")
       }
     }
+    it("t19 packing plans one window shuffle + one aggregation, nothing more") {
+      val p = executed("t19_sequence_packing")
+      val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+      // window partition exchange, (partial→final agg reuses it or adds
+      // one), final orderBy range exchange — 3 is the designed ceiling
+      assert(exchanges <= 3, s"t19 has $exchanges exchanges:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), p)
+    }
+    it("t21 broadcasts the vocabulary frequency table back to the corpus") {
+      val p = executed("t21_rarity_score")
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+    it("p14_ec_page broadcasts the EC domain set and the cognate dim") {
+      val p = executed("p14_ec_page")
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
   }
 }

@@ -66,14 +66,16 @@ object ScaleQueries {
         val dst = new java.io.File(path)
         if (!tmp.renameTo(dst)) {
           // either a concurrent winner is in place (has _SUCCESS — drop
-          // our copy), or a CORRUPT final blocks the rename (a pre-rename
-          // writer crashed mid-write: no _SUCCESS). Heal the corrupt case
-          // only when the wreck is cold (>10 min): a fresh no-_SUCCESS dir
-          // is far more likely a concurrent writer mid-install than a
-          // crash, and deleting it would yank a just-installed fixture
-          // out from under its readers. A young wreck costs us nothing —
-          // this process just reads its own temp copy instead (kept on
-          // disk; swept by a later process once this pid exits).
+          // our copy), or a CORRUPT final blocks the rename. Installs are
+          // atomic renames of complete temps, so a no-_SUCCESS dst means a
+          // concurrent healer is mid-rm of an older wreck, or a leftover
+          // of the old in-place-write layout. Heal only when the wreck is
+          // cold (>10 min): rm-ing a YOUNG no-_SUCCESS dir could race the
+          // other healer's just-completed install (its fresh fixture
+          // briefly looked incomplete to our pre-rename check) and yank it
+          // from under readers. A young wreck costs us nothing — this
+          // process reads its own temp copy instead (kept on disk; swept
+          // by a later process once this pid exits).
           if (new java.io.File(s"$path/_SUCCESS").exists()) rm(tmp)
           else if (System.currentTimeMillis - dst.lastModified > 600000L) {
             rm(dst)
@@ -82,14 +84,17 @@ object ScaleQueries {
         }
         // drop fixtures keyed to older source fingerprints (or the old
         // unfingerprinted layout), plus orphaned temps of crashed
-        // processes, so /tmp doesn't accumulate copies; safe post-rename
-        // because concurrent processes of the same sfDir see the same
-        // fingerprint and never scan an older one
+        // processes, so /tmp doesn't accumulate copies. Finals carry no
+        // owner pid (installed by rename), so the stale sweep uses an age
+        // guard instead of liveness: an older-fingerprint fixture is only
+        // swept once cold (>1 h) — a live JVM that read the PREVIOUS
+        // testdata generation may still be executing plans over it
         Option(new java.io.File(s"/tmp/graft_fixtures/$safe").listFiles)
           .getOrElse(Array.empty)
           .filter { f =>
             val n = f.getName
-            (n.startsWith("s4_part") && f.getPath != path) ||
+            (n.startsWith("s4_part") && f.getPath != path &&
+              System.currentTimeMillis - f.lastModified > 3600000L) ||
               (n.matches("\\.s4_tmp_\\d+_.*") && f.getPath != readPath &&
                 sweepable(n.split("_")(2).toLong))
           }

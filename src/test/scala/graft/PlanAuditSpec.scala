@@ -83,7 +83,10 @@ class PlanAuditSpec extends SparkSpec {
     }
     it("p14_ec_page broadcasts the EC domain set and the cognate dim") {
       val p = executed("p14_ec_page")
-      assert(p.contains("BroadcastHashJoin"), p)
+      // both dimension joins must broadcast — a single surviving BHJ with
+      // the other side fallen back to sort-merge should fail here
+      assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+      assert(!p.contains("SortMergeJoin"), p)
     }
   }
 }

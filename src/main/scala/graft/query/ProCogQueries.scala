@@ -110,12 +110,18 @@ object ProCogQueries {
     val ssfSize = g.domains.groupBy("superfamily")
       .agg(countDistinct(col("suppkey")).as("n_dom"))
     // the cached distinct (ligand, domain) reduction BEFORE the
-    // similarity fan-out — the 100-TB-critical step (see interactPairs)
+    // similarity fan-out — the 100-TB-critical step (see interactPairs).
+    // Then reduce the fan to distinct (domain, cognate) BEFORE grouping:
+    // a plain distinct partial-aggregates map-side, where
+    // countDistinct(suppkey) would Expand the full candidate fan through
+    // the shuffle (suppkey determines superfamily, so count(*) over the
+    // deduped pairs is the same number)
     val binds = g.interactPairs
       .join(simsDf.select("ligandUniqueID", "cogId"), "ligandUniqueID")
+      .select("suppkey", "cogId").distinct()
       .join(broadcast(g.domains.select("suppkey", "superfamily")), "suppkey")
       .groupBy("superfamily", "cogId")
-      .agg(countDistinct(col("suppkey")).as("n_bind"))
+      .agg(count(lit(1)).as("n_bind"))
     binds.join(broadcast(ssfSize), "superfamily")
       .select(col("superfamily"), col("cogId"), col("n_bind"), col("n_dom"),
         (col("n_bind").cast("double") / col("n_dom").cast("double"))

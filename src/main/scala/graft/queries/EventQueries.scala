@@ -202,6 +202,67 @@ object EventQueries {
         }
       } finally q.stop()
       s.table("j3_nations").orderBy("n_name")
+    }),
+
+    // J — the reference's ONE incremental pattern end-to-end: the parity
+    // score cache (memoization keyed by the scored pair, re-probed on
+    // every run) maintained by a streaming foreachBatch upsert. Candidate
+    // pairs stream in 3 micro-batches; each batch dedups itself, then
+    // left-antis against the parquet cache
+    // (StreamingOps.newPairsAgainstCache) and appends only NEW pairs.
+    // The final cache holds exactly the distinct pair set however the
+    // stream was batched — which is what the oracle checks (per-domain
+    // cached-pair counts). The cache is a parquet table keyed by pair,
+    // so at scale the anti-join shards by key like any equi-join; the
+    // localCheckpoint pins the read snapshot so the append never reads
+    // its own output dir mid-write.
+    RQ("j5_stream_cache_probe", Some("""
+      SELECT l_suppkey AS suppkey,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_cached
+      FROM lineitem GROUP BY 1 ORDER BY suppkey"""))((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      // sweep dead processes' caches; ours is pid+nanotime-unique
+      Option(new java.io.File("/tmp/graft_fixtures").listFiles)
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.matches("j5_cache_\\d+_\\d+") &&
+          !java.lang.ProcessHandle.of(
+            f.getName.split("_")(2).toLong).isPresent)
+        .foreach(rm)
+      val cacheDir = s"/tmp/graft_fixtures/j5_cache_" +
+        s"${ProcessHandle.current.pid}_${System.nanoTime}"
+      val data = Tables(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_partkey").as("pk"))
+        .withColumn("pair_key", concat(col("suppkey"), lit("|"), col("pk")))
+        .orderBy("pair_key", "suppkey", "pk")
+        .as[(Long, Long, String)].collect()
+      // seed an empty cache so the first batch's anti-join has a schema
+      Seq.empty[(Long, Long, String)].toDF("suppkey", "pk", "pair_key")
+        .write.mode("overwrite").parquet(cacheDir)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String)]
+      val q = mem.toDF().toDF("suppkey", "pk", "pair_key")
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val cache = s.read.parquet(cacheDir).localCheckpoint(true)
+            graft.streaming.StreamingOps
+              .newPairsAgainstCache(batch.dropDuplicates("pair_key"), cache)
+              .write.mode("append").parquet(cacheDir)
+        }.start()
+      try {
+        data.grouped(data.length / 3 + 1).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(cacheDir).groupBy("suppkey")
+        .agg(count(lit(1)).as("n_cached"))
+        .orderBy("suppkey")
     })
   )
 }

@@ -222,23 +222,19 @@ object EventQueries {
       FROM lineitem GROUP BY 1 ORDER BY suppkey"""))((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
       // sweep dead processes' caches; ours is pid+nanotime-unique
       Option(new java.io.File("/tmp/graft_fixtures").listFiles)
         .getOrElse(Array.empty)
         .filter(f => f.getName.matches("j5_cache_\\d+_\\d+") &&
-          !java.lang.ProcessHandle.of(
-            f.getName.split("_")(2).toLong).isPresent)
-        .foreach(rm)
+          Fixtures.sweepable(f.getName.split("_")(2).toLong))
+        .foreach(Fixtures.rm)
       val cacheDir = s"/tmp/graft_fixtures/j5_cache_" +
         s"${ProcessHandle.current.pid}_${System.nanoTime}"
+      // no ordering needed: the final cache is batching-invariant by
+      // construction, so the feed can arrive in any partition order
       val data = Tables(s, dir, "lineitem")
         .select(col("l_suppkey").as("suppkey"), col("l_partkey").as("pk"))
         .withColumn("pair_key", concat(col("suppkey"), lit("|"), col("pk")))
-        .orderBy("pair_key", "suppkey", "pk")
         .as[(Long, Long, String)].collect()
       // seed an empty cache so the first batch's anti-join has a schema
       Seq.empty[(Long, Long, String)].toDF("suppkey", "pk", "pair_key")

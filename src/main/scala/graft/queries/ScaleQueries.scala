@@ -15,22 +15,7 @@ import graft.plans.GraftExtensions
   */
 object ScaleQueries {
 
-  /** Recursive delete (shared by the s4/s5 fixture sweeps). */
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-    f.delete()
-  }
-
-  /** True when a fixture dir owned by `pid` is safe to sweep: ONLY when
-    * the owning process is gone. No age-based escape hatch — a long-lived
-    * JVM legitimately owns day-old fixtures (its catalog still points at
-    * them), and deleting them under it trades a bounded leak for a live
-    * FileNotFoundException. The cost: OS pid reuse can keep one dead
-    * process's fixture alive until the impostor pid also exits — bounded
-    * by /tmp's own lifecycle, accepted.
-    */
-  private def sweepable(pid: Long): Boolean =
-    !java.lang.ProcessHandle.of(pid).isPresent
+  import Fixtures.{rm, sweepable}
 
   val defs: Seq[RQ] = Seq(
 

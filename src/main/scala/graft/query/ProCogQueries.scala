@@ -111,11 +111,12 @@ object ProCogQueries {
       .agg(countDistinct(col("suppkey")).as("n_dom"))
     // the cached distinct (ligand, domain) reduction BEFORE the
     // similarity fan-out — the 100-TB-critical step (see interactPairs).
-    // Then reduce the fan to distinct (domain, cognate) BEFORE grouping:
-    // a plain distinct partial-aggregates map-side, where
-    // countDistinct(suppkey) would Expand the full candidate fan through
-    // the shuffle (suppkey determines superfamily, so count(*) over the
-    // deduped pairs is the same number)
+    // Then dedup to distinct (domain, cognate) BEFORE the domains join:
+    // cost-equivalent to a lone countDistinct (Spark partial-aggregates
+    // single-distinct plans map-side too; Expand appears only with
+    // multiple/mixed distincts) but the explicit form dedups before the
+    // broadcast join instead of after, and suppkey determines
+    // superfamily, so count(*) over the deduped pairs is the same number
     val binds = g.interactPairs
       .join(simsDf.select("ligandUniqueID", "cogId"), "ligandUniqueID")
       .select("suppkey", "cogId").distinct()

@@ -27,23 +27,38 @@ object MinHashDedup {
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, seeds: Int = 8, rowsPerBand: Int = 2,
                          threshold: Double = 0.8): DataFrame = {
+    // sh feeds the signature, both sides of the intersection join, and
+    // the per-doc counts — persist instead of re-shingling four times
+    val sh = shingleRows(docs, idCol, textCol, n).persist()
+    val band = bandRows(sh, seeds, rowsPerBand)
+    val bandA = band.select(col("doc_id").as("da"), col("b"), col("bh"))
+    val bandB = band.select(col("doc_id").as("db"), col("b"), col("bh"))
+    val cand = bandA.join(bandB, Seq("b", "bh"))
+      .filter(col("da") < col("db")).select("da", "db").distinct()
+    verifyPairs(cand, sh, threshold)
+  }
+
+  /** Stage 1 — (doc_id, s) distinct n-gram shingle rows. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(shingles(col("w"), n)).as("s"))
+
+  /** Stage 2 — (doc_id, b, bh) LSH band-hash rows. All k minhashes in ONE
+    * aggregation pass: k `min` terms over the same shingle rows,
+    * partial-aggregated map-side — no k× row explosion, no (doc_id, seed)
+    * shuffle, no second groupBy for the bands (band hashes are plain
+    * column concats of the signature row, exploded shuffle-free).
+    * ONE definition of the seed-hash scheme: TextFunctions.minhashAgg
+    * (changing the scheme there and here separately would silently
+    * diverge the operator from the tested expression).
+    */
+  def bandRows(sh: DataFrame, seeds: Int = 8,
+               rowsPerBand: Int = 2): DataFrame = {
     require(seeds % rowsPerBand == 0,
       s"seeds ($seeds) must be a multiple of rowsPerBand ($rowsPerBand) — " +
         "a trailing partial band would silently change recall")
-    val ws = docs.select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("w"))
-      .filter(size(col("w")) >= n)
-    // sh feeds the signature, both sides of the intersection join, and
-    // the per-doc counts — persist instead of re-shingling four times
-    val sh = ws.select(col("doc_id"), explode(shingles(col("w"), n)).as("s"))
-      .persist()
-    // all k minhashes in ONE aggregation pass: k `min` terms over the same
-    // shingle rows, partial-aggregated map-side — no k× row explosion, no
-    // (doc_id, seed) shuffle, no second groupBy for the bands (band hashes
-    // are plain column concats of the signature row, exploded shuffle-free)
-    // ONE definition of the seed-hash scheme: TextFunctions.minhashAgg
-    // (changing the scheme there and here separately would silently
-    // diverge the operator from the tested expression)
     val minTerms = (0 until seeds).map { k =>
       graft.functions.TextFunctions.minhashAgg(col("s"), k).as(s"mh$k")
     }
@@ -54,13 +69,18 @@ object MinHashDedup {
         .map(k => col(s"mh$k"))
       struct(lit(b.toLong).as("b"), concat(cols: _*).as("bh"))
     }
-    val band = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("x.b").as("b"), col("x.bh").as("bh"))
-    val bandA = band.select(col("doc_id").as("da"), col("b"), col("bh"))
-    val bandB = band.select(col("doc_id").as("db"), col("b"), col("bh"))
-    val cand = bandA.join(bandB, Seq("b", "bh"))
-      .filter(col("da") < col("db")).select("da", "db").distinct()
+  }
+
+  /** Stage 3 — exact-Jaccard verification of candidate (da, db) pairs
+    * against shingle rows; keeps pairs at or above `threshold` as
+    * (doc_a, doc_b, jacc). Jaccard depends only on the two docs' static
+    * shingle sets, so the verdict is the same whether candidates arrive
+    * from a batch self-join or an incremental index probe.
+    */
+  def verifyPairs(cand: DataFrame, sh: DataFrame,
+                  threshold: Double): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("da"), col("s"))
     val shB = sh.select(col("doc_id").as("db"), col("s"))

@@ -809,6 +809,79 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // J — streaming near-dup detection with an incrementally maintained
+    // MinHash band index: docs arrive in 3 micro-batches; each batch
+    // shingles and band-hashes itself (MinHashDedup stages 1-2), probes
+    // the accumulated band index for candidates touching AT LEAST ONE new
+    // doc (new × (cache ∪ new) — cache × cache pairs were emitted when
+    // their later doc arrived), exact-Jaccard-verifies against the full
+    // shingle store, emits confirmed pairs, and appends its bands +
+    // shingles to the index. Every pair is found exactly once — in the
+    // batch where its later doc lands — and verified against static
+    // per-doc shingle sets, so the final pair set is batching-invariant
+    // and must equal the batch t6 answer (same oracle). This is the
+    // at-ingestion dedup shape of a 100 TB crawl pipeline: the index is
+    // parquet keyed by (band, bandhash), the probe an equi-join.
+    RQ("j6_stream_minhash_index", Some(s"""
+      WITH RECURSIVE
+           ws AS (SELECT doc_id, str_split(text,' ') AS w FROM documents),
+           ${lshDedupSqlCtes("ws")}
+      SELECT da AS doc_a, db AS doc_b, jacc
+      FROM dup ORDER BY doc_a, doc_b"""))((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.operators.MinHashDedup
+      Option(new java.io.File("/tmp/graft_fixtures").listFiles)
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.matches("j6_idx_\\d+_\\d+") &&
+          Fixtures.sweepable(f.getName.split("_")(2).toLong))
+        .foreach(Fixtures.rm)
+      val root = s"/tmp/graft_fixtures/j6_idx_" +
+        s"${ProcessHandle.current.pid}_${System.nanoTime}"
+      val (bandsDir, shDir, dupDir) =
+        (s"$root/bands", s"$root/sh", s"$root/dups")
+      Seq.empty[(Long, Long, String)].toDF("doc_id", "b", "bh")
+        .write.parquet(bandsDir)
+      Seq.empty[(Long, String)].toDF("doc_id", "s").write.parquet(shDir)
+      Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jacc")
+        .write.parquet(dupDir)
+      val data = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text")
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val shNew = MinHashDedup.shingleRows(batch, "doc_id", "text")
+              .localCheckpoint(true)
+            val bandNew = MinHashDedup.bandRows(shNew).localCheckpoint(true)
+            val bandAll = s.read.parquet(bandsDir).unionByName(bandNew)
+            val shAll = s.read.parquet(shDir).unionByName(shNew)
+              .localCheckpoint(true)
+            val cand = bandNew
+              .select(col("doc_id").as("x"), col("b"), col("bh"))
+              .join(bandAll.select(col("doc_id").as("y"), col("b"),
+                col("bh")), Seq("b", "bh"))
+              .filter(col("x") =!= col("y"))
+              .select(least(col("x"), col("y")).as("da"),
+                greatest(col("x"), col("y")).as("db"))
+              .distinct()
+            MinHashDedup.verifyPairs(cand, shAll, 0.8)
+              .write.mode("append").parquet(dupDir)
+            bandNew.write.mode("append").parquet(bandsDir)
+            shNew.write.mode("append").parquet(shDir)
+        }.start()
+      try {
+        data.grouped(data.length / 3 + 1).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // distinct is belt-and-braces: each pair is emitted exactly once
+      s.read.parquet(dupDir).distinct().orderBy("doc_a", "doc_b")
+    }),
+
     // T23 — bigram language-model training counts: per word, the corpus
     // bigram total, next-token vocabulary size, and the argmax next token
     // with its conditional probability (count ratio — one exact

@@ -856,9 +856,13 @@ object TextQueries {
             val shNew = MinHashDedup.shingleRows(batch, "doc_id", "text")
               .localCheckpoint(true)
             val bandNew = MinHashDedup.bandRows(shNew).localCheckpoint(true)
+            // cache reads stay LAZY: the verify write (an action) runs
+            // before the band/shingle appends below, so nothing reads a
+            // dir mid-append — only the new batch's own rows need the
+            // checkpoint (they're reused across cand + verify + append,
+            // and a streaming batch DF must not outlive the batch call)
             val bandAll = s.read.parquet(bandsDir).unionByName(bandNew)
             val shAll = s.read.parquet(shDir).unionByName(shNew)
-              .localCheckpoint(true)
             val cand = bandNew
               .select(col("doc_id").as("x"), col("b"), col("bh"))
               .join(bandAll.select(col("doc_id").as("y"), col("b"),

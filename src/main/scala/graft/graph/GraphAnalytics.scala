@@ -64,17 +64,63 @@ object GraphAnalytics {
     */
   def topCoBindingTriangles(s: SparkSession, dir: String,
                             k: Int = 3): DataFrame = {
+    val verts = coBindingPairs(s, dir).select(col("sk").as("id")).distinct()
+    triangleCountDf(s, verts, topKCanonEdges(s, dir, k))
+      .withColumnRenamed("id", "suppkey")
+      .orderBy("suppkey")
+  }
+
+  /** Canonical (`ea < eb`, distinct) edge list of the top-k co-binding
+    * similarity graph — each supplier keeps its k strongest partners
+    * (most shared parts, ties by id). Shared by x3 (triangles) and x4
+    * (BFS): both run on the kNN sparsification, never the near-complete
+    * raw co-occurrence graph.
+    */
+  private[graft] def topKCanonEdges(s: SparkSession, dir: String,
+                             k: Int): DataFrame = {
     val shared = coBindingPartners(s, dir)
       .groupBy("s1", "s2").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("s1").orderBy(col("n").desc, col("s2"))
-    val canon = shared.withColumn("rn", row_number().over(w))
+    shared.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(least(col("s1"), col("s2")).as("ea"),
         greatest(col("s1"), col("s2")).as("eb"))
       .distinct()
-    val verts = coBindingPairs(s, dir).select(col("sk").as("id")).distinct()
-    triangleCountDf(s, verts, canon)
-      .withColumnRenamed("id", "suppkey")
+  }
+
+  /** BFS hop distance from the minimum supplier id over the top-k
+    * co-binding graph, via GraphX Pregel (min-plus message passing, the
+    * canonical Pregel shape). Distances beyond `cap` — and unreachable
+    * vertices — report -1, which is what makes the answer
+    * oracle-checkable: the recursive-CTE mirror can only enumerate
+    * bounded-depth paths, so both engines agree to cut at `cap`.
+    * Pregel itself stops when no distance improves (≤ diameter
+    * supersteps, each one join-shaped and distributed).
+    */
+  def bfsHops(s: SparkSession, dir: String, k: Int = 3,
+              cap: Int = 40): DataFrame = {
+    import org.apache.spark.graphx.EdgeTriplet
+    val verts = coBindingPairs(s, dir).select(col("sk")).distinct()
+    val src = verts.agg(min("sk")).head.getLong(0)
+    val Unreached = Long.MaxValue / 4 // sentinel; +1 never overflows
+    val vertices = verts.rdd.map(r =>
+      (r.getLong(0), if (r.getLong(0) == src) 0L else Unreached))
+    val edges = topKCanonEdges(s, dir, k).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val g = Graph(vertices, edges)
+    val res = g.pregel(Unreached, maxIterations = cap)(
+      (_, d, msg) => math.min(d, msg),
+      (t: EdgeTriplet[Long, Unit]) => {
+        val out = Iterator.newBuilder[(org.apache.spark.graphx.VertexId, Long)]
+        if (t.srcAttr + 1 < t.dstAttr) out += ((t.dstId, t.srcAttr + 1))
+        if (t.dstAttr + 1 < t.srcAttr) out += ((t.srcId, t.dstAttr + 1))
+        out.result()
+      },
+      math.min)
+    s.createDataFrame(res.vertices.map { case (id, d) =>
+        (id, if (d > cap) -1L else d)
+      })
+      .toDF("suppkey", "hops")
       .orderBy("suppkey")
   }
 

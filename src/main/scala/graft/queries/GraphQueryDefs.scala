@@ -63,6 +63,36 @@ object GraphQueryDefs {
              CAST(coalesce(cnt.nt, 0) AS BIGINT) AS n_triangles
       FROM nodes LEFT JOIN cnt ON cnt.v = nodes.sk
       ORDER BY suppkey"""))((s, dir) =>
-      GraphAnalytics.topCoBindingTriangles(s, dir))
+      GraphAnalytics.topCoBindingTriangles(s, dir)),
+
+    // X4 — BFS hop distance from the minimum supplier over the SAME
+    // top-3 kNN graph as x3 (GraphAnalytics.topKCanonEdges is the single
+    // edge definition), via GraphX Pregel min-plus message passing.
+    // Oracle: recursive CTE enumerating (node, depth) pairs to the same
+    // 40-hop cap — both engines report beyond-cap/unreachable as -1, so
+    // the bounded recursion is exact, not approximate.
+    RQ("x4_bfs_hops", Some("""
+      WITH RECURSIVE
+      pairs AS (SELECT DISTINCT l_partkey pk, l_suppkey sk FROM lineitem),
+      sh AS (SELECT a.sk s1, b.sk s2, count(*) n
+             FROM pairs a JOIN pairs b ON a.pk = b.pk AND a.sk <> b.sk
+             GROUP BY 1, 2),
+      top3 AS (SELECT s1, s2 FROM (
+         SELECT s1, s2, row_number() OVER (PARTITION BY s1
+           ORDER BY n DESC, s2) rn FROM sh) WHERE rn <= 3),
+      e AS (SELECT DISTINCT least(s1, s2) a, greatest(s1, s2) b FROM top3),
+      ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      nodes AS (SELECT DISTINCT sk FROM pairs),
+      s AS (SELECT min(sk) AS src FROM nodes),
+      reach(node, d) AS (
+        SELECT src, 0 FROM s
+        UNION
+        SELECT ed.b, r.d + 1 FROM reach r JOIN ed ON ed.a = r.node
+        WHERE r.d < 40),
+      best AS (SELECT node, min(d) AS d FROM reach GROUP BY 1)
+      SELECT nodes.sk AS suppkey, CAST(coalesce(best.d, -1) AS BIGINT) AS hops
+      FROM nodes LEFT JOIN best ON best.node = nodes.sk
+      ORDER BY suppkey"""))((s, dir) =>
+      GraphAnalytics.bfsHops(s, dir))
   )
 }

@@ -656,5 +656,55 @@ object RelationalQueries {
           round(col("l_discount") * 100).cast("long").as("disc_pct"),
           round(col("l_tax"), 1).as("tax_r"))
         .orderBy("l_orderkey", "l_linenumber"))
+,
+    // C17 — interval (range) join, bucket-decomposed: each supplier owns
+    // the balance interval [acctbal-100, acctbal+100]; count the
+    // customers whose balance falls inside. The scale path for a
+    // LARGE × LARGE range join is to map each interval to the fixed-width
+    // buckets it spans (width 200 → at most 2 buckets per interval) and
+    // each point to its one bucket, equi-join on the bucket key, then
+    // post-filter the exact range — a shuffle join on an integer key
+    // instead of a nested-loop theta join. (Broadcast handles the
+    // small-dim case; this is the shape for when neither side fits.)
+    // Everything runs in integer cents OFFSET POSITIVE (+110k, so interval lows stay positive too) because
+    // Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    // equal only for non-negative operands; a (interval, bucket) pair is
+    // unique, so the equi-join introduces no duplicate matches.
+    RQ("c17_interval_join", Some("""
+      WITH sup AS (SELECT s_suppkey,
+                          CAST(round(s_acctbal*100) AS BIGINT) + 110000
+                            AS bc
+                   FROM supplier),
+           cust AS (SELECT CAST(round(c_acctbal*100) AS BIGINT) + 110000
+                             AS cc
+                    FROM customer)
+      SELECT s_suppkey, CAST(count(cust.cc) AS BIGINT) AS n_in_range
+      FROM sup LEFT JOIN cust
+        ON cust.cc >= sup.bc - 10000 AND cust.cc <= sup.bc + 10000
+      GROUP BY 1 ORDER BY s_suppkey"""))((s, dir) => {
+      val W = 20000L // bucket width = interval width (cents): ≤ 2 buckets
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          (round(col("s_acctbal") * 100).cast("long") + 110000L).as("bc"))
+        .select(col("s_suppkey"), col("bc"),
+          (col("bc") - 10000L).as("lo"), (col("bc") + 10000L).as("hi"))
+        .select(col("s_suppkey"), col("lo"), col("hi"),
+          explode(sequence(expr(s"lo div $W"), expr(s"hi div $W")))
+            .as("bkt"))
+      val cust = t(s, dir, "customer")
+        .select((round(col("c_acctbal") * 100).cast("long") + 110000L)
+          .as("cc"))
+        .select(col("cc"), expr(s"cc div $W").as("bkt"))
+      sup.join(cust, Seq("bkt"), "left")
+        .withColumn("hit",
+          when(col("cc").isNotNull &&
+            col("cc") >= col("lo") && col("cc") <= col("hi"), 1L)
+            .otherwise(0L))
+        .groupBy("s_suppkey")
+        // a supplier spans 2 buckets → 2 left rows even with no match;
+        // summing hit (not counting rows) keeps the zero-count exact
+        .agg(sum("hit").as("n_in_range"))
+        .orderBy("s_suppkey")
+    })
   )
 }

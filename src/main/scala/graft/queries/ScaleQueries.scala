@@ -223,6 +223,40 @@ object ScaleQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Bloom-filter join pruning: the filtered dim side (BUILDING
+    // customers) builds a bloom filter over its join keys; the fact scan
+    // drops non-matching orders BEFORE the join shuffle, then the exact
+    // join removes the false positives — so the result is EXACTLY the
+    // plain join (the oracle). At 100 TB this is runtime row-level
+    // filtering: the shuffle carries ~selectivity × fact rows instead of
+    // the whole fact table, for one broadcast bitset. (Spark's own
+    // InjectRuntimeFilter applies the same idea automatically when
+    // statistics justify it; this query pins the explicit form.)
+    RQ("s6_bloom_prune", Some("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1 ORDER BY c_mktsegment"""))((s, dir) => {
+      val dim = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+      // expectedNumItems sized to the dim slice; 1% fpp → ~10 bits/key
+      val bloom = dim.stat.bloomFilter("c_custkey",
+        math.max(dim.count(), 1L), 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+      Tables(s, dir, "orders")
+        .filter(col("o_custkey").isNotNull &&
+          mightContain(col("o_custkey")))
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     // The native residue_key expression (plans/ResidueKey, injected via
     // SparkSessionExtensions): single-long sort key replaces the
     // struct-sort formulation of f1b — same answer, asserted by sharing

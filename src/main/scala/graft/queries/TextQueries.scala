@@ -932,6 +932,132 @@ object TextQueries {
           col("w2").as("top_next"), col("c").as("top_count"),
           (col("c").cast("double") / col("tot").cast("double")).as("p_top"))
         .orderBy("w1")
+    }),
+
+    // T24 — RAG-style sliding-window chunking: every document splits into
+    // overlapping token windows (size 32, stride 24 → 8-token overlap),
+    // the preprocessing step for retrieval/embedding corpora. Pure
+    // per-row expression work (sequence + explode), no shuffle at all —
+    // the plan is a single WholeStageCodegen pass over the scan, which is
+    // exactly the 100-TB shape (chunking parallelizes with the input
+    // splits).
+    RQ("t24_chunk_overlap", Some("""
+      WITH ws AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           c AS (SELECT doc_id, w,
+                        unnest(range(0, (len(w)-1)//24 + 1)) AS i FROM ws)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             CAST(least(32, len(w) - i*24) AS BIGINT) AS n_tok,
+             w[i*24 + 1] AS first_tok
+      FROM c ORDER BY doc_id, chunk_id"""))((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("wc", size(col("w")))
+        .select(col("doc_id"), col("w"), col("wc"),
+          explode(expr("sequence(0, (wc-1) div 24)")).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+          least(lit(32), col("wc") - col("i") * 24).cast("long").as("n_tok"),
+          element_at(col("w"), (col("i") * 24 + 1).cast("int"))
+            .as("first_tok"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // T25 — Count-Min sketch heavy hitters: a 4×64 CMS built over the
+    // token stream (md5-bucketed rows, so both engines agree bit-for-bit)
+    // and probed for every token with exact count ≥ 40; the estimate is
+    // the min over the 4 rows and always ≥ the exact count. This is the
+    // fixed-memory frequency sketch a 100-TB token stream needs when the
+    // exact vocabulary doesn't fit: the sketch build is partial-aggregable
+    // (sum per (row, bucket) — 256 cells cross the shuffle per partition),
+    // and the build here folds the exact-count table rather than
+    // re-exploding occurrences, so the corpus is scanned once.
+    RQ("t25_countmin", Some("""
+      WITH e AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+           exact AS (SELECT tok, count(*) AS cnt FROM e GROUP BY 1),
+           rows_ AS (SELECT unnest(range(0, 4)) AS r),
+           bk AS (SELECT tok, cnt, r,
+                         (ascii(substr(md5(r::VARCHAR || '|' || tok), 1, 1))*256
+                          + ascii(substr(md5(r::VARCHAR || '|' || tok), 2, 1)))
+                           % 64 AS b
+                  FROM exact CROSS JOIN rows_),
+           sk AS (SELECT r, b, sum(cnt) AS c FROM bk GROUP BY 1, 2),
+           q AS (SELECT tok, cnt, r, b FROM bk WHERE cnt >= 40),
+           est AS (SELECT q.tok, q.cnt, min(sk.c) AS est
+                   FROM q JOIN sk ON sk.r = q.r AND sk.b = q.b
+                   GROUP BY 1, 2)
+      SELECT tok, CAST(cnt AS BIGINT) AS exact_cnt,
+             CAST(est AS BIGINT) AS cms_est
+      FROM est ORDER BY tok"""))((s, dir) => {
+      def bucket(r: Column, tok: Column): Column = {
+        val dg = md5(concat(r.cast("string"), lit("|"), tok).cast("binary"))
+        (ascii(substring(dg, 1, 1)) * 256 + ascii(substring(dg, 2, 1))) % 64
+      }
+      val exact = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val bk = exact
+        .select(col("tok"), col("cnt"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("b", bucket(col("r"), col("tok")))
+      val sk = bk.groupBy("r", "b").agg(sum("cnt").as("c"))
+      bk.filter(col("cnt") >= 40)
+        .join(sk, Seq("r", "b"))
+        .groupBy("tok", "cnt").agg(min("c").as("est"))
+        .select(col("tok"), col("cnt").as("exact_cnt"),
+          col("est").as("cms_est"))
+        .orderBy("tok")
+    }),
+
+    // T26 — BPE merge-selection step: the most frequent adjacent
+    // character pairs over the token stream — one iteration of BPE
+    // vocabulary training (count pairs, pick the argmax, merge, repeat).
+    // The pair-count reduction is the only shuffle; the final rank runs
+    // over the distinct-pair table, whose cardinality is bounded by the
+    // charset² (not the corpus), so the global window is safe at any
+    // scale.
+    RQ("t26_bpe_merge", Some("""
+      WITH e AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+           pr AS (SELECT substr(tok, i, 2) AS pair, count(*) AS cnt
+                  FROM e, unnest(range(1, length(tok))) AS t(i)
+                  GROUP BY 1),
+           r AS (SELECT pair, cnt,
+                        row_number() OVER (ORDER BY cnt DESC, pair) AS rn
+                 FROM pr)
+      SELECT pair, CAST(cnt AS BIGINT) AS cnt, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 20 ORDER BY rn"""))((s, dir) =>
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok)-1), i -> substring(tok, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+        .filter(col("rn") <= 20)
+        .orderBy("rn")),
+
+    // T27 — per-source quota sampling (domain capping): within each
+    // source, rank documents by a deterministic md5 permutation and keep
+    // the first 15 — the anti-over-representation cap every corpus-mixing
+    // recipe applies per domain. The rank window is partitioned by
+    // source (never global), so it scales with the per-source slice.
+    RQ("t27_domain_quota", Some("""
+      WITH r AS (SELECT source, doc_id,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+                        count(*) OVER (PARTITION BY source) AS tot
+                 FROM documents)
+      SELECT source, doc_id, CAST(rn AS BIGINT) AS rn,
+             CAST(tot AS BIGINT) AS n_source
+      FROM r WHERE rn <= 15 ORDER BY source, rn"""))((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(Window.partitionBy("source")).as("n_source"))
+        .filter(col("rn") <= 15)
+        .orderBy("source", "rn")
     })
   )
 }

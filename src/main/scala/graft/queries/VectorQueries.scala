@@ -276,6 +276,60 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // V8 — one Lloyd (k-means) iteration: assign every vector to its
+    // nearest of 8 centroids by L2² (same exact fold contract as v7),
+    // then recompute each cell's centroid as the per-dimension mean —
+    // the training loop behind the v3 IVF coarse quantizer and the v7 PQ
+    // codebook is exactly this step iterated. Scale shape: the centroid
+    // table is broadcast (one pass over the corpus, no shuffle for the
+    // assignment); the update is a (cell, dim)-keyed aggregation — 8×64
+    // groups — with map-side partial sums. Means divide exact BIGINT
+    // micro-quantized sums, so the compare is hash-stable.
+    RQ("v8_kmeans_step", Some("""
+      WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                 WHERE vec_id < 8),
+           d AS (SELECT v.vec_id, c.cid,
+                        list_sum(list_transform(list_zip(v.embedding, c.cv),
+                          x -> (x[1]::DOUBLE - x[2]::DOUBLE) *
+                               (x[1]::DOUBLE - x[2]::DOUBLE))) AS d2
+                 FROM embeddings v, c),
+           a AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cid) AS rn FROM d)
+                 WHERE rn = 1),
+           m AS (SELECT a.cid, i AS dim,
+                        CAST(round(v.embedding[i]::DOUBLE * 1000000) AS BIGINT)
+                          AS q
+                 FROM a JOIN embeddings v USING (vec_id),
+                      unnest(range(1, len(v.embedding)+1)) AS t(i))
+      SELECT cid, CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE
+               AS new_q
+      FROM m GROUP BY 1, 2 ORDER BY cid, dim"""))((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("d2", expr("""aggregate(
+            zip_with(embedding, cv,
+              (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                        (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+            CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cid")
+      asg.join(e, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("v").cast("double") * 1000000).cast("long").as("q"))
+        .groupBy("cid", "dim")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+        .select(col("cid"), col("dim"), col("n"),
+          (col("sq").cast("double") / col("n").cast("double")).as("new_q"))
+        .orderBy("cid", "dim")
+    }),
+
     RQ("v2_lsh_ann", Some(s"""
       WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
                  FROM embeddings),

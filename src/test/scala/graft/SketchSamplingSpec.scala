@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant coverage for the sketch / sampling / chunking operators
+  * added in round 6: CMS over-estimation, chunk coverage, quota caps,
+  * Lloyd-step cell partitioning, and bloom-prune exactness.
+  */
+class SketchSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    SparkEntry.all.find(_.name == name).get.build(spark, sf)
+
+  describe("t24 chunk overlap invariants") {
+    it("chunks tile every document: start at 0, end at wc, 1..32 tokens") {
+      val chunks = q("t24_chunk_overlap")
+      assert(chunks.filter(col("n_tok") < 1 || col("n_tok") > 32)
+        .count() === 0)
+      val last = chunks.groupBy("doc_id")
+        .agg(min("chunk_id").as("first"), max("chunk_id").as("lastc"),
+          max(col("chunk_id") * 24 + col("n_tok")).as("covered"))
+      val wc = Tables(spark, sf, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("wc"))
+      val bad = last.join(wc, "doc_id")
+        .filter(col("first") =!= 0 || col("covered") =!= col("wc"))
+      assert(bad.count() === 0)
+      // stride (24) < window (32): consecutive chunks genuinely overlap
+      assert(chunks.filter(col("chunk_id") > 0).count() > 0)
+    }
+  }
+
+  describe("t25 count-min sketch") {
+    it("never under-estimates: est >= exact for every probed token") {
+      assert(q("t25_countmin").filter(col("cms_est") < col("exact_cnt"))
+        .count() === 0)
+    }
+    it("collisions only inflate: est bounded by the total token count") {
+      val total = Tables(spark, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("t")).count()
+      assert(q("t25_countmin").filter(col("cms_est") > total).count() === 0)
+    }
+  }
+
+  describe("t26 BPE merge step") {
+    it("ranks 2-char pairs by non-increasing count") {
+      val rows = q("t26_bpe_merge").orderBy("rn")
+        .as[(String, Long, Long)].collect()
+      assert(rows.nonEmpty && rows.forall(_._1.length == 2))
+      assert(rows.map(_._2).sliding(2).forall(w =>
+        w.length < 2 || w(0) >= w(1)))
+      assert(rows.map(_._3).toSeq === (1L to rows.length))
+    }
+  }
+
+  describe("t27 per-source quota") {
+    it("keeps min(15, source size) docs per source") {
+      val kept = q("t27_domain_quota").groupBy("source")
+        .agg(count(lit(1)).as("k"), max("n_source").as("tot"))
+      assert(kept.count() > 0)
+      assert(kept.filter(col("k") =!= least(lit(15), col("tot")))
+        .count() === 0)
+    }
+  }
+
+  describe("v8 k-means step") {
+    it("cells partition the corpus: per-dim member counts sum to N") {
+      val n = Tables(spark, sf, "embeddings").count()
+      val byDim = q("v8_kmeans_step").groupBy("dim")
+        .agg(sum("n").as("members"), count(lit(1)).as("cells"))
+      assert(byDim.filter(col("members") =!= n || col("cells") > 8)
+        .count() === 0)
+      assert(byDim.count() === 64)
+    }
+  }
+
+  describe("x4 BFS hops (Pregel)") {
+    it("source is 0, distances are edge-consistent, -1 only off-component") {
+      val hops = q("x4_bfs_hops")
+      val srcRows = hops.filter(col("hops") === 0).collect()
+      assert(srcRows.length === 1)
+      assert(srcRows.head.getLong(0) ===
+        hops.agg(min("suppkey")).head.getLong(0))
+      assert(hops.filter(col("hops") < -1).count() === 0)
+      // every edge (a,b) with both endpoints reachable: |h(a)-h(b)| <= 1
+      val e = graft.graph.GraphAnalytics
+        .topKCanonEdges(spark, sf, 3)
+      val ha = hops.select(col("suppkey").as("ea"), col("hops").as("hA"))
+      val hb = hops.select(col("suppkey").as("eb"), col("hops").as("hB"))
+      val bad = e.join(ha, "ea").join(hb, "eb")
+        .filter(col("hA") >= 0 && col("hB") >= 0 &&
+          abs(col("hA") - col("hB")) > 1)
+      assert(bad.count() === 0)
+    }
+  }
+
+  describe("c17 interval join") {
+    it("bucket decomposition equals the plain theta join") {
+      val sup = Tables(spark, sf, "supplier")
+        .select(col("s_suppkey"),
+          (round(col("s_acctbal") * 100).cast("long") + 110000L).as("bc"))
+      val cust = Tables(spark, sf, "customer")
+        .select((round(col("c_acctbal") * 100).cast("long") + 110000L)
+          .as("cc"))
+      val theta = sup.join(cust,
+          col("cc") >= col("bc") - 10000L && col("cc") <= col("bc") + 10000L,
+          "left")
+        .groupBy("s_suppkey")
+        .agg(sum(when(col("cc").isNotNull, 1L).otherwise(0L))
+          .as("n_in_range"))
+        .orderBy("s_suppkey")
+      assert(q("c17_interval_join").collect().toSeq ===
+        theta.collect().toSeq)
+    }
+  }
+
+  describe("s6 bloom prune") {
+    it("bloom pre-filter changes nothing: result == plain join") {
+      val plain = Tables(spark, sf, "orders")
+        .join(Tables(spark, sf, "customer")
+          .filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val got = q("s6_bloom_prune")
+      assert(got.collect().toSeq === plain.orderBy("c_mktsegment")
+        .collect().toSeq)
+    }
+  }
+}

@@ -88,5 +88,25 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
       assert(!p.contains("SortMergeJoin"), p)
     }
+    it("t24 chunking plans zero exchanges before its output sort") {
+      // chunking must stay embarrassingly parallel: explode + project
+      // only — the single exchange allowed is the final orderBy's range
+      // partitioning
+      val p = executed("t24_chunk_overlap")
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"t24 has $exchanges exchanges:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+    }
+    it("c17 interval join stays an equi-join — never nested-loop") {
+      val p = executed("c17_interval_join")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+    }
+    it("v8 k-means assignment broadcasts the centroid table") {
+      val p = executed("v8_kmeans_step")
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
   }
 }

@@ -1058,6 +1058,81 @@ object TextQueries {
           count(lit(1)).over(Window.partitionBy("source")).as("n_source"))
         .filter(col("rn") <= 15)
         .orderBy("source", "rn")
+    }),
+
+    // T28 — cross-corpus boilerplate (line) dedup, the C4 "repeated
+    // lines" rule: aligned 3-token blocks stand in for text lines; a
+    // block occurring in ≥ 3 distinct documents is boilerplate and every
+    // occurrence is dropped. Per-document accounting of kept/dropped
+    // blocks. Scale shape: one shuffle keyed by block text to build the
+    // (small) boilerplate set, one broadcast-able join back — never a
+    // self-join of the corpus.
+    RQ("t28_line_dedup", Some("""
+      WITH ws AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           b AS (SELECT doc_id,
+                        array_to_string(w[i*3+1 : i*3+3], ' ') AS blk
+                 FROM ws, unnest(range(0, (len(w)-1)//3 + 1)) AS t(i)),
+           bp AS (SELECT blk FROM (
+                    SELECT blk, count(DISTINCT doc_id) nd FROM b GROUP BY 1)
+                  WHERE nd >= 3)
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(count(bp.blk) AS BIGINT) AS n_dropped,
+             (CAST(count(*) AS BIGINT) - CAST(count(bp.blk) AS BIGINT))::DOUBLE
+               / CAST(count(*) AS BIGINT)::DOUBLE AS keep_ratio
+      FROM b LEFT JOIN bp ON b.blk = bp.blk
+      GROUP BY 1 ORDER BY doc_id"""))((s, dir) => {
+      val b = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("wc", size(col("w")))
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(0, (wc-1) div 3)")).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", expr("slice(w, i*3+1, 3)")).as("blk"))
+      val bp = b.groupBy("blk")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 3)
+        .select(col("blk"), lit(1L).as("isbp"))
+      b.join(broadcast(bp), Seq("blk"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(coalesce(col("isbp"), lit(0L))).as("n_dropped"))
+        .select(col("doc_id"), col("n_blocks"), col("n_dropped"),
+          ((col("n_blocks") - col("n_dropped")).cast("double") /
+            col("n_blocks").cast("double")).as("keep_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // J7 — streaming per-source admission control: the t27 quota as a
+    // stateful stream (StreamingOps.quotaAdmit). Docs arrive in doc-id
+    // order over 4 micro-batches; each source's counter state admits its
+    // first 15 ids and drops the rest at ingestion — the shape that caps
+    // a domain's share of a 100 TB crawl WITHOUT ever materializing the
+    // over-quota rows. Oracle: the batch rank-and-filter.
+    RQ("j7_stream_quota", Some("""
+      WITH r AS (SELECT source, doc_id,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY doc_id) AS rn
+                 FROM documents)
+      SELECT source, doc_id FROM r WHERE rn <= 15
+      ORDER BY source, doc_id"""))((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val data = docs(s, dir).select(col("doc_id"), col("source"))
+        .orderBy("doc_id").as[(Long, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingOps
+        .quotaAdmit(mem.toDS(), cap = 15)
+        .writeStream.format("memory").queryName("j7_quota")
+        .outputMode("append").start()
+      try {
+        data.grouped(data.length / 4 + 1).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table("j7_quota").select("source", "doc_id")
+        .orderBy("source", "doc_id")
     })
   )
 }

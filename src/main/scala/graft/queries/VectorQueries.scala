@@ -276,6 +276,71 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // V9 — multiprobe IVF ANN: like v3, but the query searches its TWO
+    // nearest cells (nprobe=2) instead of only its own — the standard
+    // recall lever when a query lands near a cell boundary. Corpus
+    // assignment stays single-cell; only the probe set widens, so cost
+    // grows with nprobe × cell size, not corpus size.
+    RQ("v9_multiprobe_ivf", Some(s"""
+      WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+                 WHERE vec_id < 8),
+           asg AS (SELECT n_id, c_id FROM (
+             SELECT n.vec_id AS n_id, c.c_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${cosSql("n.embedding", "c.cv")} DESC, c.c_id)
+                      AS rn
+             FROM embeddings n, c) WHERE rn = 1),
+           q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 5),
+           qc AS (SELECT q_id, qv, c_id FROM (
+             SELECT q.q_id, q.qv, c.c_id,
+                    row_number() OVER (PARTITION BY q.q_id
+                      ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.c_id) AS rn
+             FROM q, c) WHERE rn <= 2),
+           cand AS (SELECT DISTINCT qc.q_id, a.n_id
+                    FROM qc JOIN asg a ON a.c_id = qc.c_id
+                    WHERE a.n_id <> qc.q_id),
+           sc AS (SELECT cand.q_id, cand.n_id,
+                         ${cosSql("q.qv", "n.embedding")} AS cos
+                  FROM cand JOIN q ON q.q_id = cand.q_id
+                  JOIN embeddings n ON n.vec_id = cand.n_id),
+           r AS (SELECT q_id, n_id, cos,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, n_id) AS rnk
+                 FROM sc)
+      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val asg = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(Window.partitionBy("n_id")
+          .orderBy(cosine(col("nv"), col("cv")).desc, col("c_id"))))
+        .filter(col("rn") === 1)
+        .select("n_id", "c_id")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val qc = q.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(cosine(col("qv"), col("cv")).desc, col("c_id"))))
+        .filter(col("rn") <= 2)
+        .select("q_id", "c_id")
+      val cand = qc.join(asg, "c_id")
+        .filter(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id").distinct()
+      cand.join(q, "q_id")
+        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+          "n_id")
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
+          col("cos"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // V8 — one Lloyd (k-means) iteration: assign every vector to its
     // nearest of 8 centroids by L2² (same exact fold contract as v7),
     // then recompute each cell's centroid as the per-dimension mean —

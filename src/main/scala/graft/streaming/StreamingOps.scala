@@ -87,4 +87,39 @@ object StreamingOps {
           }
       }
   }
+
+  /** An admitted (source, doc) row from quotaAdmit. */
+  final case class Admitted(source: String, doc_id: Long)
+
+  /** Streaming per-key admission control — the t27 domain cap at
+    * ingestion time: each source admits at most `cap` documents over the
+    * stream's lifetime, in doc-id order (micro-batch groups are sorted,
+    * so an in-order feed admits exactly the first `cap` ids per source).
+    * State is ONE counter per source — constant-size regardless of
+    * corpus, the only state shape that survives an unbounded crawl.
+    * Emitted in Append mode: an admitted doc is final, never revised.
+    */
+  def quotaAdmit(docs: Dataset[(Long, String)], cap: Int,
+                 stateTtlMs: Long = 0L): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, Admitted](OutputMode.Append(), timeout) {
+        (src: String, rows: Iterator[(Long, String)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val admitted = state.getOption.getOrElse(0L)
+            val room = math.max(0L, cap - admitted).toInt
+            val take = rows.map(_._1).toSeq.sorted.take(room)
+            if (take.nonEmpty) state.update(admitted + take.length)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            take.iterator.map(Admitted(src, _))
+          }
+      }
+  }
 }

@@ -115,6 +115,56 @@ class SketchSamplingSpec extends SparkSpec {
     }
   }
 
+  describe("t28 line dedup") {
+    it("accounting is consistent and the boilerplate rule bites") {
+      val r = q("t28_line_dedup")
+      assert(r.filter(col("n_dropped") > col("n_blocks") ||
+        col("keep_ratio") < 0 || col("keep_ratio") > 1).count() === 0)
+      assert(r.agg(sum("n_dropped")).head.getLong(0) > 0)
+    }
+  }
+
+  describe("quotaAdmit (j7 kernel)") {
+    it("admits the same set regardless of micro-batching") {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val data = Tables(spark, sf, "documents")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id").as[(Long, String)].collect()
+      def run(chunks: Int, name: String): Set[(String, Long)] = {
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val qry = graft.streaming.StreamingOps
+          .quotaAdmit(mem.toDS(), cap = 7)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          data.grouped(data.length / chunks + 1).foreach { c =>
+            mem.addData(c.toSeq: _*)
+            qry.processAllAvailable()
+          }
+        } finally qry.stop()
+        spark.table(name).as[(String, Long)].collect().toSet
+      }
+      val one = run(1, "qa_one")
+      val five = run(5, "qa_five")
+      assert(one === five)
+      assert(one.groupBy(_._1).forall(_._2.size <= 7))
+    }
+  }
+
+  describe("v9 multiprobe IVF") {
+    it("nprobe=2 never finds a worse best-neighbor than nprobe=1") {
+      val v3 = q("v3_ivf_ann").filter(col("rnk") === 1)
+        .select(col("q_id"), col("cos").as("c3"))
+      val v9 = q("v9_multiprobe_ivf").filter(col("rnk") === 1)
+        .select(col("q_id"), col("cos").as("c9"))
+      val joined = v3.join(v9, "q_id")
+      assert(joined.count() > 0)
+      assert(joined.filter(col("c9") < col("c3")).count() === 0)
+    }
+  }
+
   describe("s6 bloom prune") {
     it("bloom pre-filter changes nothing: result == plain join") {
       val plain = Tables(spark, sf, "orders")

@@ -14,6 +14,17 @@ import graft.Tables
   */
 object GraphAnalytics {
 
+  /** Partition count for the graph RDDs. The co-binding graph is
+    * DIMENSION-sized (suppliers/domains), not fact-sized — the
+    * DataFrames it derives from carry the fact side's shuffle
+    * parallelism (32+), which makes every GraphX superstep pay
+    * 32-partition task overhead to move a few hundred vertices.
+    * Coalescing to a handful of partitions cuts the per-iteration floor
+    * ~linearly; at a truly large graph this would scale with vertex
+    * count instead (partitions ≈ |V| / a few million).
+    */
+  private val GraphParts = 4
+
   /** Distinct (part, supplier) incidence pairs — the single definition of
     * the co-binding relation every graph below derives from (a change to
     * it, e.g. filtering zero-quantity contacts, must hit x1/x2/x3 alike).
@@ -41,8 +52,9 @@ object GraphAnalytics {
       .select("s1", "s2").distinct()
 
     val vertices = coBindingPairs(s, dir).select(col("sk")).distinct()
-      .rdd.map(r => (r.getLong(0), ()))
-    val edges = edgesDf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      .coalesce(GraphParts).rdd.map(r => (r.getLong(0), ()))
+    val edges = edgesDf.coalesce(GraphParts).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = Graph(vertices, edges)
     val cc = graph.connectedComponents().vertices
 
@@ -103,9 +115,9 @@ object GraphAnalytics {
     val verts = coBindingPairs(s, dir).select(col("sk")).distinct()
     val src = verts.agg(min("sk")).head.getLong(0)
     val Unreached = Long.MaxValue / 4 // sentinel; +1 never overflows
-    val vertices = verts.rdd.map(r =>
+    val vertices = verts.coalesce(GraphParts).rdd.map(r =>
       (r.getLong(0), if (r.getLong(0) == src) 0L else Unreached))
-    val edges = topKCanonEdges(s, dir, k).rdd
+    val edges = topKCanonEdges(s, dir, k).coalesce(GraphParts).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val g = Graph(vertices, edges)
     val res = g.pregel(Unreached, maxIterations = cap)(
@@ -130,8 +142,10 @@ object GraphAnalytics {
     */
   private[graft] def triangleCountDf(s: SparkSession, verticesDf: DataFrame,
                                      edgesDf: DataFrame): DataFrame = {
-    val vertices = verticesDf.rdd.map(r => (r.getLong(0), ()))
-    val edges = edgesDf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val vertices = verticesDf.coalesce(GraphParts).rdd
+      .map(r => (r.getLong(0), ()))
+    val edges = edgesDf.coalesce(GraphParts).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = Graph(vertices, edges)
       .partitionBy(PartitionStrategy.RandomVertexCut)
     val tc = graph.triangleCount().vertices
@@ -146,7 +160,8 @@ object GraphAnalytics {
   def ligandPromiscuity(s: SparkSession, dir: String): DataFrame = {
     val pairs = coBindingPairs(s, dir)
     // bipartite ids: parts in positive space, suppliers offset negative
-    val edges = pairs.rdd.map(r => Edge(r.getLong(0), -1L - r.getLong(1), ()))
+    val edges = pairs.coalesce(GraphParts).rdd
+      .map(r => Edge(r.getLong(0), -1L - r.getLong(1), ()))
     val graph = Graph.fromEdges(edges, ())
     val degs = graph.degrees.filter(_._1 >= 0) // part side only
     s.createDataFrame(degs.map { case (id, d) => (id, d.toLong) })

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{RQ, Tables}
@@ -22,14 +23,16 @@ object EventQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Events as (user_id, event_id, us) microsecond longs — the shared
-    * nanos-handling recipe for every query that works in epoch-µs space
-    * (e3/e4/j1); ONE definition of the `ts div 1000` truncation.
+  /** Events as (user_id, event_id, us, value) with microsecond longs —
+    * the shared nanos-handling recipe for every query that works in
+    * epoch-µs space (e3/e4/e7/j1); ONE definition of the `ts div 1000`
+    * truncation.
     */
   private[queries] def evMicros(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables(s, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        col("value"))
   }
 
   /** The 30-minute-gap sessionization oracle — shared verbatim by the
@@ -123,6 +126,31 @@ object EventQueries {
         .agg(max("n_sessions").as("n_sessions"),
           max("n_events").as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // E7 — RANGE-frame rolling window: per user, the count and exact
+    // milli-value sum of events in the trailing hour, at every event —
+    // the time-decayed feature shape (rolling rates, trailing revenue)
+    // that ROWS frames can't express when event spacing is irregular.
+    // The frame is a value range over epoch-µs, so ties land in the same
+    // frame on both engines regardless of row order — deterministic
+    // without an event_id tie-break in the frame itself.
+    RQ("e7_rolling_window", Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                        CAST(round(value*1000) AS BIGINT) AS vm FROM events)
+      SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_1h,
+             CAST(sum(vm) OVER w AS BIGINT) AS vm_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, 0L)
+      evMicros(s, dir)
+        .withColumn("vm", round(col("value") * 1000).cast("long"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"), sum("vm").over(w).as("vm_1h"))
+        .orderBy("user_id", "event_id")
     }),
 
     // Time-bucketed aggregation (hourly tumbling window — identical plan

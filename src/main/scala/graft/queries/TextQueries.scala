@@ -993,6 +993,10 @@ object TextQueries {
       val exact = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        // vocabulary-sized, consumed by both the sketch build and the
+        // probe side — persist so the corpus is tokenized exactly once
+        // (cache lifecycle: LRU-evictable blocks, same note as Ann)
+        .persist()
       val bk = exact
         .select(col("tok"), col("cnt"),
           explode(sequence(lit(0), lit(3))).as("r"))

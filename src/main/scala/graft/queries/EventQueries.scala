@@ -106,20 +106,12 @@ object EventQueries {
     // production pipeline points readStream at a file/Kafka source.
     RQ("j1_stream_sessionize", Some(sessionizeOracleSql))((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       val data = evMicros(s, dir).select("user_id", "us")
         .orderBy("us").as[(Long, Long)].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long)]
-      val q = graft.streaming.StreamingOps.sessionizeByGap(mem.toDS())
-        .toDF().writeStream.format("memory").queryName("j1_sessions")
-        .outputMode("update").start()
-      try {
-        data.grouped(data.length / 4 + 1).foreach { chunk =>
-          mem.addData(chunk.toSeq: _*)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      Replay.chunked(s, data.toSeq, 4)(ds =>
+        graft.streaming.StreamingOps.sessionizeByGap(ds)
+          .toDF().writeStream.format("memory").queryName("j1_sessions")
+          .outputMode("update").start())
       // update-mode sink holds one row per (user, batch); counts are
       // monotone, so the max per user is the final state
       s.table("j1_sessions").groupBy("user_id")
@@ -172,23 +164,15 @@ object EventQueries {
     // reproduces the batch rollup exactly (same oracle as e2).
     RQ("j2_stream_hourly", Some(hourlyOracleSql))((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       val data = ev(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
         .orderBy("ts", "event_type")
         .as[(java.sql.Timestamp, String, Double)].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, String, Double)]
-      val q = graft.streaming.StreamingOps
-        .hourlyCounts(mem.toDF().toDF("ts", "event_type", "value"))
-        .writeStream.format("memory").queryName("j2_hourly")
-        .outputMode("complete").start()
-      try {
-        data.grouped(data.length / 3 + 1).foreach { chunk =>
-          mem.addData(chunk.toSeq: _*)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      Replay.chunked(s, data.toSeq, 3)(ds =>
+        graft.streaming.StreamingOps
+          .hourlyCounts(ds.toDF("ts", "event_type", "value"))
+          .writeStream.format("memory").queryName("j2_hourly")
+          .outputMode("complete").start())
       s.table("j2_hourly").orderBy("hour", "event_type")
     }),
 
@@ -214,21 +198,14 @@ object EventQueries {
           .select(col("user_id"), col("n_name")))
       val data = ev(s, dir).select(col("user_id"), col("value"))
         .as[(Long, Double)].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Double)]
-      val q = mem.toDF().toDF("user_id", "value")
-        .join(dim, Seq("user_id"))
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 1000).cast("long")).as("val_milli"))
-        .writeStream.format("memory").queryName("j3_nations")
-        .outputMode("complete").start()
-      try {
-        data.grouped(data.length / 3 + 1).foreach { chunk =>
-          mem.addData(chunk.toSeq: _*)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      Replay.chunked(s, data.toSeq, 3)(ds =>
+        ds.toDF("user_id", "value")
+          .join(dim, Seq("user_id"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1000).cast("long")).as("val_milli"))
+          .writeStream.format("memory").queryName("j3_nations")
+          .outputMode("complete").start())
       s.table("j3_nations").orderBy("n_name")
     }),
 
@@ -249,7 +226,6 @@ object EventQueries {
              CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_cached
       FROM lineitem GROUP BY 1 ORDER BY suppkey"""))((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       // sweep dead processes' caches; ours is pid+nanotime-unique
       Option(new java.io.File("/tmp/graft_fixtures").listFiles)
         .getOrElse(Array.empty)
@@ -267,23 +243,16 @@ object EventQueries {
       // seed an empty cache so the first batch's anti-join has a schema
       Seq.empty[(Long, Long, String)].toDF("suppkey", "pk", "pair_key")
         .write.mode("overwrite").parquet(cacheDir)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, String)]
-      val q = mem.toDF().toDF("suppkey", "pk", "pair_key")
-        .writeStream.foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) =>
-            val cache = s.read.parquet(cacheDir).localCheckpoint(true)
-            graft.streaming.StreamingOps
-              .newPairsAgainstCache(batch.dropDuplicates("pair_key"), cache)
-              .write.mode("append").parquet(cacheDir)
-        }.start()
-      try {
-        data.grouped(data.length / 3 + 1).foreach { chunk =>
-          mem.addData(chunk.toSeq: _*)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      Replay.chunked(s, data.toSeq, 3)(ds =>
+        ds.toDF("suppkey", "pk", "pair_key")
+          .writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              val cache = s.read.parquet(cacheDir).localCheckpoint(true)
+              graft.streaming.StreamingOps
+                .newPairsAgainstCache(batch.dropDuplicates("pair_key"), cache)
+                .write.mode("append").parquet(cacheDir)
+          }.start())
       s.read.parquet(cacheDir).groupBy("suppkey")
         .agg(count(lit(1)).as("n_cached"))
         .orderBy("suppkey")

@@ -10,6 +10,22 @@ import graft.graph.GraphAnalytics
   */
 object GraphQueryDefs {
 
+  /** DuckDB mirror of GraphAnalytics.topKCanonEdges (k = 3): CTE chain
+    * pairs → sh → top3 → e(a, b) + the vertex set — ONE definition shared
+    * by the x3 and x4 oracles, exactly as topKCanonEdges is the one Spark
+    * edge definition (a k or tie-break change cannot diverge them).
+    */
+  private val top3CanonSqlCtes: String = """
+      pairs AS (SELECT DISTINCT l_partkey pk, l_suppkey sk FROM lineitem),
+      sh AS (SELECT a.sk s1, b.sk s2, count(*) n
+             FROM pairs a JOIN pairs b ON a.pk = b.pk AND a.sk <> b.sk
+             GROUP BY 1, 2),
+      top3 AS (SELECT s1, s2 FROM (
+         SELECT s1, s2, row_number() OVER (PARTITION BY s1
+           ORDER BY n DESC, s2) rn FROM sh) WHERE rn <= 3),
+      e AS (SELECT DISTINCT least(s1, s2) a, greatest(s1, s2) b FROM top3),
+      nodes AS (SELECT DISTINCT sk FROM pairs)"""
+
   val defs: Seq[RQ] = Seq(
 
     RQ("x1_graph_components", Some("""
@@ -40,25 +56,14 @@ object GraphQueryDefs {
     // sparsification is the semantically right graph). Oracle: the same
     // top-3 window + canonical edges, triangles by ordered 3-way
     // edge join, each counted once per corner vertex.
-    RQ("x3_knn_triangles", Some("""
-      WITH pairs AS (SELECT DISTINCT l_partkey pk, l_suppkey sk
-                     FROM lineitem),
-           sh AS (SELECT a.sk s1, b.sk s2, count(*) n
-                  FROM pairs a JOIN pairs b
-                    ON a.pk = b.pk AND a.sk <> b.sk
-                  GROUP BY 1, 2),
-           top3 AS (SELECT s1, s2 FROM (
-              SELECT s1, s2, row_number() OVER (PARTITION BY s1
-                ORDER BY n DESC, s2) rn FROM sh) WHERE rn <= 3),
-           e AS (SELECT DISTINCT least(s1, s2) a, greatest(s1, s2) b
-                 FROM top3),
+    RQ("x3_knn_triangles", Some(s"""
+      WITH $top3CanonSqlCtes,
            t AS (SELECT e1.a x, e1.b y, e2.b z
                  FROM e e1 JOIN e e2 ON e2.a = e1.b
                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
            pv AS (SELECT x AS v FROM t UNION ALL SELECT y FROM t
                   UNION ALL SELECT z FROM t),
-           cnt AS (SELECT v, count(*) nt FROM pv GROUP BY 1),
-           nodes AS (SELECT DISTINCT sk FROM pairs)
+           cnt AS (SELECT v, count(*) nt FROM pv GROUP BY 1)
       SELECT nodes.sk AS suppkey,
              CAST(coalesce(cnt.nt, 0) AS BIGINT) AS n_triangles
       FROM nodes LEFT JOIN cnt ON cnt.v = nodes.sk
@@ -71,18 +76,9 @@ object GraphQueryDefs {
     // Oracle: recursive CTE enumerating (node, depth) pairs to the same
     // 40-hop cap — both engines report beyond-cap/unreachable as -1, so
     // the bounded recursion is exact, not approximate.
-    RQ("x4_bfs_hops", Some("""
-      WITH RECURSIVE
-      pairs AS (SELECT DISTINCT l_partkey pk, l_suppkey sk FROM lineitem),
-      sh AS (SELECT a.sk s1, b.sk s2, count(*) n
-             FROM pairs a JOIN pairs b ON a.pk = b.pk AND a.sk <> b.sk
-             GROUP BY 1, 2),
-      top3 AS (SELECT s1, s2 FROM (
-         SELECT s1, s2, row_number() OVER (PARTITION BY s1
-           ORDER BY n DESC, s2) rn FROM sh) WHERE rn <= 3),
-      e AS (SELECT DISTINCT least(s1, s2) a, greatest(s1, s2) b FROM top3),
+    RQ("x4_bfs_hops", Some(s"""
+      WITH RECURSIVE $top3CanonSqlCtes,
       ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-      nodes AS (SELECT DISTINCT sk FROM pairs),
       s AS (SELECT min(sk) AS src FROM nodes),
       reach(node, d) AS (
         SELECT src, 0 FROM s

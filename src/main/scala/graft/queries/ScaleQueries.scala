@@ -107,15 +107,29 @@ object ScaleQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY o_orderpriority"""))((s, dir) => {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // underscore-free dir tag: it's embedded in an underscore-delimited
+      // table name the sweep below parses positionally
+      val dirTag = dir.replaceAll("[^A-Za-z0-9]", "").toLowerCase
       val pid = ProcessHandle.current.pid
       val fixRoot = new java.io.File(s"/tmp/graft_fixtures/$safe")
       Option(fixRoot.listFiles).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("s5_[a-z]+_\\d+_.*") &&
-          sweepable(f.getName.split("_")(2).toLong))
+        .filter { f =>
+          // pid = first all-digit segment after the table-name segment
+          // (position 3 in the current s5_<t>_<dirTag>_<pid>_... layout,
+          // position 2 in the pre-dirTag layout — sweep both)
+          f.getName.startsWith("s5_") &&
+            f.getName.split("_").drop(2)
+              .find(p => p.nonEmpty && p.forall(_.isDigit))
+              .exists(p => sweepable(p.toLong))
+        }
         .foreach(rm)
       def bucketed(t: String, key: String, keep: Seq[String]): String = {
         val src = new java.io.File(s"$dir/$t.parquet")
-        val tbl = s"s5_${t}_${pid}_${src.length}_${src.lastModified}"
+        // dirTag must be part of the CATALOG key, not only the path:
+        // without it, two data dirs whose source files collide on
+        // (length, mtime) would satisfy tableExists and silently reuse
+        // the other dir's bucketed copy
+        val tbl = s"s5_${t}_${dirTag}_${pid}_${src.length}_${src.lastModified}"
         if (!s.catalog.tableExists(tbl))
           Tables(s, dir, t).select(keep.map(col): _*)
             .write.mode("overwrite").bucketBy(8, key).sortBy(key)

@@ -781,25 +781,17 @@ object TextQueries {
       SELECT source, CAST(count(*) AS BIGINT) AS n_unique
       FROM u GROUP BY 1 ORDER BY source"""))((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       val data = docs(s, dir)
         .select(col("doc_id"), col("source"),
           md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5))
             .cast("binary")).as("fp"))
         .orderBy("doc_id").as[(Long, String, String)].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, String)]
-      val q = mem.toDF().toDF("doc_id", "source", "fp")
-        .groupBy("fp")
-        .agg(min(struct(col("doc_id"), col("source"))).as("m"))
-        .writeStream.format("memory").queryName("j4_dedup")
-        .outputMode("update").start()
-      try {
-        data.grouped(data.length / 4 + 1).foreach { chunk =>
-          mem.addData(chunk.toSeq: _*)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      Replay.chunked(s, data.toSeq, 4)(ds =>
+        ds.toDF("doc_id", "source", "fp")
+          .groupBy("fp")
+          .agg(min(struct(col("doc_id"), col("source"))).as("m"))
+          .writeStream.format("memory").queryName("j4_dedup")
+          .outputMode("update").start())
       // update-mode sink holds one row per (fp, batch); min(struct) is
       // monotone non-increasing, so the per-fp minimum over the sink is
       // the final state
@@ -829,7 +821,6 @@ object TextQueries {
       SELECT da AS doc_a, db AS doc_b, jacc
       FROM dup ORDER BY doc_a, doc_b"""))((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       import graft.operators.MinHashDedup
       Option(new java.io.File("/tmp/graft_fixtures").listFiles)
         .getOrElse(Array.empty)
@@ -847,10 +838,9 @@ object TextQueries {
         .write.parquet(dupDir)
       val data = docs(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      val q = mem.toDF().toDF("doc_id", "text")
-        .writeStream.foreachBatch {
+      Replay.chunked(s, data.toSeq, 3)(ds =>
+        ds.toDF("doc_id", "text")
+          .writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            _: Long) =>
             val shNew = MinHashDedup.shingleRows(batch, "doc_id", "text")
@@ -875,13 +865,7 @@ object TextQueries {
               .write.mode("append").parquet(dupDir)
             bandNew.write.mode("append").parquet(bandsDir)
             shNew.write.mode("append").parquet(shDir)
-        }.start()
-      try {
-        data.grouped(data.length / 3 + 1).foreach { chunk =>
-          mem.addData(chunk.toSeq: _*)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+          }.start())
       // distinct is belt-and-braces: each pair is emitted exactly once
       s.read.parquet(dupDir).distinct().orderBy("doc_a", "doc_b")
     }),
@@ -974,9 +958,12 @@ object TextQueries {
            exact AS (SELECT tok, count(*) AS cnt FROM e GROUP BY 1),
            rows_ AS (SELECT unnest(range(0, 4)) AS r),
            bk AS (SELECT tok, cnt, r,
-                         (ascii(substr(md5(r::VARCHAR || '|' || tok), 1, 1))*256
-                          + ascii(substr(md5(r::VARCHAR || '|' || tok), 2, 1)))
-                           % 64 AS b
+                         (strpos('0123456789abcdef',
+                            substr(md5(r::VARCHAR || '|' || tok), 1, 1)) - 1)
+                           * 4
+                         + (strpos('0123456789abcdef',
+                              substr(md5(r::VARCHAR || '|' || tok), 2, 1)) - 1)
+                             % 4 AS b
                   FROM exact CROSS JOIN rows_),
            sk AS (SELECT r, b, sum(cnt) AS c FROM bk GROUP BY 1, 2),
            q AS (SELECT tok, cnt, r, b FROM bk WHERE cnt >= 40),
@@ -986,9 +973,17 @@ object TextQueries {
       SELECT tok, CAST(cnt AS BIGINT) AS exact_cnt,
              CAST(est AS BIGINT) AS cms_est
       FROM est ORDER BY tok"""))((s, dir) => {
+      // bucket = nibble1 * 4 + nibble2 % 4 — a genuine 64-way uniform
+      // hash from the first two hex digits (an ascii-arithmetic variant
+      // previously collapsed to 16 effective buckets: ascii*256 ≡ 0 mod
+      // 64 and hex-char codes span only 16 values). Spark extracts the
+      // nibble with conv(); the oracle uses strpos over the hex alphabet
+      // — different functions, same number, same t8-simhash pattern.
       def bucket(r: Column, tok: Column): Column = {
         val dg = md5(concat(r.cast("string"), lit("|"), tok).cast("binary"))
-        (ascii(substring(dg, 1, 1)) * 256 + ascii(substring(dg, 2, 1))) % 64
+        def nib(p: Int): Column =
+          conv(substring(dg, p, 1), 16, 10).cast("long")
+        nib(1) * 4 + nib(2) % 4
       }
       val exact = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
@@ -1120,21 +1115,12 @@ object TextQueries {
       SELECT source, doc_id FROM r WHERE rn <= 15
       ORDER BY source, doc_id"""))((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       val data = docs(s, dir).select(col("doc_id"), col("source"))
         .orderBy("doc_id").as[(Long, String)].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      val q = graft.streaming.StreamingOps
-        .quotaAdmit(mem.toDS(), cap = 15)
-        .writeStream.format("memory").queryName("j7_quota")
-        .outputMode("append").start()
-      try {
-        data.grouped(data.length / 4 + 1).foreach { chunk =>
-          mem.addData(chunk.toSeq: _*)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      Replay.chunked(s, data.toSeq, 4)(ds =>
+        graft.streaming.StreamingOps.quotaAdmit(ds, cap = 15)
+          .writeStream.format("memory").queryName("j7_quota")
+          .outputMode("append").start())
       s.table("j7_quota").select("source", "doc_id")
         .orderBy("source", "doc_id")
     })

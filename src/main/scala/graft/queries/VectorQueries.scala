@@ -44,6 +44,24 @@ object VectorQueries {
         THEN '1' ELSE '0' END"""
   }.mkString(" || ")
 
+  /** Exact L2² fold over two float arrays, as a Spark SQL expression:
+    * left-to-right fold of exact float→double widenings — the
+    * cross-engine bit-identity contract (same as cosSql) shared by v7
+    * (sliced subvectors) and v8 (whole vectors). ONE definition each
+    * side so the contract cannot drift per query.
+    */
+  private def l2sqExpr(a: String, b: String): String = s"""aggregate(
+            zip_with($a, $b,
+              (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                        (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+            CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+
+  /** DuckDB mirror of l2sqExpr. */
+  private def l2sqSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+                            x -> (x[1]::DOUBLE - x[2]::DOUBLE) *
+                                 (x[1]::DOUBLE - x[2]::DOUBLE)))"""
+
   val defs: Seq[RQ] = Seq(
 
     // V1 — brute-force cosine top-k ANN baseline: 10 query vectors vs all
@@ -233,15 +251,12 @@ object VectorQueries {
     // left-to-right folds of exact float→double widenings, bit-identical
     // across engines (same contract as cosSql); the centroid table is
     // broadcast, so cost is one pass over the corpus.
-    RQ("v7_pq_codes", Some("""
+    RQ("v7_pq_codes", Some(s"""
       WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
                  WHERE vec_id < 4),
            sub AS (SELECT v.vec_id, t.j, c.cid,
-                          list_sum(list_transform(
-                            list_zip(v.embedding[t.j*16+1 : t.j*16+16],
-                                     c.cv[t.j*16+1 : t.j*16+16]),
-                            x -> (x[1]::DOUBLE - x[2]::DOUBLE) *
-                                 (x[1]::DOUBLE - x[2]::DOUBLE))) AS d2
+                          ${l2sqSql("v.embedding[t.j*16+1 : t.j*16+16]",
+                                    "c.cv[t.j*16+1 : t.j*16+16]")} AS d2
                    FROM embeddings v, c, unnest([0,1,2,3]) AS t(j)),
            r AS (SELECT vec_id, j, cid,
                         row_number() OVER (PARTITION BY vec_id, j
@@ -260,11 +275,8 @@ object VectorQueries {
         .select(col("vec_id"), col("cid"),
           explode(sequence(lit(0), lit(3))).as("j"),
           col("embedding"), col("cv"))
-        .withColumn("d2", expr("""aggregate(
-            zip_with(slice(embedding, j*16+1, 16), slice(cv, j*16+1, 16),
-              (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-                        (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-            CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+        .withColumn("d2", expr(l2sqExpr(
+          "slice(embedding, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
       val r = subs.withColumn("rn", row_number().over(
           Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("cid"))))
         .filter(col("rn") === 1)
@@ -350,13 +362,11 @@ object VectorQueries {
     // assignment); the update is a (cell, dim)-keyed aggregation — 8×64
     // groups — with map-side partial sums. Means divide exact BIGINT
     // micro-quantized sums, so the compare is hash-stable.
-    RQ("v8_kmeans_step", Some("""
+    RQ("v8_kmeans_step", Some(s"""
       WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
                  WHERE vec_id < 8),
            d AS (SELECT v.vec_id, c.cid,
-                        list_sum(list_transform(list_zip(v.embedding, c.cv),
-                          x -> (x[1]::DOUBLE - x[2]::DOUBLE) *
-                               (x[1]::DOUBLE - x[2]::DOUBLE))) AS d2
+                        ${l2sqSql("v.embedding", "c.cv")} AS d2
                  FROM embeddings v, c),
            a AS (SELECT vec_id, cid FROM (
                    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
@@ -375,11 +385,7 @@ object VectorQueries {
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val asg = e.crossJoin(broadcast(cents))
-        .withColumn("d2", expr("""aggregate(
-            zip_with(embedding, cv,
-              (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-                        (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-            CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+        .withColumn("d2", expr(l2sqExpr("embedding", "cv")))
         .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
           .orderBy(col("d2"), col("cid"))))
         .filter(col("rn") === 1)

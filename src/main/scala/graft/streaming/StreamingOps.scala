@@ -97,27 +97,28 @@ object StreamingOps {
     * so an in-order feed admits exactly the first `cap` ids per source).
     * State is ONE counter per source — constant-size regardless of
     * corpus, the only state shape that survives an unbounded crawl.
+    * Deliberately NO state TTL, unlike sessionizeByGap: evicting an idle
+    * source's counter would re-open its lifetime cap when it resumes;
+    * bounding the key space is upstream source-normalization's job, and
+    * a long per key costs nothing to keep.
     * Emitted in Append mode: an admitted doc is final, never revised.
     */
-  def quotaAdmit(docs: Dataset[(Long, String)], cap: Int,
-                 stateTtlMs: Long = 0L): Dataset[Admitted] = {
+  def quotaAdmit(docs: Dataset[(Long, String)], cap: Int): Dataset[Admitted] = {
     import docs.sparkSession.implicits._
-    val timeout =
-      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
     docs.groupByKey(_._2)
-      .flatMapGroupsWithState[Long, Admitted](OutputMode.Append(), timeout) {
+      .flatMapGroupsWithState[Long, Admitted](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (src: String, rows: Iterator[(Long, String)],
          state: GroupState[Long]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val admitted = state.getOption.getOrElse(0L)
-            val room = math.max(0L, cap - admitted).toInt
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, cap - admitted).toInt
+          // capped sources skip the sort/buffer entirely — on a crawl
+          // whose traffic is dominated by over-quota domains, this is
+          // the hot path
+          if (room == 0) Iterator.empty
+          else {
             val take = rows.map(_._1).toSeq.sorted.take(room)
             if (take.nonEmpty) state.update(admitted + take.length)
-            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             take.iterator.map(Admitted(src, _))
           }
       }

@@ -36,6 +36,20 @@ class SketchSamplingSpec extends SparkSpec {
       assert(q("t25_countmin").filter(col("cms_est") < col("exact_cnt"))
         .count() === 0)
     }
+    it("hash spans the full 64-bucket space (regression: an earlier " +
+      "ascii-arithmetic variant collapsed to 16 effective buckets)") {
+      import spark.implicits._
+      // synthetic keys, not the sf0.001 vocabulary: at ~40 distinct
+      // words, even a perfect 64-way hash only occupies ~30 buckets
+      val toks = spark.range(2000).select(col("id").cast("string").as("tok"))
+      val dg = md5(concat(lit("0"), lit("|"), col("tok")).cast("binary"))
+      val b = conv(substring(dg, 1, 1), 16, 10).cast("long") * 4 +
+        conv(substring(dg, 2, 1), 16, 10).cast("long") % 4
+      val used = toks.select(b.as("b")).distinct().count()
+      // 2000 keys >> 64 buckets: a uniform hash hits all of them; the
+      // collapsed variant could never exceed 16
+      assert(used === 64, s"only $used distinct buckets")
+    }
     it("collisions only inflate: est bounded by the total token count") {
       val total = Tables(spark, sf, "documents")
         .select(explode(split(col("text"), " ")).as("t")).count()
@@ -127,23 +141,14 @@ class SketchSamplingSpec extends SparkSpec {
   describe("quotaAdmit (j7 kernel)") {
     it("admits the same set regardless of micro-batching") {
       import spark.implicits._
-      implicit val sqlCtx = spark.sqlContext
       val data = Tables(spark, sf, "documents")
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id").as[(Long, String)].collect()
       def run(chunks: Int, name: String): Set[(String, Long)] = {
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String)]
-        val qry = graft.streaming.StreamingOps
-          .quotaAdmit(mem.toDS(), cap = 7)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try {
-          data.grouped(data.length / chunks + 1).foreach { c =>
-            mem.addData(c.toSeq: _*)
-            qry.processAllAvailable()
-          }
-        } finally qry.stop()
+        graft.queries.Replay.chunked(spark, data.toSeq, chunks)(ds =>
+          graft.streaming.StreamingOps.quotaAdmit(ds, cap = 7)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start())
         spark.table(name).as[(String, Long)].collect().toSet
       }
       val one = run(1, "qa_one")

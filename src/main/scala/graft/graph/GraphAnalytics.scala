@@ -19,7 +19,9 @@ object GraphAnalytics {
     * DataFrames it derives from carry the fact side's shuffle
     * parallelism (32+), which makes every GraphX superstep pay
     * 32-partition task overhead to move a few hundred vertices.
-    * Coalescing to a handful of partitions cuts the per-iteration floor
+    * Repartitioning (NOT coalesce — a narrow coalesce would drag the
+    * upstream joins/windows down to this parallelism too) to a handful
+    * of partitions cuts the per-iteration floor
     * ~linearly; at a truly large graph this would scale with vertex
     * count instead (partitions ≈ |V| / a few million).
     */
@@ -52,8 +54,8 @@ object GraphAnalytics {
       .select("s1", "s2").distinct()
 
     val vertices = coBindingPairs(s, dir).select(col("sk")).distinct()
-      .coalesce(GraphParts).rdd.map(r => (r.getLong(0), ()))
-    val edges = edgesDf.coalesce(GraphParts).rdd
+      .repartition(GraphParts).rdd.map(r => (r.getLong(0), ()))
+    val edges = edgesDf.repartition(GraphParts).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = Graph(vertices, edges)
     val cc = graph.connectedComponents().vertices
@@ -115,9 +117,9 @@ object GraphAnalytics {
     val verts = coBindingPairs(s, dir).select(col("sk")).distinct()
     val src = verts.agg(min("sk")).head.getLong(0)
     val Unreached = Long.MaxValue / 4 // sentinel; +1 never overflows
-    val vertices = verts.coalesce(GraphParts).rdd.map(r =>
+    val vertices = verts.repartition(GraphParts).rdd.map(r =>
       (r.getLong(0), if (r.getLong(0) == src) 0L else Unreached))
-    val edges = topKCanonEdges(s, dir, k).coalesce(GraphParts).rdd
+    val edges = topKCanonEdges(s, dir, k).repartition(GraphParts).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val g = Graph(vertices, edges)
     val res = g.pregel(Unreached, maxIterations = cap)(
@@ -142,9 +144,9 @@ object GraphAnalytics {
     */
   private[graft] def triangleCountDf(s: SparkSession, verticesDf: DataFrame,
                                      edgesDf: DataFrame): DataFrame = {
-    val vertices = verticesDf.coalesce(GraphParts).rdd
+    val vertices = verticesDf.repartition(GraphParts).rdd
       .map(r => (r.getLong(0), ()))
-    val edges = edgesDf.coalesce(GraphParts).rdd
+    val edges = edgesDf.repartition(GraphParts).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = Graph(vertices, edges)
       .partitionBy(PartitionStrategy.RandomVertexCut)
@@ -160,7 +162,7 @@ object GraphAnalytics {
   def ligandPromiscuity(s: SparkSession, dir: String): DataFrame = {
     val pairs = coBindingPairs(s, dir)
     // bipartite ids: parts in positive space, suppliers offset negative
-    val edges = pairs.coalesce(GraphParts).rdd
+    val edges = pairs.repartition(GraphParts).rdd
       .map(r => Edge(r.getLong(0), -1L - r.getLong(1), ()))
     val graph = Graph.fromEdges(edges, ())
     val degs = graph.degrees.filter(_._1 >= 0) // part side only

@@ -108,7 +108,7 @@ object EventQueries {
       import s.implicits._
       val data = evMicros(s, dir).select("user_id", "us")
         .orderBy("us").as[(Long, Long)].collect()
-      Replay.chunked(s, data.toSeq, 4)(ds =>
+      Replay.chunked(s, data.toSeq, 4, statePartitions = Some(8))(ds =>
         graft.streaming.StreamingOps.sessionizeByGap(ds)
           .toDF().writeStream.format("memory").queryName("j1_sessions")
           .outputMode("update").start())
@@ -168,7 +168,7 @@ object EventQueries {
         .select(col("ts"), col("event_type"), col("value"))
         .orderBy("ts", "event_type")
         .as[(java.sql.Timestamp, String, Double)].collect()
-      Replay.chunked(s, data.toSeq, 3)(ds =>
+      Replay.chunked(s, data.toSeq, 3, statePartitions = Some(8))(ds =>
         graft.streaming.StreamingOps
           .hourlyCounts(ds.toDF("ts", "event_type", "value"))
           .writeStream.format("memory").queryName("j2_hourly")
@@ -198,7 +198,7 @@ object EventQueries {
           .select(col("user_id"), col("n_name")))
       val data = ev(s, dir).select(col("user_id"), col("value"))
         .as[(Long, Double)].collect()
-      Replay.chunked(s, data.toSeq, 3)(ds =>
+      Replay.chunked(s, data.toSeq, 3, statePartitions = Some(8))(ds =>
         ds.toDF("user_id", "value")
           .join(dim, Seq("user_id"))
           .groupBy("n_name")
@@ -243,7 +243,7 @@ object EventQueries {
       // seed an empty cache so the first batch's anti-join has a schema
       Seq.empty[(Long, Long, String)].toDF("suppkey", "pk", "pair_key")
         .write.mode("overwrite").parquet(cacheDir)
-      Replay.chunked(s, data.toSeq, 3)(ds =>
+      Replay.chunked(s, data.toSeq, 3, statePartitions = Some(8))(ds =>
         ds.toDF("suppkey", "pk", "pair_key")
           .writeStream.foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],

@@ -13,16 +13,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 private[graft] object Replay {
 
-  def chunked[A: Encoder](s: SparkSession, data: Seq[A], chunks: Int)(
+  /** `statePartitions`: shuffle-partition override while the streaming
+    * query plans and runs. A keyed-state stream allocates one state-store
+    * instance per shuffle partition PER MICRO-BATCH; with ~20 distinct
+    * keys (sources/users) the session's fact-sized 32 is pure overhead —
+    * sizing state partitions to key cardinality is the same
+    * dimension-vs-fact decision as GraphAnalytics.GraphParts. The
+    * session's setting is restored after the replay.
+    */
+  def chunked[A: Encoder](s: SparkSession, data: Seq[A], chunks: Int,
+                          statePartitions: Option[Int] = None)(
       mkQuery: Dataset[A] => StreamingQuery): Unit = {
     implicit val sqlCtx = s.sqlContext
-    val mem = MemoryStream[A]
-    val q = mkQuery(mem.toDS())
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      s.conf.set("spark.sql.shuffle.partitions", n.toString))
     try {
-      data.grouped(data.length / chunks + 1).foreach { chunk =>
-        mem.addData(chunk: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+      val mem = MemoryStream[A]
+      val q = mkQuery(mem.toDS())
+      try {
+        data.grouped(data.length / chunks + 1).foreach { chunk =>
+          mem.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }

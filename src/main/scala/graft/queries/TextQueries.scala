@@ -786,7 +786,7 @@ object TextQueries {
           md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5))
             .cast("binary")).as("fp"))
         .orderBy("doc_id").as[(Long, String, String)].collect()
-      Replay.chunked(s, data.toSeq, 4)(ds =>
+      Replay.chunked(s, data.toSeq, 4, statePartitions = Some(8))(ds =>
         ds.toDF("doc_id", "source", "fp")
           .groupBy("fp")
           .agg(min(struct(col("doc_id"), col("source"))).as("m"))
@@ -838,7 +838,7 @@ object TextQueries {
         .write.parquet(dupDir)
       val data = docs(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)].collect()
-      Replay.chunked(s, data.toSeq, 3)(ds =>
+      Replay.chunked(s, data.toSeq, 3, statePartitions = Some(8))(ds =>
         ds.toDF("doc_id", "text")
           .writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1117,7 +1117,7 @@ object TextQueries {
       import s.implicits._
       val data = docs(s, dir).select(col("doc_id"), col("source"))
         .orderBy("doc_id").as[(Long, String)].collect()
-      Replay.chunked(s, data.toSeq, 4)(ds =>
+      Replay.chunked(s, data.toSeq, 4, statePartitions = Some(8))(ds =>
         graft.streaming.StreamingOps.quotaAdmit(ds, cap = 15)
           .writeStream.format("memory").queryName("j7_quota")
           .outputMode("append").start())

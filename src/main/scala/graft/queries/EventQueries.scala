@@ -209,6 +209,51 @@ object EventQueries {
       s.table("j3_nations").orderBy("n_name")
     }),
 
+    // J8 — STREAM-STREAM inner join with an event-time range condition:
+    // clicks/views join the same user's errors from the trailing 30
+    // minutes, both sides watermarked 2 h. The join state buffers each
+    // side only until the global watermark proves a row unmatchable —
+    // the bounded-state shape that lets two unbounded streams join at
+    // all. Replayed via Replay.chunked2 (lockstep time-ordered chunks,
+    // so nothing is ever late); inner join emits eagerly, so the final
+    // sink holds exactly the batch answer (the oracle).
+    RQ("j8_stream_stream_join", Some("""
+      WITH c AS (SELECT event_id, user_id, ts AS cts FROM events
+                 WHERE event_type IN ('click', 'view')),
+           e AS (SELECT event_id AS err_id, user_id, ts AS ets FROM events
+                 WHERE event_type = 'error')
+      SELECT c.event_id, e.err_id,
+             CAST(date_diff('microsecond', e.ets, c.cts) AS BIGINT) AS gap_us
+      FROM c JOIN e ON c.user_id = e.user_id
+       AND e.ets BETWEEN c.cts - INTERVAL 30 MINUTE AND c.cts
+      ORDER BY event_id, err_id"""))((s, dir) => {
+      import s.implicits._
+      val base = ev(s, dir)
+      val clicks = base.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .orderBy("ts", "event_id")
+        .as[(Long, Long, java.sql.Timestamp)].collect()
+      val errors = base.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .orderBy("ts", "event_id")
+        .as[(Long, Long, java.sql.Timestamp)].collect()
+      Replay.chunked2(s, clicks.toSeq, errors.toSeq, 3,
+        statePartitions = Some(8)) { (c, e) =>
+        val cd = c.toDF("event_id", "user_id", "cts")
+          .withWatermark("cts", "2 hours")
+        val ed = e.toDF("err_id", "euser", "ets")
+          .withWatermark("ets", "2 hours")
+        cd.join(ed, expr(
+            """user_id = euser AND
+               ets BETWEEN cts - INTERVAL 30 MINUTES AND cts"""))
+          .select(col("event_id"), col("err_id"),
+            (unix_micros(col("cts")) - unix_micros(col("ets"))).as("gap_us"))
+          .writeStream.format("memory").queryName("j8_join")
+          .outputMode("append").start()
+      }
+      s.table("j8_join").orderBy("event_id", "err_id")
+    }),
+
     // J — the reference's ONE incremental pattern end-to-end: the parity
     // score cache (memoization keyed by the scored pair, re-probed on
     // every run) maintained by a streaming foreachBatch upsert. Candidate

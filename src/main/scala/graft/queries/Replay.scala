@@ -39,4 +39,34 @@ private[graft] object Replay {
       } finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  /** Two-stream variant for stream-stream joins: feed both sides in
+    * LOCKSTEP (chunk i of each, then drain) so the two watermarks advance
+    * together — each side is time-ordered, so no row is ever late
+    * relative to its own stream and the join state holds rows exactly
+    * until the global watermark proves them unmatchable.
+    */
+  def chunked2[A: Encoder, B: Encoder](s: SparkSession, a: Seq[A], b: Seq[B],
+                                       chunks: Int,
+                                       statePartitions: Option[Int] = None)(
+      mkQuery: (Dataset[A], Dataset[B]) => StreamingQuery): Unit = {
+    implicit val sqlCtx = s.sqlContext
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      s.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val memA = MemoryStream[A]
+      val memB = MemoryStream[B]
+      val q = mkQuery(memA.toDS(), memB.toDS())
+      try {
+        val ca = a.grouped(a.length / chunks + 1).toSeq
+        val cb = b.grouped(b.length / chunks + 1).toSeq
+        (0 until math.max(ca.length, cb.length)).foreach { i =>
+          if (i < ca.length) memA.addData(ca(i): _*)
+          if (i < cb.length) memB.addData(cb(i): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

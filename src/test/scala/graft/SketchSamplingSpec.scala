@@ -158,6 +158,27 @@ class SketchSamplingSpec extends SparkSpec {
     }
   }
 
+  describe("j8 stream-stream join") {
+    it("emits the batch join answer regardless of chunking") {
+      val got = q("j8_stream_stream_join").collect().toSeq
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables(spark, sf, "events")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val c = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts").as("cts"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("euser"),
+          col("ts").as("ets"))
+      val batch = c.join(e, expr(
+          """user_id = euser AND
+             ets BETWEEN cts - INTERVAL 30 MINUTES AND cts"""))
+        .select(col("event_id"), col("err_id"),
+          (unix_micros(col("cts")) - unix_micros(col("ets"))).as("gap_us"))
+        .orderBy("event_id", "err_id").collect().toSeq
+      assert(got === batch)
+    }
+  }
+
   describe("v9 multiprobe IVF") {
     it("nprobe=2 never finds a worse best-neighbor than nprobe=1") {
       val v3 = q("v3_ivf_ann").filter(col("rnk") === 1)

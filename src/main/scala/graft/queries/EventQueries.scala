@@ -254,6 +254,67 @@ object EventQueries {
       s.table("j8_join").orderBy("event_id", "err_id")
     }),
 
+    // J9 — stream-stream LEFT OUTER join: like j8, but clicks with no
+    // error in their trailing window must still emit — and in streaming
+    // they can only do so once the watermark PASSES them (before that,
+    // a match could still arrive). The replay appends one sentinel event
+    // per stream (disjoint users, max ts + 5 h) whose only job is to
+    // push both watermarks past every real row, flushing the outer
+    // state; the no-data micro-batch after the final chunk emits the
+    // unmatched rows. Nulls are coalesced to -1 on both engines so the
+    // compare never depends on engine null-ordering.
+    RQ("j9_stream_left_join", Some("""
+      WITH c AS (SELECT event_id, user_id, ts AS cts FROM events
+                 WHERE event_type IN ('click', 'view')),
+           e AS (SELECT event_id AS err_id, user_id, ts AS ets FROM events
+                 WHERE event_type = 'error')
+      SELECT c.event_id, coalesce(e.err_id, -1) AS err_id,
+             coalesce(CAST(date_diff('microsecond', e.ets, c.cts) AS BIGINT),
+                      -1) AS gap_us
+      FROM c LEFT JOIN e ON c.user_id = e.user_id
+       AND e.ets BETWEEN c.cts - INTERVAL 30 MINUTE AND c.cts
+      ORDER BY event_id, err_id"""))((s, dir) => {
+      import s.implicits._
+      val base = ev(s, dir)
+      // sentinels sit at the GLOBAL max + 5 h on BOTH streams: the join's
+      // watermark is the MIN of the two streams' watermarks, so a
+      // sentinel at one side's own (earlier) max would leave the global
+      // watermark below the other side's tail and strand its last
+      // unmatched rows in state forever
+      def side(pred: org.apache.spark.sql.Column, sentinelUser: Long,
+               sentinelMs: Long) = {
+        base.filter(pred)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .orderBy("ts", "event_id")
+          .as[(Long, Long, java.sql.Timestamp)].collect() :+
+          ((-1L, sentinelUser, new java.sql.Timestamp(sentinelMs)))
+      }
+      val flushMs = base.agg(max(col("ts"))).head
+        .getTimestamp(0).getTime + 5L * 3600 * 1000
+      val clicks = side(col("event_type").isin("click", "view"), -1L, flushMs)
+      val errors = side(col("event_type") === "error", -2L, flushMs)
+      Replay.chunked2(s, clicks.toSeq, errors.toSeq, 3,
+        statePartitions = Some(8)) { (c, e) =>
+        val cd = c.toDF("event_id", "user_id", "cts")
+          .withWatermark("cts", "2 hours")
+        val ed = e.toDF("err_id", "euser", "ets")
+          .withWatermark("ets", "2 hours")
+        cd.join(ed, expr(
+            """user_id = euser AND
+               ets BETWEEN cts - INTERVAL 30 MINUTES AND cts"""),
+            "left_outer")
+          .select(col("event_id"), coalesce(col("err_id"), lit(-1L))
+              .as("err_id"),
+            coalesce(unix_micros(col("cts")) - unix_micros(col("ets")),
+              lit(-1L)).as("gap_us"))
+          .writeStream.format("memory").queryName("j9_left")
+          .outputMode("append").start()
+      }
+      // drop the sentinels' own (unmatched) rows
+      s.table("j9_left").filter(col("event_id") >= 0)
+        .orderBy("event_id", "err_id")
+    }),
+
     // J — the reference's ONE incremental pattern end-to-end: the parity
     // score cache (memoization keyed by the scored pair, re-probed on
     // every run) maintained by a streaming foreachBatch upsert. Candidate

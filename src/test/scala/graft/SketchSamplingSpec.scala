@@ -179,6 +179,21 @@ class SketchSamplingSpec extends SparkSpec {
     }
   }
 
+  describe("j9 stream-stream left join") {
+    it("watermark flush emits the unmatched rows too (outer semantics)") {
+      val r = q("j9_stream_left_join")
+      val unmatched = r.filter(col("err_id") === -1).count()
+      val matched = r.filter(col("err_id") >= 0).count()
+      assert(unmatched > 0, "no unmatched rows emitted — outer state " +
+        "was never flushed past the watermark")
+      assert(matched > 0)
+      // every click appears at least once
+      val clicks = Tables(spark, sf, "events")
+        .filter(col("event_type").isin("click", "view")).count()
+      assert(r.select("event_id").distinct().count() === clicks)
+    }
+  }
+
   describe("v9 multiprobe IVF") {
     it("nprobe=2 never finds a worse best-neighbor than nprobe=1") {
       val v3 = q("v3_ivf_ann").filter(col("rnk") === 1)

@@ -138,6 +138,53 @@ object GraphAnalytics {
       .orderBy("suppkey")
   }
 
+  /** Integer-exact PageRank on the top-k co-binding graph: `iters` damped
+    * iterations in scaled-1e6 fixed point. All arithmetic is BIGINT
+    * (`r div deg` contributions, `150000 + 85·Σ div 100` update), so the
+    * result is independent of partition/accumulation order — the property
+    * that makes an iterative rank oracle-checkable at all (float PageRank
+    * is not). Each iteration is one dimension-sized join + keyed
+    * aggregation; the edge/degree/vertex tables are persisted across the
+    * unrolled loop (cache lifecycle: LRU-evictable blocks, same note as
+    * operators/Ann).
+    */
+  def pagerankInt(s: SparkSession, dir: String, k: Int = 3,
+                  iters: Int = 5): DataFrame = {
+    val e = topKCanonEdges(s, dir, k)
+    val nodes = coBindingPairs(s, dir).select(col("sk")).distinct()
+    pagerankIntOn(nodes, e, iters)
+      .select(col("sk").as("suppkey"), col("r").as("rank_ppm"))
+      .orderBy("suppkey")
+  }
+
+  /** The fixed-point kernel behind pagerankInt: `nodes(sk)` and canonical
+    * undirected edges `(ea, eb)` → `(sk, r)` after `iters` damped
+    * iterations. Separated so a hand-computed graph can pin the
+    * arithmetic in a spec.
+    */
+  private[graft] def pagerankIntOn(nodesDf: DataFrame, canonEdges: DataFrame,
+                                   iters: Int): DataFrame = {
+    val ed = canonEdges.select(col("ea").as("a"), col("eb").as("b"))
+      .unionByName(canonEdges.select(col("eb").as("a"), col("ea").as("b")))
+      .persist()
+    val deg = ed.groupBy(col("a").as("dsrc")).agg(count(lit(1)).as("deg"))
+      .persist()
+    val nodes = nodesDf.persist()
+    var pr = nodes.select(col("sk"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = pr.select(col("sk").as("src"), col("r"))
+        .join(ed, col("src") === col("a"))
+        .join(deg, col("src") === col("dsrc"))
+        .select(col("b").as("sk"), expr("r div deg").as("c"))
+        .groupBy("sk").agg(sum("c").as("contribs"))
+      pr = nodes.join(contrib, Seq("sk"), "left")
+        .select(col("sk"),
+          expr("CAST(150000 + 85 * coalesce(contribs, 0) div 100 AS BIGINT)")
+            .as("r"))
+    }
+    pr
+  }
+
   /** Per-vertex GraphX triangle counts. `verticesDf` is one `id:long`
     * column; `edgesDf` is canonical (`ea < eb`) distinct `long` pairs —
     * canonical + distinct is what makes TriangleCount's answer exact.

@@ -89,6 +89,36 @@ object GraphQueryDefs {
       SELECT nodes.sk AS suppkey, CAST(coalesce(best.d, -1) AS BIGINT) AS hops
       FROM nodes LEFT JOIN best ON best.node = nodes.sk
       ORDER BY suppkey"""))((s, dir) =>
-      GraphAnalytics.bfsHops(s, dir))
+      GraphAnalytics.bfsHops(s, dir)),
+
+    // X5 — integer-exact PageRank (5 damped iterations, scaled 1e6
+    // fixed-point) on the same top-3 kNN graph. Floating PageRank is NOT
+    // oracle-checkable — float sums depend on partition order — so rank
+    // lives in scaled BIGINTs: contributions are `r div deg`, the damped
+    // update is `150000 + 85 * Σcontrib div 100`, and integer sums are
+    // order-independent, making the engines bit-identical by
+    // construction. The iteration count is fixed (unrolled in both
+    // engines: recursive-CTE aggregation is illegal in SQL, and a fixed
+    // small iteration budget is how production PageRank runs anyway).
+    // Each Spark iteration is one dim-sized join + keyed aggregation.
+    RQ("x5_pagerank_int", Some {
+      val iters = (1 to 5).map { i =>
+        s"""pr$i AS (SELECT nodes.sk, 150000 + 85 * coalesce(c.s, 0) // 100
+                       AS r
+                 FROM nodes LEFT JOIN (
+                   SELECT ed.b AS sk, sum(p.r // d.deg) AS s
+                   FROM pr${i - 1} p JOIN ed ON ed.a = p.sk
+                   JOIN deg d ON d.sk = p.sk
+                   GROUP BY 1) c ON c.sk = nodes.sk)"""
+      }.mkString(",\n")
+      s"""
+      WITH $top3CanonSqlCtes,
+      ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      deg AS (SELECT a AS sk, count(*) AS deg FROM ed GROUP BY 1),
+      pr0 AS (SELECT sk, 1000000 AS r FROM nodes),
+      $iters
+      SELECT sk AS suppkey, CAST(r AS BIGINT) AS rank_ppm
+      FROM pr5 ORDER BY suppkey"""
+    })((s, dir) => GraphAnalytics.pagerankInt(s, dir))
   )
 }

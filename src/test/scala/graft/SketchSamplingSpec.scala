@@ -206,6 +206,30 @@ class SketchSamplingSpec extends SparkSpec {
     }
   }
 
+  describe("x5 integer PageRank kernel") {
+    it("matches the hand computation on a 3-node path after 1 iteration") {
+      import spark.implicits._
+      // path a-b-c: deg(a)=deg(c)=1, deg(b)=2; after one iteration
+      //   r(a) = r(c) = 150000 + 85*(1000000 div 2) div 100 = 575000
+      //   r(b) = 150000 + 85*(1000000 + 1000000) div 100   = 1850000
+      val nodes = Seq(1L, 2L, 3L).toDF("sk")
+      val edges = Seq((1L, 2L), (2L, 3L)).toDF("ea", "eb")
+      val got = graft.graph.GraphAnalytics
+        .pagerankIntOn(nodes, edges, iters = 1)
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
+    }
+    it("an isolated vertex settles at the damping floor") {
+      import spark.implicits._
+      val nodes = Seq(1L, 2L, 3L).toDF("sk")
+      val edges = Seq((1L, 2L)).toDF("ea", "eb")
+      val got = graft.graph.GraphAnalytics
+        .pagerankIntOn(nodes, edges, iters = 5)
+        .as[(Long, Long)].collect().toMap
+      assert(got(3L) === 150000L)
+    }
+  }
+
   describe("s6 bloom prune") {
     it("bloom pre-filter changes nothing: result == plain join") {
       val plain = Tables(spark, sf, "orders")

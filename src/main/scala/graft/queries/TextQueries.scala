@@ -370,6 +370,68 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // T30 — the full corpus-prep pipeline composed end-to-end: quality
+    // cascade (t10's shared rules) → MinHash near-dup canonical keep
+    // (t6/t13's shared chain) → per-source quota (t27's md5 rank, cap
+    // 10) → per-source accounting with final token counts. Every stage
+    // reuses the SINGLE shared rule/oracle fragment, so this query can
+    // never drift from the standalone stage queries — and its plan is
+    // the stages' plans fused by Catalyst (the quality filter pushes
+    // into the scan; the quota window runs on the already-deduped
+    // survivor table, which is the smallest point in the flow).
+    RQ("t30_prep_pipeline", Some(s"""
+      WITH RECURSIVE ${qualitySqlCtes(", source")},
+           dec AS (SELECT doc_id, source, w,
+                          CASE WHEN $keepPredSql
+                               THEN 'keep' ELSE 'drop' END AS decision
+                   FROM x),
+           keep0 AS (SELECT doc_id, source, w FROM dec
+                     WHERE decision = 'keep'),
+           ${lshDedupSqlCtes("keep0")},
+           surv AS (SELECT k.doc_id, k.source, len(k.w) AS wc2
+                    FROM keep0 k LEFT JOIN canon c ON c.node = k.doc_id
+                    WHERE c.node IS NULL OR c.canonical = k.doc_id),
+           ranked AS (SELECT source, wc2,
+                             row_number() OVER (PARTITION BY source
+                               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+                      FROM surv),
+           fin AS (SELECT source, count(*) AS n_dedup,
+                          count(*) FILTER (WHERE rn <= 10) AS n_final,
+                          sum(wc2) FILTER (WHERE rn <= 10) AS tok_final
+                   FROM ranked GROUP BY 1),
+           q AS (SELECT source, count(*) AS n_q FROM keep0 GROUP BY 1)
+      SELECT q.source, CAST(n_q AS BIGINT) AS n_quality,
+             CAST(n_dedup AS BIGINT) AS n_dedup,
+             CAST(coalesce(n_final, 0) AS BIGINT) AS n_final,
+             CAST(coalesce(tok_final, 0) AS BIGINT) AS tok_final
+      FROM q JOIN fin USING (source) ORDER BY source"""))((s, dir) => {
+      val (wc, stopHits, mwl) = qualityParts
+      val keep0 = docs(s, dir)
+        .filter(wc >= MinTokens && mwl >= MwlLo.toDouble &&
+          mwl <= MwlHi.toDouble && stopHits >= MinStopHits)
+        .select(col("doc_id"), col("source"), col("text"), wc.as("wc2"))
+        .persist()
+      val canon = graft.operators.MinHashDedup
+        .canonicalize(nearDupPairs(keep0))
+      val surv = keep0.join(canon, Seq("doc_id"), "left")
+        .filter(col("canonical").isNull ||
+          col("canonical") === col("doc_id"))
+      val rnW = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))
+      val fin = surv.withColumn("rn", row_number().over(rnW))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_dedup"),
+          sum(when(col("rn") <= 10, 1L).otherwise(0L)).as("n_final"),
+          sum(when(col("rn") <= 10, col("wc2").cast("long"))
+            .otherwise(0L)).as("tok_final"))
+      keep0.groupBy("source").agg(count(lit(1)).as("n_quality"))
+        .join(fin, "source")
+        .select(col("source"), col("n_quality"), col("n_dedup"),
+          col("n_final"), col("tok_final"))
+        .orderBy("source")
+    }),
+
     // T5 — exact-dedup stats: content-hash distinct counts per source
     RQ("t5_exact_dedup_stats", Some("""
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

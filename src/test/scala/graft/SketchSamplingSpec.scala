@@ -206,6 +206,16 @@ class SketchSamplingSpec extends SparkSpec {
     }
   }
 
+  describe("t30 prep pipeline") {
+    it("stage counts only ever shrink: quality >= dedup >= final") {
+      val r = q("t30_prep_pipeline")
+      assert(r.count() > 0)
+      assert(r.filter(col("n_dedup") > col("n_quality") ||
+        col("n_final") > col("n_dedup") ||
+        (col("n_final") > 0 && col("tok_final") <= 0)).count() === 0)
+    }
+  }
+
   describe("x5 integer PageRank kernel") {
     it("matches the hand computation on a 3-node path after 1 iteration") {
       import spark.implicits._

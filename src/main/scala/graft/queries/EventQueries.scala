@@ -155,6 +155,29 @@ object EventQueries {
           sum(round(col("value") * 1000).cast("long")).as("val_milli"))
         .orderBy("hour", "event_type")),
 
+    // E8 — SLIDING window aggregation (1 h window, 15 min slide): every
+    // event lands in exactly window/slide = 4 overlapping windows — the
+    // trailing-rate shape dashboards poll (identical plan under
+    // readStream + watermark). The oracle unnests the 4 window starts an
+    // event belongs to from the same 15-minute epoch grid Spark's
+    // window() uses; counts and milli-sums stay exact BIGINTs.
+    RQ("e8_sliding_window", Some("""
+      WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+                        CAST(round(value*1000) AS BIGINT) AS vm FROM events),
+           w AS (SELECT event_type, vm,
+                        (us // 900000000 - i) * 900000000 AS wstart_us
+                 FROM e, unnest([0, 1, 2, 3]) AS t(i))
+      SELECT wstart_us, event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vm) AS BIGINT) AS val_milli
+      FROM w GROUP BY 1, 2 ORDER BY wstart_us, event_type"""))((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1000).cast("long")).as("val_milli"))
+        .select(unix_micros(col("window.start")).as("wstart_us"),
+          col("event_type"), col("n"), col("val_milli"))
+        .orderBy("wstart_us", "event_type")),
+
     // J — WATERMARKED tumbling-window aggregation under the oracle gate:
     // the events table replayed time-ordered through a MemoryStream into
     // StreamingOps.hourlyCounts (groupBy(window(ts, 1h)) with a 2-hour

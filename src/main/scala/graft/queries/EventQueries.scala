@@ -51,6 +51,15 @@ object EventQueries {
              CAST(count(*) AS BIGINT) AS n_events
       FROM x GROUP BY 1 ORDER BY user_id"""
 
+  /** The stream-stream join's range condition — ONE definition shared by
+    * j8 (inner), j9 (left outer), and the batch-parity spec: a width or
+    * column change cannot make the two streaming joins answer different
+    * questions while each still passes its own oracle.
+    */
+  private[graft] val streamJoinCond: String =
+    """user_id = euser AND
+       ets BETWEEN cts - INTERVAL 30 MINUTES AND cts"""
+
   /** The hourly-rollup oracle — shared verbatim by the batch form (e2)
     * and the watermarked streaming replay (j2), which must agree by
     * construction (same single-definition policy as sessionizeOracleSql).
@@ -266,9 +275,7 @@ object EventQueries {
           .withWatermark("cts", "2 hours")
         val ed = e.toDF("err_id", "euser", "ets")
           .withWatermark("ets", "2 hours")
-        cd.join(ed, expr(
-            """user_id = euser AND
-               ets BETWEEN cts - INTERVAL 30 MINUTES AND cts"""))
+        cd.join(ed, expr(streamJoinCond))
           .select(col("event_id"), col("err_id"),
             (unix_micros(col("cts")) - unix_micros(col("ets"))).as("gap_us"))
           .writeStream.format("memory").queryName("j8_join")
@@ -322,10 +329,7 @@ object EventQueries {
           .withWatermark("cts", "2 hours")
         val ed = e.toDF("err_id", "euser", "ets")
           .withWatermark("ets", "2 hours")
-        cd.join(ed, expr(
-            """user_id = euser AND
-               ets BETWEEN cts - INTERVAL 30 MINUTES AND cts"""),
-            "left_outer")
+        cd.join(ed, expr(streamJoinCond), "left_outer")
           .select(col("event_id"), coalesce(col("err_id"), lit(-1L))
               .as("err_id"),
             coalesce(unix_micros(col("cts")) - unix_micros(col("ets")),

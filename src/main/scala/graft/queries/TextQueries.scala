@@ -68,6 +68,17 @@ object TextQueries {
     s"wc >= $MinTokens AND mwl >= $MwlLo AND mwl <= $MwlHi " +
       s"AND stop_hits >= $MinStopHits"
 
+  /** The Spark mirror of keepPredSql — the ONE keep predicate shared by
+    * every pipeline query that filters on quality (t13, t30); t10 keeps
+    * its ordered when-cascade because it must also NAME the first failing
+    * rule.
+    */
+  private def keepPred: Column = {
+    val (wc, stopHits, mwl) = qualityParts
+    wc >= MinTokens && mwl >= MwlLo.toDouble &&
+      mwl <= MwlHi.toDouble && stopHits >= MinStopHits
+  }
+
   // ---- 32-bit SimHash construction (t4 + t8) ----
   private val simhashSumsSql: String = (1 to 32).map(b =>
     s"sum(CASE WHEN strpos('13579bdf', substr(dg,$b,1)) > 0 THEN 1 ELSE -1 END) AS s$b")
@@ -347,11 +358,8 @@ object TextQueries {
                AS BIGINT) AS n_kept
       FROM base b LEFT JOIN dd d USING (source)
       ORDER BY source"""))((s, dir) => {
-      val (wc, stopHits, mwl) = qualityParts
       val dec = docs(s, dir).select(col("doc_id"), col("source"), col("text"),
-        when(wc >= MinTokens && mwl >= MwlLo.toDouble &&
-            mwl <= MwlHi.toDouble && stopHits >= MinStopHits, "keep")
-          .otherwise("drop").as("decision"))
+        when(keepPred, "keep").otherwise("drop").as("decision"))
       val keep0 = dec.filter(col("decision") === "keep")
         .select("doc_id", "source", "text").persist()
       val dupDrop = keep0
@@ -405,11 +413,10 @@ object TextQueries {
              CAST(coalesce(n_final, 0) AS BIGINT) AS n_final,
              CAST(coalesce(tok_final, 0) AS BIGINT) AS tok_final
       FROM q JOIN fin USING (source) ORDER BY source"""))((s, dir) => {
-      val (wc, stopHits, mwl) = qualityParts
       val keep0 = docs(s, dir)
-        .filter(wc >= MinTokens && mwl >= MwlLo.toDouble &&
-          mwl <= MwlHi.toDouble && stopHits >= MinStopHits)
-        .select(col("doc_id"), col("source"), col("text"), wc.as("wc2"))
+        .filter(keepPred)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(split(col("text"), " ")).as("wc2"))
         .persist()
       val canon = graft.operators.MinHashDedup
         .canonicalize(nearDupPairs(keep0))

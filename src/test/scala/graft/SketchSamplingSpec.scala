@@ -169,9 +169,8 @@ class SketchSamplingSpec extends SparkSpec {
       val e = ev.filter(col("event_type") === "error")
         .select(col("event_id").as("err_id"), col("user_id").as("euser"),
           col("ts").as("ets"))
-      val batch = c.join(e, expr(
-          """user_id = euser AND
-             ets BETWEEN cts - INTERVAL 30 MINUTES AND cts"""))
+      val batch = c.join(e,
+          expr(graft.queries.EventQueries.streamJoinCond))
         .select(col("event_id"), col("err_id"),
           (unix_micros(col("cts")) - unix_micros(col("ets"))).as("gap_us"))
         .orderBy("event_id", "err_id").collect().toSeq

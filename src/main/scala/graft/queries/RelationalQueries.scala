@@ -657,6 +657,53 @@ object RelationalQueries {
           round(col("l_tax"), 1).as("tax_r"))
         .orderBy("l_orderkey", "l_linenumber"))
 ,
+    // D13 — PIVOT: per order priority, quantity totals spread into one
+    // column per return flag (the wide-format report shape). Spark's
+    // pivot with an EXPLICIT value list stays a single hash aggregation
+    // (no second pass to discover values — at 100 TB the value list must
+    // always be declared). Oracle: portable CASE-based conditional sums.
+    RQ("d13_pivot", Some("""
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN l_returnflag = 'A'
+                           THEN CAST(floor(l_quantity) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS qty_a,
+             CAST(sum(CASE WHEN l_returnflag = 'N'
+                           THEN CAST(floor(l_quantity) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS qty_n,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(floor(l_quantity) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS qty_r
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority"""))((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(floor(col("l_quantity")).cast("long")))
+        .select(col("o_orderpriority"),
+          coalesce(col("A"), lit(0L)).as("qty_a"),
+          coalesce(col("N"), lit(0L)).as("qty_n"),
+          coalesce(col("R"), lit(0L)).as("qty_r"))
+        .orderBy("o_orderpriority")),
+
+    // D14 — UNPIVOT (melt to long format, the inverse of d13): each part
+    // row becomes one (metric, val) row per measure via the codegen'd
+    // stack() generator — a width-bounded explode, no shuffle at all
+    // before the output sort. Oracle: the portable UNION ALL form.
+    RQ("d14_unpivot", Some("""
+      SELECT p_partkey, 'retail_cents' AS metric,
+             CAST(round(p_retailprice*100) AS BIGINT) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS BIGINT) AS val
+      FROM part
+      ORDER BY p_partkey, metric"""))((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), expr(
+          """stack(2,
+               'retail_cents', CAST(round(p_retailprice*100) AS BIGINT),
+               'size', CAST(p_size AS BIGINT)) AS (metric, val)"""))
+        .orderBy("p_partkey", "metric")),
+
     // C17 — interval (range) join, bucket-decomposed: each supplier owns
     // the balance interval [acctbal-100, acctbal+100]; count the
     // customers whose balance falls inside. The scale path for a

@@ -55,6 +55,33 @@ object MultimodalQueries {
         .select(lower(col("frame")).as("frame"))
         .agg(count(lit(1)).as("n_frames"),
           countDistinct(col("frame")).as("n_unique_frames"))
+    }),
+
+    // M3 — whole-asset exact dedup by content digest: the byte-identical
+    // re-crawl case (same image fetched under many URLs/ids). Group by
+    // the decodeStub digest, keep the minimum media_id as canonical, and
+    // report per-duplicate-class sizes — the asset-level counterpart of
+    // m2's frame-level dedup. One digest-keyed shuffle; the digest is
+    // computed in the scan pass.
+    RQ("m3_media_digest_dedup", Some("""
+      WITH d AS (SELECT doc_id AS media_id, substr(md5(text), 1, 16)
+                          AS digest64,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS nb
+                 FROM documents)
+      SELECT digest64, CAST(min(media_id) AS BIGINT) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS n_assets,
+             CAST(sum(nb) AS BIGINT) AS total_bytes
+      FROM d GROUP BY 1 ORDER BY digest64"""))((s, dir) => {
+      val media = Tables(s, dir, "documents")
+        .select(Multimodal.asMedia(col("doc_id"), col("text"), "image/png"): _*)
+      media.select(col("media_id"),
+          Multimodal.decodeStub(col("payload")).as("f"))
+        .select(col("media_id"), col("f.digest64").as("digest64"),
+          col("f.n_bytes").as("nb"))
+        .groupBy("digest64")
+        .agg(min("media_id").as("canonical_id"),
+          count(lit(1)).as("n_assets"), sum("nb").as("total_bytes"))
+        .orderBy("digest64")
     })
   )
 }

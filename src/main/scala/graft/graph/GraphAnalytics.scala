@@ -27,18 +27,47 @@ object GraphAnalytics {
     */
   private val GraphParts = 4
 
+  /** Per-part contributor cap applied BEFORE the pair self-join. The
+    * uncapped join fans out |suppliers-of-part|² rows per part — at 100 TB
+    * a hot ligand bound by 10⁵ domains would generate 10¹⁰ pairs before
+    * any trim. Capping each part to its strongest contributors bounds the
+    * fanout at cap² per part while keeping exactly the edges a similarity
+    * graph cares about (the strongest co-binders) — the same move as
+    * GraphTables' (brand, size-bucket) candidate blocking. Shared with the
+    * x-query oracle CTEs via the public constant: one definition, both
+    * engines.
+    */
+  val CoBindCap = 16
+
   /** Distinct (part, supplier) incidence pairs — the single definition of
-    * the co-binding relation every graph below derives from (a change to
-    * it, e.g. filtering zero-quantity contacts, must hit x1/x2/x3 alike).
+    * the co-binding relation for VERTEX sets and degree queries (x2).
+    * Pair generation goes through `cappedIncidence` instead.
     */
   private def coBindingPairs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .distinct()
 
-  /** Supplier pairs sharing at least one part: (pk, s1, s2), s1 ≠ s2. */
+  /** Incidence capped to each part's top-`CoBindCap` contributors by
+    * summed quantity (contact strength), ties by suppkey — the bounded
+    * input to every pair self-join below. floor().cast matches the
+    * oracle's CAST(floor(..) AS BIGINT) truncation exactly.
+    */
+  private[graft] def cappedIncidence(s: SparkSession, dir: String): DataFrame = {
+    val inc = Tables(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("q"))
+    val w = Window.partitionBy("pk").orderBy(col("q").desc, col("sk"))
+    inc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= CoBindCap)
+      .select("pk", "sk")
+  }
+
+  /** Supplier pairs sharing at least one part, bounded at CoBindCap² rows
+    * per part: (pk, s1, s2), s1 ≠ s2.
+    */
   private def coBindingPartners(s: SparkSession, dir: String): DataFrame = {
-    val pairs = coBindingPairs(s, dir)
+    val pairs = cappedIncidence(s, dir)
     pairs.select(col("pk"), col("sk").as("s1"))
       .join(pairs.select(col("pk"), col("sk").as("s2")), "pk")
       .filter(col("s1") =!= col("s2"))
@@ -145,8 +174,7 @@ object GraphAnalytics {
     * that makes an iterative rank oracle-checkable at all (float PageRank
     * is not). Each iteration is one dimension-sized join + keyed
     * aggregation; the edge/degree/vertex tables are persisted across the
-    * unrolled loop (cache lifecycle: LRU-evictable blocks, same note as
-    * operators/Ann).
+    * unrolled loop and released before return (see pagerankIntOn).
     */
   def pagerankInt(s: SparkSession, dir: String, k: Int = 3,
                   iters: Int = 5): DataFrame = {
@@ -161,6 +189,18 @@ object GraphAnalytics {
     * undirected edges `(ea, eb)` → `(sk, r)` after `iters` damped
     * iterations. Separated so a hand-computed graph can pin the
     * arithmetic in a spec.
+    *
+    * Cache lifecycle: the three iteration tables are persisted for the
+    * unrolled loop and released in a finally — the final ranks are
+    * materialized first via an eager localCheckpoint (dimension-sized),
+    * which truncates the returned frame's lineage off the caches so the
+    * unpersist is safe. The checkpoint blocks themselves are freed by the
+    * ContextCleaner once the returned frame is unreferenced — nothing
+    * outlives the call's consumers. (localCheckpoint trades lineage for
+    * speed; on a cluster where executor loss must be survivable, swap for
+    * reliable checkpointing to a checkpoint dir.) Note nodesDf is
+    * persisted AND unpersisted here — a caller holding its own cache of
+    * the same plan should pass a fresh frame.
     */
   private[graft] def pagerankIntOn(nodesDf: DataFrame, canonEdges: DataFrame,
                                    iters: Int): DataFrame = {
@@ -170,19 +210,23 @@ object GraphAnalytics {
     val deg = ed.groupBy(col("a").as("dsrc")).agg(count(lit(1)).as("deg"))
       .persist()
     val nodes = nodesDf.persist()
-    var pr = nodes.select(col("sk"), lit(1000000L).as("r"))
-    (1 to iters).foreach { _ =>
-      val contrib = pr.select(col("sk").as("src"), col("r"))
-        .join(ed, col("src") === col("a"))
-        .join(deg, col("src") === col("dsrc"))
-        .select(col("b").as("sk"), expr("r div deg").as("c"))
-        .groupBy("sk").agg(sum("c").as("contribs"))
-      pr = nodes.join(contrib, Seq("sk"), "left")
-        .select(col("sk"),
-          expr("CAST(150000 + 85 * coalesce(contribs, 0) div 100 AS BIGINT)")
-            .as("r"))
+    try {
+      var pr = nodes.select(col("sk"), lit(1000000L).as("r"))
+      (1 to iters).foreach { _ =>
+        val contrib = pr.select(col("sk").as("src"), col("r"))
+          .join(ed, col("src") === col("a"))
+          .join(deg, col("src") === col("dsrc"))
+          .select(col("b").as("sk"), expr("r div deg").as("c"))
+          .groupBy("sk").agg(sum("c").as("contribs"))
+        pr = nodes.join(contrib, Seq("sk"), "left")
+          .select(col("sk"),
+            expr("CAST(150000 + 85 * coalesce(contribs, 0) div 100 AS BIGINT)")
+              .as("r"))
+      }
+      pr.localCheckpoint(true)
+    } finally {
+      ed.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
     }
-    pr
   }
 
   /** Per-vertex GraphX triangle counts. `verticesDf` is one `id:long`

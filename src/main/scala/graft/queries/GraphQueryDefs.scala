@@ -10,33 +10,49 @@ import graft.graph.GraphAnalytics
   */
 object GraphQueryDefs {
 
-  /** DuckDB mirror of GraphAnalytics.topKCanonEdges (k = 3): CTE chain
-    * pairs → sh → top3 → e(a, b) + the vertex set — ONE definition shared
-    * by the x3 and x4 oracles, exactly as topKCanonEdges is the one Spark
-    * edge definition (a k or tie-break change cannot diverge them).
+  /** DuckDB mirror of GraphAnalytics.cappedIncidence: each part keeps its
+    * top-CoBindCap contributors by summed (floor-truncated) quantity,
+    * ties by suppkey — the bounded input to every pair self-join. The cap
+    * constant is interpolated from GraphAnalytics.CoBindCap so the two
+    * engines cannot silently diverge.
     */
-  private val top3CanonSqlCtes: String = """
-      pairs AS (SELECT DISTINCT l_partkey pk, l_suppkey sk FROM lineitem),
+  private val cappedIncSqlCte: String = s"""
+      inc AS (SELECT pk, sk FROM (
+               SELECT l_partkey pk, l_suppkey sk,
+                      row_number() OVER (PARTITION BY l_partkey
+                        ORDER BY sum(CAST(floor(l_quantity) AS BIGINT)) DESC,
+                                 l_suppkey) rn
+               FROM lineitem GROUP BY 1, 2)
+             WHERE rn <= ${GraphAnalytics.CoBindCap})"""
+
+  /** DuckDB mirror of GraphAnalytics.topKCanonEdges (k = 3): CTE chain
+    * inc → sh → top3 → e(a, b) + the vertex set — ONE definition shared
+    * by the x3/x4/x5 oracles, exactly as topKCanonEdges is the one Spark
+    * edge definition (a k, cap, or tie-break change cannot diverge them).
+    * The vertex set stays UNCAPPED — a supplier capped out of every
+    * part's contributor list is still a (isolated) vertex.
+    */
+  private val top3CanonSqlCtes: String = s"""
+      $cappedIncSqlCte,
       sh AS (SELECT a.sk s1, b.sk s2, count(*) n
-             FROM pairs a JOIN pairs b ON a.pk = b.pk AND a.sk <> b.sk
+             FROM inc a JOIN inc b ON a.pk = b.pk AND a.sk <> b.sk
              GROUP BY 1, 2),
       top3 AS (SELECT s1, s2 FROM (
          SELECT s1, s2, row_number() OVER (PARTITION BY s1
            ORDER BY n DESC, s2) rn FROM sh) WHERE rn <= 3),
       e AS (SELECT DISTINCT least(s1, s2) a, greatest(s1, s2) b FROM top3),
-      nodes AS (SELECT DISTINCT sk FROM pairs)"""
+      nodes AS (SELECT DISTINCT l_suppkey sk FROM lineitem)"""
 
   val defs: Seq[RQ] = Seq(
 
-    RQ("x1_graph_components", Some("""
+    RQ("x1_graph_components", Some(s"""
       WITH RECURSIVE
-      pairs AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
-                FROM lineitem),
+      $cappedIncSqlCte,
       e0 AS (SELECT a.sk AS s1, b.sk AS s2
-             FROM pairs a JOIN pairs b ON a.pk = b.pk AND a.sk < b.sk),
+             FROM inc a JOIN inc b ON a.pk = b.pk AND a.sk < b.sk),
       edges AS (SELECT DISTINCT s1, s2 FROM e0
                 UNION SELECT DISTINCT s2, s1 FROM e0),
-      nodes AS (SELECT DISTINCT sk FROM pairs),
+      nodes AS (SELECT DISTINCT l_suppkey AS sk FROM lineitem),
       reach(node, lab) AS (
         SELECT sk, sk FROM nodes
         UNION

@@ -243,9 +243,13 @@ object ScaleQueries {
     // join removes the false positives — so the result is EXACTLY the
     // plain join (the oracle). At 100 TB this is runtime row-level
     // filtering: the shuffle carries ~selectivity × fact rows instead of
-    // the whole fact table, for one broadcast bitset. (Spark's own
-    // InjectRuntimeFilter applies the same idea automatically when
-    // statistics justify it; this query pins the explicit form.)
+    // the whole fact table, for one broadcast bitset. The bloom build and
+    // probe are Spark's NATIVE `bloom_filter_agg` / `might_contain`
+    // expressions (the pair InjectRuntimeFilter itself plants): the
+    // scalar subquery runs once and its bitset feeds the probe as a
+    // literal, so the whole filter stays inside whole-stage codegen — no
+    // Scala UDF in the per-row path (SketchSamplingSpec asserts the
+    // executed plan is ScalaUDF-free).
     RQ("s6_bloom_prune", Some("""
       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
@@ -253,22 +257,22 @@ object ScaleQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
       GROUP BY 1 ORDER BY c_mktsegment"""))((s, dir) => {
-      val dim = Tables(s, dir, "customer")
-        .filter(col("c_mktsegment") === "BUILDING")
-        .select("c_custkey", "c_mktsegment")
-      // expectedNumItems sized to the dim slice; 1% fpp → ~10 bits/key
-      val bloom = dim.stat.bloomFilter("c_custkey",
-        math.max(dim.count(), 1L), 0.01)
-      val bc = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-      Tables(s, dir, "orders")
-        .filter(col("o_custkey").isNotNull &&
-          mightContain(col("o_custkey")))
-        .join(dim, col("o_custkey") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-        .orderBy("c_mktsegment")
+      Tables(s, dir, "customer").createOrReplaceTempView("s6_customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("s6_orders")
+      // bloom_filter_agg's default sizing (1M items, ~1.2 MB bitset) is a
+      // fixed broadcast cost; at a larger dim slice pass explicit
+      // (expectedNumItems, numBits) literals sized to table statistics
+      s.sql("""
+        WITH dim AS (SELECT c_custkey, c_mktsegment FROM s6_customer
+                     WHERE c_mktsegment = 'BUILDING')
+        SELECT c_mktsegment, count(1) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM s6_orders JOIN dim ON o_custkey = c_custkey
+        WHERE o_custkey IS NOT NULL
+          AND might_contain(
+                (SELECT bloom_filter_agg(xxhash64(c_custkey)) FROM dim),
+                xxhash64(o_custkey))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
     // The native residue_key expression (plans/ResidueKey, injected via

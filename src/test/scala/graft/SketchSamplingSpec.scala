@@ -239,6 +239,23 @@ class SketchSamplingSpec extends SparkSpec {
     }
   }
 
+  describe("co-binding pair fanout cap") {
+    // sf0.01, not the suite default: raw suppliers-per-part there is
+    // 13-41, so the cap genuinely binds — at sf0.001 (8-10 per part) the
+    // bound would hold vacuously and the test would prove nothing
+    it("caps the pair-join input at CoBindCap contributors per part") {
+      val sf01 = "/root/testdata/sf0.01"
+      val capped = graft.graph.GraphAnalytics.cappedIncidence(spark, sf01)
+        .groupBy("pk").count().agg(max("count")).head.getLong(0)
+      assert(capped <= graft.graph.GraphAnalytics.CoBindCap)
+      val raw = Tables(spark, sf01, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .groupBy("l_partkey").count().agg(max("count")).head.getLong(0)
+      assert(raw > graft.graph.GraphAnalytics.CoBindCap,
+        s"cap does not bind at sf0.01 (raw max fanout $raw) — vacuous test")
+    }
+  }
+
   describe("s6 bloom prune") {
     it("bloom pre-filter changes nothing: result == plain join") {
       val plain = Tables(spark, sf, "orders")
@@ -251,6 +268,14 @@ class SketchSamplingSpec extends SparkSpec {
       val got = q("s6_bloom_prune")
       assert(got.collect().toSeq === plain.orderBy("c_mktsegment")
         .collect().toSeq)
+    }
+    it("probe is the native might_contain expression — no ScalaUDF") {
+      val df = q("s6_bloom_prune")
+      df.queryExecution.toRdd.count()
+      val exec = df.queryExecution.executedPlan.toString
+      assert(!exec.contains("ScalaUDF"), "bloom probe fell back to a UDF")
+      assert(df.queryExecution.optimizedPlan.toString
+        .contains("might_contain"), "native bloom probe missing from plan")
     }
   }
 }

@@ -73,10 +73,23 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] graph warmup failed: ${e.getMessage}")
     }
+    // keep-set for the between-family sweeps: everything persisted so far
+    // (graph registry, warmup caches) survives the whole run, exactly as
+    // the reference's Neo4j database outlives every dashboard query
+    val baseline = CacheHygiene.snapshot(spark.sparkContext)
     // a failed query appears ONLY in "failed" — never in the "queries"
     // timing map, so cross-round per-query comparisons always see real
-    // durations — is excluded from the total, and fails the exit code
+    // durations — is excluded from the total, and fails the exit code.
+    // Between query families the session is swept (untimed): GraphX's
+    // internal caches, operator persists whose consuming action has run,
+    // and GC-gated shuffle cleanup must not accumulate across 152 queries
+    // (the round-6 late-run regressions).
+    var prevFamily = ""
     val results = SparkEntry.all.map { rq =>
+      val fam = CacheHygiene.family(rq.name)
+      if (prevFamily.nonEmpty && fam != prevFamily)
+        CacheHygiene.sweep(spark.sparkContext, baseline)
+      prevFamily = fam
       val t0 = System.nanoTime()
       val ok =
         try { rq.build(spark, sfDir).queryExecution.toRdd.count(); true }
@@ -103,10 +116,10 @@ object Bench {
       .sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    // "note"/"queries_total" mark this as the 12-slowest SUBSET so a
-    // reader can't mistake it for the complete per-query map (and a
-    // consumer summing "metric":"total" lines can spot the repeat)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","note":"tail_summary_of_line_above","queries_total":${results.count(_._3)},"queries":$slow,"failed":$failedJson,"sf":"$sfDir"}""")
+    // "total_tail" (NOT "total") + "note"/"queries_total" mark this as
+    // the 12-slowest SUBSET repeat: a line-oriented consumer summing or
+    // grepping metric=total sees exactly one canonical line per run
+    println(s"""{"metric":"total_tail","value":${f(total)},"unit":"sec","note":"tail_summary_of_line_above","queries_total":${results.count(_._3)},"queries":$slow,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

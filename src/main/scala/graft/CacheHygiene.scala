@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.SparkContext
+
+/** Session cache hygiene for the two all-queries mains (Bench, Verify).
+  *
+  * A 152-query session accumulates persisted blocks three ways: GraphX
+  * leaves its internal vertex/edge caches persisted after
+  * connectedComponents/Pregel/TriangleCount (cleanup is ContextCleaner's
+  * job, which only runs on driver GC — rare under a 128 GiB heap);
+  * operator-owned persists (operators/Ann, operators/MinHashDedup)
+  * document cleanup as the caller's job; and shuffle files wait on the
+  * same GC-driven cleaner. Blocks are LRU-evictable, but CacheManager
+  * entries and eviction churn grow monotonically through the run — the
+  * round-6 bench recorded 3-22× slowdowns clustered late in run order on
+  * code no commit had touched.
+  *
+  * The fix: snapshot the persistent-RDD ids after warmup (the graph
+  * registry must survive — the dashboard families query it like the
+  * reference's bulk-imported Neo4j), then between query FAMILIES
+  * unpersist everything newer than the snapshot and nudge a GC so the
+  * ContextCleaner reclaims dead shuffles/broadcasts. Family boundaries,
+  * not per-query: within a family, consecutive queries legitimately
+  * reuse a cached plan (t6's shingle table feeds t9).
+  */
+object CacheHygiene {
+
+  /** Ids of currently persisted RDDs — the keep-set for later sweeps. */
+  def snapshot(sc: SparkContext): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+
+  /** Unpersist every RDD persisted since `baseline` and drive one GC so
+    * the ContextCleaner's weak-ref queues (shuffles, broadcasts, the
+    * localCheckpoint blocks of already-consumed results) drain too.
+    */
+  def sweep(sc: SparkContext, baseline: Set[Int]): Unit = {
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!baseline.contains(id)) rdd.unpersist(blocking = false)
+    }
+    System.gc()
+  }
+
+  /** Query family of a registered-query name: the letter prefix before
+    * the first digit ("t9_dedup_clusters" → "t", "etl2_flat_export" →
+    * "etl"). Families group queries over the same tables/caches.
+    */
+  def family(name: String): String = name.takeWhile(!_.isDigit)
+}

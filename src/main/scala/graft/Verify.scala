@@ -25,11 +25,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    // build the graph registry BEFORE the cache-hygiene baseline so the
+    // between-family sweeps never evict it (Bench does the same; the
+    // dashboard families query it like the bulk-imported reference DB)
+    try {
+      val g = graft.graph.GraphTables.cached(spark, sfDir)
+      Seq(g.boundEntities, g.interacts, g.similarity, g.similarityBest,
+          g.interactPairs)
+        .foreach(_.queryExecution.toRdd.count())
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] graph warmup failed: ${e.getMessage}")
+    }
+    val baseline = CacheHygiene.snapshot(spark.sparkContext)
+    // registry order (not the unordered Map): families stay contiguous,
+    // so the sweep below never splits a family's legitimate cache reuse
+    var prevFamily = ""
+    SparkEntry.all.filter(rq => keep(rq.name)).foreach { rq =>
+      val fam = CacheHygiene.family(rq.name)
+      if (prevFamily.nonEmpty && fam != prevFamily)
+        CacheHygiene.sweep(spark.sparkContext, baseline)
+      prevFamily = fam
+      try rq.build(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/${rq.name}")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] ${rq.name} failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

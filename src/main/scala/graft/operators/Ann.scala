@@ -13,9 +13,11 @@ import graft.functions.VectorFunctions.{cosine, dot, norm, rpLshBucket}
   * Cache ownership: the bucketed projection is persisted because the
   * returned plan consumes it from both sides of the pair join; the blocks
   * are MEMORY_AND_DISK and LRU-evictable, but the CacheManager entry
-  * lives until the session ends — a long-lived session issuing many ANN
-  * calls should `spark.catalog.clearCache()` between batches (the same
-  * note applies to MinHashDedup's shingle table).
+  * lives until the session ends — cleanup after the consuming action is
+  * the caller's job (the same note applies to MinHashDedup's shingle
+  * table). The all-queries mains honor the contract via
+  * graft.CacheHygiene.sweep between query families; a long-lived user
+  * session should unpersist or `spark.catalog.clearCache()` likewise.
   *
   * Strategies:
   *

@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{RQ, Tables}
-import graft.etl.{ContactsStage, FlatFileExport}
+import graft.etl.{ContactsStage, ExportStage, FlatFileExport}
 import graft.graph.GraphTables
+import graft.sources.Sinks
 
 /** The contacts ETL stage under the oracle gate: lineitem rows become
   * arpeggio-shaped nested-JSON contact records (written as a JSON-lines
@@ -40,6 +41,80 @@ object EtlQueries {
         .schema("ligandUniqueID LONG, cogId LONG, cogName STRING, parityScore DOUBLE")
         .csv(path)
         .orderBy("ligandUniqueID", "cogId")
+    }),
+
+    // Full Neo4j bulk-file inventory roundtrip: ExportStage writes all
+    // ~65 node/rel files (produce_neo4j_files.py:69-562), a representative
+    // file from every inventory group is read BACK through the TSV+gz
+    // sink layout, and its row count is checked against the star schema —
+    // so the EC hierarchy, protein-chain, per-DB split, classification
+    // hierarchy, descriptor, and stats files are all value-anchored, not
+    // just written
+    RQ("etl3_export_inventory", Some("""
+      WITH sup AS (SELECT s_suppkey, s_name, s_nationkey,
+                          s_suppkey % 3 AS m
+                   FROM supplier),
+           codes AS (SELECT DISTINCT
+                       regexp_extract(p_brand, '#(\d+)', 1) || '.' ||
+                       (p_size // 10) || '.' || (p_size % 10) || '.' ||
+                       (p_partkey % 7) AS ec
+                     FROM part),
+           chains AS (SELECT DISTINCT l_orderkey AS ok, s_nationkey AS nk
+                      FROM lineitem JOIN sup ON l_suppkey = s_suppkey),
+           chainec AS (SELECT DISTINCT
+                         l_orderkey || ':' || s_nationkey AS chain,
+                         regexp_extract(p_brand, '#(\d+)', 1) || '.' ||
+                         (p_size // 10) || '.' || (p_size % 10) || '.' ||
+                         (p_partkey % 7) AS ec
+                       FROM lineitem
+                       JOIN sup ON l_suppkey = s_suppkey
+                       JOIN part ON p_partkey = l_partkey),
+           rows AS (
+             SELECT 'ec_id_nodes' AS file, count(*) AS n FROM codes
+             UNION ALL SELECT 'ec_nodes_class',
+               count(DISTINCT str_split(ec, '.')[1]) FROM codes
+             UNION ALL SELECT 'ec_class_subclass_rel',
+               count(DISTINCT str_split(ec, '.')[1] || '.' ||
+                     str_split(ec, '.')[2]) FROM codes
+             UNION ALL SELECT 'cognate_ligands_ec', count(*) FROM part
+             UNION ALL SELECT 'pdb_protein_chain_nodes', count(*) FROM chains
+             UNION ALL SELECT 'pdb_protein_rels', count(*) FROM chains
+             UNION ALL SELECT 'protein_ec_rels', count(*) FROM chainec
+             UNION ALL SELECT 'cath_protein_rels',
+               count(DISTINCT s_name || '|' || l_orderkey)
+               FROM lineitem JOIN sup ON l_suppkey = s_suppkey WHERE m = 0
+             UNION ALL SELECT 'cath_class_nodes',
+               count(DISTINCT s_nationkey // 20) FROM sup WHERE m = 0
+             UNION ALL SELECT 'cath_homologous_superfamily_domain_rels',
+               count(*) FROM sup WHERE m = 0
+             UNION ALL SELECT 'scop_family_nodes',
+               count(DISTINCT s_nationkey || '_' || (s_suppkey % 2))
+               FROM sup WHERE m = 1
+             UNION ALL SELECT 'scop2_sf_nodes',
+               count(DISTINCT s_nationkey) FROM sup WHERE m = 1
+             UNION ALL SELECT 'pfam_clans',
+               count(DISTINCT s_nationkey // 5) FROM sup WHERE m = 2
+             UNION ALL SELECT 'bound_descriptors',
+               count(DISTINCT l_partkey) FROM lineitem
+             UNION ALL SELECT 'be_bd_rels',
+               count(DISTINCT l_orderkey || '_' || l_partkey) FROM lineitem
+             UNION ALL SELECT 'procoggraph_node', 1)
+      SELECT file, CAST(n AS BIGINT) AS n FROM rows ORDER BY file"""))(
+      (s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = s"/tmp/graft_fixtures/$safe/etl3_export"
+      val written = ExportStage.run(GraphTables.cached(s, dir), out).toMap
+      val subset = Seq("ec_id_nodes", "ec_nodes_class",
+        "ec_class_subclass_rel", "cognate_ligands_ec",
+        "pdb_protein_chain_nodes", "pdb_protein_rels", "protein_ec_rels",
+        "cath_protein_rels", "cath_class_nodes",
+        "cath_homologous_superfamily_domain_rels", "scop_family_nodes",
+        "scop2_sf_nodes", "pfam_clans", "bound_descriptors", "be_bd_rels",
+        "procoggraph_node")
+      subset.map(f => Sinks.readNeo4jTsv(s, written(f))
+          .agg(count(lit(1)).as("n")).select(lit(f).as("file"), col("n")))
+        .reduce(_.unionByName(_))
+        .orderBy("file")
     }),
 
     RQ("etl1_contacts_stage", Some("""

@@ -15,12 +15,12 @@ import graft.{RQ, Tables}
   */
 object HierarchyQueries {
 
+  // ONE code-scheme definition, shared with the export stage's EC
+  // node/rel files (etl.ExportStage.ecCode)
   private def codes(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "part").select(
-      concat_ws(".",
-        regexp_extract(col("p_brand"), "#(\\d+)", 1),
-        expr("p_size div 10"), col("p_size") % 10,
-        col("p_partkey") % 7).as("code"))
+      graft.etl.ExportStage.ecCode(col("p_brand"), col("p_size"),
+        col("p_partkey")).as("code"))
 
   private def level(c: Column, n: Int): Column =
     concat_ws(".", (1 to n).map(i =>

@@ -19,6 +19,13 @@ private[graft] object Replay {
     * partitions to key cardinality is the same dimension-vs-fact decision
     * as GraphAnalytics.GraphParts. The session's setting is restored
     * after the replay.
+    *
+    * The override is SESSION-GLOBAL while it holds: a query planned
+    * concurrently on the same session would silently pick up the
+    * state-sized partition count. Verify/Bench run queries strictly
+    * sequentially so this is safe today; if concurrent execution is ever
+    * added, scope the override per query (e.g. a cloned session via
+    * `s.newSession()` sharing the context but not the conf).
     */
   private def withStateConf(s: SparkSession, statePartitions: Option[Int])(
       run: => Unit): Unit = {

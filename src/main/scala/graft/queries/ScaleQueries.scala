@@ -114,13 +114,16 @@ object ScaleQueries {
       val fixRoot = new java.io.File(s"/tmp/graft_fixtures/$safe")
       Option(fixRoot.listFiles).getOrElse(Array.empty)
         .filter { f =>
-          // pid = first all-digit segment after the table-name segment
-          // (position 3 in the current s5_<t>_<dirTag>_<pid>_... layout,
-          // position 2 in the pre-dirTag layout — sweep both)
-          f.getName.startsWith("s5_") &&
-            f.getName.split("_").drop(2)
-              .find(p => p.nonEmpty && p.forall(_.isDigit))
+          // pid = the p-prefixed segment (current s5_<t>_<dirTag>_p<pid>_
+          // layout — unambiguous even when a sanitized dir tag is all
+          // digits); legacy layouts carried a bare pid as the first
+          // all-digit segment after the table name — sweep those too
+          f.getName.startsWith("s5_") && {
+            val segs = f.getName.split("_")
+            segs.collectFirst { case p if p.matches("p\\d+") => p.drop(1) }
+              .orElse(segs.drop(2).find(p => p.nonEmpty && p.forall(_.isDigit)))
               .exists(p => sweepable(p.toLong))
+          }
         }
         .foreach(rm)
       def bucketed(t: String, key: String, keep: Seq[String]): String = {
@@ -129,7 +132,7 @@ object ScaleQueries {
         // without it, two data dirs whose source files collide on
         // (length, mtime) would satisfy tableExists and silently reuse
         // the other dir's bucketed copy
-        val tbl = s"s5_${t}_${dirTag}_${pid}_${src.length}_${src.lastModified}"
+        val tbl = s"s5_${t}_${dirTag}_p${pid}_${src.length}_${src.lastModified}"
         if (!s.catalog.tableExists(tbl))
           Tables(s, dir, t).select(keep.map(col): _*)
             .write.mode("overwrite").bucketBy(8, key).sortBy(key)

@@ -890,7 +890,6 @@ object TextQueries {
       SELECT da AS doc_a, db AS doc_b, jacc
       FROM dup ORDER BY doc_a, doc_b"""))((s, dir) => {
       import s.implicits._
-      import graft.operators.MinHashDedup
       Option(new java.io.File("/tmp/graft_fixtures").listFiles)
         .getOrElse(Array.empty)
         .filter(f => f.getName.matches("j6_idx_\\d+_\\d+") &&
@@ -898,45 +897,20 @@ object TextQueries {
         .foreach(Fixtures.rm)
       val root = s"/tmp/graft_fixtures/j6_idx_" +
         s"${ProcessHandle.current.pid}_${System.nanoTime}"
-      val (bandsDir, shDir, dupDir) =
-        (s"$root/bands", s"$root/sh", s"$root/dups")
-      Seq.empty[(Long, Long, String)].toDF("doc_id", "b", "bh")
-        .write.parquet(bandsDir)
-      Seq.empty[(Long, String)].toDF("doc_id", "s").write.parquet(shDir)
-      Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jacc")
-        .write.parquet(dupDir)
+      // probe → verify → append → periodic versioned compaction lives in
+      // streaming/IncrementalMinHashIndex (file count stays bounded
+      // across batches — IncrementalIndexSpec asserts it)
+      val idx = new graft.streaming.IncrementalMinHashIndex(s, root)
       val data = docs(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)].collect()
       Replay.chunked(s, data.toSeq, 3, statePartitions = Some(8))(ds =>
         ds.toDF("doc_id", "text")
           .writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) =>
-            val shNew = MinHashDedup.shingleRows(batch, "doc_id", "text")
-              .localCheckpoint(true)
-            val bandNew = MinHashDedup.bandRows(shNew).localCheckpoint(true)
-            // cache reads stay LAZY: the verify write (an action) runs
-            // before the band/shingle appends below, so nothing reads a
-            // dir mid-append — only the new batch's own rows need the
-            // checkpoint (they're reused across cand + verify + append,
-            // and a streaming batch DF must not outlive the batch call)
-            val bandAll = s.read.parquet(bandsDir).unionByName(bandNew)
-            val shAll = s.read.parquet(shDir).unionByName(shNew)
-            val cand = bandNew
-              .select(col("doc_id").as("x"), col("b"), col("bh"))
-              .join(bandAll.select(col("doc_id").as("y"), col("b"),
-                col("bh")), Seq("b", "bh"))
-              .filter(col("x") =!= col("y"))
-              .select(least(col("x"), col("y")).as("da"),
-                greatest(col("x"), col("y")).as("db"))
-              .distinct()
-            MinHashDedup.verifyPairs(cand, shAll, 0.8)
-              .write.mode("append").parquet(dupDir)
-            bandNew.write.mode("append").parquet(bandsDir)
-            shNew.write.mode("append").parquet(shDir)
+           _: Long) => idx.ingest(batch)
           }.start())
       // distinct is belt-and-braces: each pair is emitted exactly once
-      s.read.parquet(dupDir).distinct().orderBy("doc_a", "doc_b")
+      s.read.parquet(idx.dupDir).distinct().orderBy("doc_a", "doc_b")
     }),
 
     // T23 — bigram language-model training counts: per word, the corpus

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.MinHashDedup
+
+/** Incremental MinHash-LSH band index over an append-only parquet store
+  * — the at-ingestion near-duplicate check behind `j6_stream_minhash_
+  * index`. Each ingested batch (1) probes the accumulated band index for
+  * candidate pairs (equi-join on (band, band-hash) — the same Σ bucket²
+  * shape as batch t6), (2) exact-Jaccard-verifies candidates against the
+  * accumulated shingle store, appending accepted pairs to `dupDir`, then
+  * (3) appends its own bands/shingles so later batches see it.
+  *
+  * Small-files control: a per-batch parquet append grows the index's
+  * file count — and every later batch's re-read — linearly with batch
+  * count, which at real scale is the classic streaming small-files
+  * failure. Every `compactEvery` batches the band and shingle stores are
+  * rewritten coalesced into a fresh VERSIONED dir (`bands_v<n>`) and the
+  * previous version deleted — readers of the current version are never
+  * mid-overwrite, the swap is a pointer bump. File count is thereby
+  * bounded by `compactParts + compactEvery × appends-per-batch`
+  * regardless of total batch count (`fileCounts` exposes it; the spec
+  * asserts the bound). A production deployment gets the same property
+  * from a table format's compaction job (Delta OPTIMIZE / Iceberg
+  * rewrite_data_files); the versioned-dir swap is that idea without a
+  * table-format dependency.
+  *
+  * Jaccard depends only on the two docs' static shingle sets, so the
+  * emitted pairs are batching-invariant: the j6 oracle is the same
+  * DuckDB CTE chain as batch t6.
+  */
+final class IncrementalMinHashIndex(
+    s: SparkSession, root: String, threshold: Double = 0.8,
+    compactEvery: Int = 2, compactParts: Int = 1) {
+
+  private var version = 0
+  private var batches = 0
+
+  private def bandsDir = s"$root/bands_v$version"
+  private def shDir = s"$root/sh_v$version"
+
+  /** Accepted (doc_a, doc_b, jacc) near-duplicate pairs, append-only. */
+  val dupDir = s"$root/dups"
+
+  locally {
+    import s.implicits._
+    Seq.empty[(Long, Long, String)].toDF("doc_id", "b", "bh")
+      .write.parquet(bandsDir)
+    Seq.empty[(Long, String)].toDF("doc_id", "s").write.parquet(shDir)
+    Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jacc")
+      .write.parquet(dupDir)
+  }
+
+  /** Ingest one batch of (doc_id, text) rows: probe, verify, append,
+    * maybe compact. Store reads stay LAZY: the verify write (an action)
+    * runs before the band/shingle appends, so nothing reads a dir
+    * mid-append — only the new batch's own rows need the eager
+    * checkpoint (they're reused across cand + verify + append, and a
+    * streaming batch DF must not outlive the foreachBatch call).
+    */
+  def ingest(batch: DataFrame): Unit = {
+    val shNew = MinHashDedup.shingleRows(batch, "doc_id", "text")
+      .localCheckpoint(true)
+    val bandNew = MinHashDedup.bandRows(shNew).localCheckpoint(true)
+    val bandAll = s.read.parquet(bandsDir).unionByName(bandNew)
+    val shAll = s.read.parquet(shDir).unionByName(shNew)
+    val cand = bandNew
+      .select(col("doc_id").as("x"), col("b"), col("bh"))
+      .join(bandAll.select(col("doc_id").as("y"), col("b"), col("bh")),
+        Seq("b", "bh"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("da"),
+        greatest(col("x"), col("y")).as("db"))
+      .distinct()
+    MinHashDedup.verifyPairs(cand, shAll, threshold)
+      .write.mode("append").parquet(dupDir)
+    bandNew.write.mode("append").parquet(bandsDir)
+    shNew.write.mode("append").parquet(shDir)
+    batches += 1
+    if (batches % compactEvery == 0) compact()
+  }
+
+  /** Rewrite both stores coalesced into the next version dir, bump the
+    * pointer, delete the old version. Sequential with ingest (foreachBatch
+    * batches arrive one at a time), so no reader races the delete.
+    */
+  private def compact(): Unit = {
+    val next = version + 1
+    val (nb, ns) = (s"$root/bands_v$next", s"$root/sh_v$next")
+    s.read.parquet(bandsDir).coalesce(compactParts).write.parquet(nb)
+    s.read.parquet(shDir).coalesce(compactParts).write.parquet(ns)
+    val (ob, os) = (bandsDir, shDir)
+    version = next
+    Seq(ob, os).foreach(d => rmTree(new java.io.File(d)))
+  }
+
+  /** Parquet part-file counts of the current (bands, shingles) version —
+    * the boundedness observable the compaction spec asserts on.
+    */
+  def fileCounts: (Int, Int) = {
+    def parts(d: String) =
+      Option(new java.io.File(d).listFiles).getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("part-"))
+    (parts(bandsDir), parts(shDir))
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
+}

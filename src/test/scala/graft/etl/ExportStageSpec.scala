@@ -6,9 +6,12 @@ import java.util.zip.GZIPInputStream
 
 import graft.SparkSpec
 import graft.graph.GraphTables
+import graft.sources.Sinks
 
 /** Golden test of the Neo4j bulk-import header contract
-  * (import_neo4j_data.sh:3-78 expectations).
+  * (import_neo4j_data.sh:3-78 expectations) over the full ~65-file
+  * inventory, plus referential integrity of the new hierarchy/chain
+  * rel files (every rel endpoint resolves to a node in its id space).
   */
 class ExportStageSpec extends SparkSpec {
 
@@ -26,13 +29,49 @@ class ExportStageSpec extends SparkSpec {
     try r.readLine() finally r.close()
   }
 
-  describe("ExportStage") {
-    it("writes the full node/rel set with the typed-header contract") {
-      val out = Files.createTempDirectory("neo4j_export").toString
-      val g = GraphTables.build(spark, "/root/testdata/sf0.001")
-      val written = ExportStage.run(g, out).toMap
-      assert(written.size === 7)
+  private lazy val out = Files.createTempDirectory("neo4j_export").toString
+  private lazy val written: Map[String, String] = {
+    val g = GraphTables.build(spark, "/root/testdata/sf0.001")
+    ExportStage.run(g, out).toMap
+  }
 
+  describe("ExportStage") {
+    it("writes the full reference-shaped inventory") {
+      // reference writes ~60 files (produce_neo4j_files.py), consumed by
+      // import_neo4j_data.sh; the engine's inventory covers every group
+      assert(written.size === 65)
+      // one representative per inventory group must exist
+      Seq("entry_nodes", "bound_entity_nodes", "cognate_ligand_nodes",
+        "be_is_in_pdb_rels", "interacts_with_ligand_rels",
+        "has_similarity_rels", "bound_descriptors", "be_bd_rels",
+        "ec_id_nodes", "ec_nodes_class", "ec_nodes_subclass",
+        "ec_nodes_subsubclass", "ec_class_subclass_rel",
+        "ec_subclass_subsubclass_rel", "ec_subsubclass_id_rel",
+        "cognate_ligands_ec", "pdb_protein_chain_nodes",
+        "pdb_protein_rels", "protein_ec_rels", "cath_protein_rels",
+        "scop_protein_rels", "pfam_protein_rels", "scop2_sf_protein_rels",
+        "scop2_fa_protein_rels", "cath_domains_nodes", "scop_domains_nodes",
+        "pfam_domains_nodes", "scop2_sf_domains_nodes",
+        "scop2_fa_domains_nodes", "cath_domain_ligand_interactions",
+        "scop_domain_ligand_interactions", "pfam_domain_ligand_interactions",
+        "scop2_sf_domain_ligand_interactions",
+        "scop2_fa_domain_ligand_interactions", "cath_class_nodes",
+        "cath_architecture_nodes", "cath_topology_nodes",
+        "cath_homologous_superfamily_nodes", "cath_class_architecture_rels",
+        "cath_architecture_topology_rels", "cath_topology_homology_rels",
+        "cath_homologous_superfamily_domain_rels", "scop_class_nodes",
+        "scop_fold_nodes", "scop_superfamily_nodes", "scop_family_nodes",
+        "scop_domain_family_rels", "scop_family_superfam_rels",
+        "scop_superfam_fold_rels", "scop_fold_class_rels",
+        "scop2_fa_nodes", "scop2_sf_nodes", "scop2_cf_nodes",
+        "scop2_cl_nodes", "scop2_tp_nodes", "scop2_fa_domains_rels",
+        "scop2_sf_domains_rels", "scop2_sf_fa_rels", "scop2_sf_cf_rels",
+        "scop2_cf_cl_rels", "scop2_cl_tp_rels", "pfam_clans",
+        "pfam_clan_rels", "procoggraph_node", "domain_nodes")
+        .foreach(f => assert(written.contains(f), s"missing $f"))
+    }
+
+    it("keeps the typed-header contract on the core files") {
       assert(headerOf(written("entry_nodes")) === "pdbEntry:ID(entry-id)")
       assert(headerOf(written("bound_entity_nodes")) ===
         "uniqueID:ID(be-id)\thetCode\tdisplayID")
@@ -48,6 +87,69 @@ class ExportStageSpec extends SparkSpec {
       assert(firstDataLine(written("entry_nodes")).startsWith("pdb"))
       assert(!firstDataLine(written("bound_entity_nodes"))
         .startsWith("uniqueID:ID"))
+    }
+
+    it("keeps the typed-header contract on the new inventory groups") {
+      assert(headerOf(written("ec_id_nodes")) === "ecID:ID(ec-id)")
+      assert(headerOf(written("ec_class_subclass_rel")) ===
+        ":START_ID(subclass-id)\t:END_ID(class-id)")
+      assert(headerOf(written("cognate_ligands_ec")) ===
+        ":START_ID(cl-id)\t:END_ID(ec-id)")
+      assert(headerOf(written("pdb_protein_chain_nodes")) ===
+        "pdbProteinChain:ID(pdbp-id)\tchainID:long\tecList:string[]")
+      assert(headerOf(written("pdb_protein_rels")) ===
+        ":START_ID(pdbp-id)\t:END_ID(entry-id)")
+      assert(headerOf(written("cath_protein_rels")) ===
+        ":START_ID(cath-domain-id)\t:END_ID(pdbp-id)")
+      assert(headerOf(written("cath_domain_ligand_interactions"))
+        .startsWith(":START_ID(cath-domain-id)\t:END_ID(be-id)"))
+      assert(headerOf(written("cath_homologous_superfamily_domain_rels")) ===
+        ":START_ID(cath-domain-id)\t:END_ID(cath-hsf-id)")
+      assert(headerOf(written("scop_domain_family_rels")) ===
+        ":START_ID(scop-domain-id)\t:END_ID(scop-family-id)")
+      assert(headerOf(written("scop2_cl_tp_rels")) ===
+        ":START_ID(scop2-cl-id)\t:END_ID(scop2-tp-id)")
+      assert(headerOf(written("pfam_clan_rels")) ===
+        ":START_ID(pfam-domain-id)\t:END_ID(pfam-clan-id)")
+      assert(headerOf(written("procoggraph_node"))
+        .startsWith("procoggraph:ID(procoggraph-id)\tname"))
+    }
+
+    it("rel endpoints resolve to nodes in their id space") {
+      def ids(file: String, colName: String) =
+        Sinks.readNeo4jTsv(spark, written(file)).select(colName)
+      def dangling(relFile: String, endCol: String,
+                   nodeFile: String, idCol: String): Long =
+        ids(relFile, endCol).toDF("x")
+          .except(ids(nodeFile, idCol).toDF("x")).count()
+
+      assert(dangling("ec_class_subclass_rel", ":END_ID(class-id)",
+        "ec_nodes_class", "ecID:ID(class-id)") === 0)
+      assert(dangling("ec_subsubclass_id_rel", ":START_ID(ec-id)",
+        "ec_id_nodes", "ecID:ID(ec-id)") === 0)
+      assert(dangling("cognate_ligands_ec", ":END_ID(ec-id)",
+        "ec_id_nodes", "ecID:ID(ec-id)") === 0)
+      assert(dangling("pdb_protein_rels", ":START_ID(pdbp-id)",
+        "pdb_protein_chain_nodes", "pdbProteinChain:ID(pdbp-id)") === 0)
+      assert(dangling("cath_protein_rels", ":END_ID(pdbp-id)",
+        "pdb_protein_chain_nodes", "pdbProteinChain:ID(pdbp-id)") === 0)
+      assert(dangling("protein_ec_rels", ":END_ID(ec-id)",
+        "ec_id_nodes", "ecID:ID(ec-id)") === 0)
+      assert(dangling("cath_homologous_superfamily_domain_rels",
+        ":END_ID(cath-hsf-id)",
+        "cath_homologous_superfamily_nodes", "hsf:ID(cath-hsf-id)") === 0)
+      assert(dangling("cath_homologous_superfamily_domain_rels",
+        ":START_ID(cath-domain-id)",
+        "cath_domains_nodes", "domain:ID(cath-domain-id)") === 0)
+      assert(dangling("scop_family_superfam_rels", ":END_ID(scop-superfam-id)",
+        "scop_superfamily_nodes",
+        "scopSuperfamily:ID(scop-superfam-id)") === 0)
+      assert(dangling("scop2_cl_tp_rels", ":END_ID(scop2-tp-id)",
+        "scop2_tp_nodes", "tp:ID(scop2-tp-id)") === 0)
+      assert(dangling("pfam_clan_rels", ":END_ID(pfam-clan-id)",
+        "pfam_clans", "clanID:ID(pfam-clan-id)") === 0)
+      assert(dangling("be_bd_rels", ":END_ID(bd-id)",
+        "bound_descriptors", "ligandUniqueID:ID(bd-id)") === 0)
     }
   }
 }

@@ -50,11 +50,28 @@ object ExportStage {
   private def ecLevel(code: Column, n: Int): Column =
     concat_ws(".", (1 to n).map(i => element_at(split(code, "\\."), i)): _*)
 
+  /** Concurrent write slots: the ~65 sink writes are independent Spark
+    * jobs over shared (persisted) lineages — submitting them serially
+    * pays ~65× job-scheduling latency in wall-clock. Eight in flight
+    * keeps the scheduler busy without starving any single job of cores.
+    */
+  private val WriteSlots = 8
+
   def run(g: GraphTables, outDir: String): Seq[(String, String)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    // daemon threads: if DataFrame construction throws before the Await
+    // below, the pool is never shut down — daemon workers can't pin the
+    // JVM open in that case
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      WriteSlots,
+      (r: Runnable) => { val t = new Thread(r, "export-write"); t.setDaemon(true); t })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val pending = scala.collection.mutable.ArrayBuffer[Future[Unit]]()
     val written = scala.collection.mutable.ArrayBuffer[(String, String)]()
     def write(name: String, df: DataFrame,
               hdr: (String, String)*): Unit = {
-      Sinks.neo4jTsv(df, s"$outDir/$name", hdr.toMap)
+      pending += Future(Sinks.neo4jTsv(df, s"$outDir/$name", hdr.toMap))
       written += name -> s"$outDir/$name"
     }
     // DIMENSION-bounded tables (suppliers, hierarchy levels, distinct EC
@@ -377,6 +394,11 @@ object ExportStage {
           col("num_bound_descriptors"), col("num_cognate_ligands")),
       "procoggraph" -> "procoggraph:ID(procoggraph-id)")
 
+    // surface the FIRST write failure (Future.sequence reports one
+    // deterministic error instead of whichever lands last) and always
+    // release the pool
+    try Await.result(Future.sequence(pending.toSeq), Duration.Inf)
+    finally pool.shutdown()
     written.toSeq
   }
 }

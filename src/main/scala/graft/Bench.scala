@@ -84,8 +84,14 @@ object Bench {
     // internal caches, operator persists whose consuming action has run,
     // and GC-gated shuffle cleanup must not accumulate across 152 queries
     // (the round-6 late-run regressions).
+    // SPARK_GRAFT_ONLY=name1,name2 — iterate on a single query's timing
+    // without the 153-query run; unset (the driver's mode) = run all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var prevFamily = ""
-    val results = SparkEntry.all.map { rq =>
+    val results = SparkEntry.all
+      .filter(rq => only.forall(_.contains(rq.name)))
+      .map { rq =>
       val fam = CacheHygiene.family(rq.name)
       if (prevFamily.nonEmpty && fam != prevFamily)
         CacheHygiene.sweep(spark.sparkContext, baseline)

@@ -151,5 +151,18 @@ class ExportStageSpec extends SparkSpec {
       assert(dangling("be_bd_rels", ":END_ID(bd-id)",
         "bound_descriptors", "ligandUniqueID:ID(bd-id)") === 0)
     }
+
+    it("surfaces a sink failure from the concurrent write pool") {
+      // outDir nested under a regular FILE: every csv write fails to
+      // mkdir. run() must rethrow (first failure, via the Await) rather
+      // than return a "written" list for files that don't exist — and
+      // must return promptly, not leave the suite hanging on pool threads
+      val g = GraphTables.build(spark, "/root/testdata/sf0.001")
+      val blocker = Files.createTempFile("export_blocker", ".txt")
+      try
+        assertThrows[Exception](
+          ExportStage.run(g, blocker.toString + "/nested"))
+      finally Files.delete(blocker)
+    }
   }
 }

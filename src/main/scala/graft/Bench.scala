@@ -89,7 +89,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     var prevFamily = ""
-    val results = SparkEntry.all
+    val results = CacheHygiene.familyContiguous(SparkEntry.all)(_.name)
       .filter(rq => only.forall(_.contains(rq.name)))
       .map { rq =>
       val fam = CacheHygiene.family(rq.name)

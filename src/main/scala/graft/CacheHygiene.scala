@@ -44,4 +44,17 @@ object CacheHygiene {
     * "etl"). Families group queries over the same tables/caches.
     */
   def family(name: String): String = name.takeWhile(!_.isDigit)
+
+  /** Registry order with families made contiguous: members keep their
+    * relative order, but every family regroups at its first appearance.
+    * Registration order alone is NOT family-contiguous (TextQueries
+    * registers j4/j6/j7 between t-queries), which would fire extra
+    * mid-family sweeps and evict the t-family's legitimate cache reuse —
+    * the exact cost the sweep exists to remove. sortBy is stable, so
+    * within a family nothing moves.
+    */
+  def familyContiguous[A](all: Seq[A])(name: A => String): Seq[A] = {
+    val firstSeen = all.map(a => family(name(a))).distinct.zipWithIndex.toMap
+    all.sortBy(a => firstSeen(family(name(a))))
+  }
 }

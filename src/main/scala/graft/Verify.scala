@@ -27,8 +27,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // build the graph registry BEFORE the cache-hygiene baseline so the
     // between-family sweeps never evict it (Bench does the same; the
-    // dashboard families query it like the bulk-imported reference DB)
-    try {
+    // dashboard families query it like the bulk-imported reference DB).
+    // Skipped for filtered dev runs: iterating on one non-graph query
+    // must not pay the full registry build — a kept query that does need
+    // it builds it lazily through GraphTables.cached
+    if (args.length <= 2) try {
       val g = graft.graph.GraphTables.cached(spark, sfDir)
       Seq(g.boundEntities, g.interacts, g.similarity, g.similarityBest,
           g.interactPairs)
@@ -37,10 +40,12 @@ object Verify {
       System.err.println(s"[verify] graph warmup failed: ${e.getMessage}")
     }
     val baseline = CacheHygiene.snapshot(spark.sparkContext)
-    // registry order (not the unordered Map): families stay contiguous,
-    // so the sweep below never splits a family's legitimate cache reuse
+    // family-contiguous order (registration alone interleaves j-queries
+    // into the t-block), so the sweep below fires exactly once per
+    // family and never splits a family's legitimate cache reuse
     var prevFamily = ""
-    SparkEntry.all.filter(rq => keep(rq.name)).foreach { rq =>
+    CacheHygiene.familyContiguous(SparkEntry.all)(_.name)
+      .filter(rq => keep(rq.name)).foreach { rq =>
       val fam = CacheHygiene.family(rq.name)
       if (prevFamily.nonEmpty && fam != prevFamily)
         CacheHygiene.sweep(spark.sparkContext, baseline)

@@ -47,7 +47,11 @@ object ExportStage {
     concat_ws(".", regexp_extract(brand, "#(\\d+)", 1),
       floor(size / 10).cast("long"), size % 10, key % 7)
 
-  private def ecLevel(code: Column, n: Int): Column =
+  /** First `n` dotted segments of an EC code — public for the same
+    * reason `ecCode` is: the hierarchy queries (ec1/ec2) and the export
+    * must extract levels identically, so there is ONE definition.
+    */
+  def ecLevel(code: Column, n: Int): Column =
     concat_ws(".", (1 to n).map(i => element_at(split(code, "\\."), i)): _*)
 
   /** Concurrent write slots: the ~65 sink writes are independent Spark
@@ -58,14 +62,21 @@ object ExportStage {
   private val WriteSlots = 8
 
   def run(g: GraphTables, outDir: String): Seq[(String, String)] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    // daemon threads: if DataFrame construction throws before the Await
-    // below, the pool is never shut down — daemon workers can't pin the
-    // JVM open in that case
+    // the pool's lifecycle lives HERE so a failure anywhere in the body —
+    // plan construction included, not just the writes — still shuts it
+    // down; daemon threads are the second line of defense against
+    // pinning the JVM open
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       WriteSlots,
       (r: Runnable) => { val t = new Thread(r, "export-write"); t.setDaemon(true); t })
+    try runWithPool(g, outDir, pool)
+    finally pool.shutdown()
+  }
+
+  private def runWithPool(g: GraphTables, outDir: String,
+      pool: java.util.concurrent.ExecutorService): Seq[(String, String)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val pending = scala.collection.mutable.ArrayBuffer[Future[Unit]]()
     val written = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -105,9 +116,19 @@ object ExportStage {
         concat(lit("pdb"), col("ok")).as("pdbEntry")),
       "uniqueID" -> ":START_ID(be-id)", "pdbEntry" -> ":END_ID(entry-id)")
 
+    // persisted and eagerly materialized: ~13 write jobs consume this
+    // fact join (the interaction rels, the five per-DB splits, chainEc,
+    // domainChain). Counting on the caller thread BEFORE the consumers
+    // are submitted lets the already-queued independent writes keep the
+    // pool busy while the join computes exactly once; a lazy persist
+    // instead makes the first wave of consumers race to materialize the
+    // same blocks (measured slower than no persist at all). Released in
+    // the finally around the Await below.
     val interactsByDomain = g.interacts.join(
         g.domains.select("suppkey", "domainAccession", "dtype", "nk"),
         "suppkey")
+      .persist()
+    interactsByDomain.queryExecution.toRdd.count()
 
     write("interacts_with_ligand_rels",
       interactsByDomain.select(col("domainAccession"), col("uniqueID"),
@@ -178,6 +199,8 @@ object ExportStage {
         col("pk"))
       .join(cogEc.select(col("cogId").as("pk"), col("ec")), "pk")
       .select("chainUniqueID", "ec").distinct()
+      .persist()
+    chainEc.queryExecution.toRdd.count() // eager, same rationale as above
     write("pdb_protein_chain_nodes",
       g.chains.select(col("chainUniqueID"), col("nk").as("chainID"))
         .join(chainEc.groupBy("chainUniqueID")
@@ -201,6 +224,8 @@ object ExportStage {
       .select(col("domainAccession"), col("dtype"),
         concat(col("ok"), lit(":"), col("nk")).as("chainUniqueID"))
       .distinct()
+      .persist()
+    domainChain.queryExecution.toRdd.count() // eager, same rationale as above
     Seq("CATH" -> "cath_protein_rels", "SCOP" -> "scop_protein_rels",
         "Pfam" -> "pfam_protein_rels").foreach { case (db, name) =>
       write(name,
@@ -396,9 +421,11 @@ object ExportStage {
 
     // surface the FIRST write failure (Future.sequence reports one
     // deterministic error instead of whichever lands last) and always
-    // release the pool
+    // release the shared intermediates persisted above (the pool itself
+    // is released by run()'s finally)
     try Await.result(Future.sequence(pending.toSeq), Duration.Inf)
-    finally pool.shutdown()
+    finally Seq(interactsByDomain, chainEc, domainChain)
+      .foreach(_.unpersist(blocking = false))
     written.toSeq
   }
 }

@@ -22,9 +22,10 @@ object HierarchyQueries {
       graft.etl.ExportStage.ecCode(col("p_brand"), col("p_size"),
         col("p_partkey")).as("code"))
 
+  // ONE level-extraction definition, shared with the export (a scheme
+  // change hits the ec1/ec2 oracles and the EC files together)
   private def level(c: Column, n: Int): Column =
-    concat_ws(".", (1 to n).map(i =>
-      element_at(split(c, "\\."), i)): _*)
+    graft.etl.ExportStage.ecLevel(c, n)
 
   val defs: Seq[RQ] = Seq(
 

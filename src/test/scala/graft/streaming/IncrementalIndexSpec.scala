@@ -24,6 +24,7 @@ class IncrementalIndexSpec extends SparkSpec {
   it("matches the batch operator across batches and stays compacted") {
     val root = s"/tmp/graft_fixtures/idxspec_" +
       s"${ProcessHandle.current.pid}_${System.nanoTime}"
+    try {
     val idx = new IncrementalMinHashIndex(spark, root, compactEvery = 2)
     Seq(docs.take(2), docs.slice(2, 3), docs.slice(3, 4), docs.drop(4))
       .foreach(chunk => idx.ingest(chunk.toDF("doc_id", "text")))
@@ -44,5 +45,14 @@ class IncrementalIndexSpec extends SparkSpec {
     val (nb, ns) = idx.fileCounts
     assert(nb <= 1 && ns <= 1,
       s"stores not compacted: bands=$nb shingles=$ns part files")
+    } finally {
+      // unlike the registered queries' self-sweeping fixtures, nothing
+      // sweeps the idxspec_ prefix — delete the tree or /tmp grows per run
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
   }
 }

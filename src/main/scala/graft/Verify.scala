@@ -42,12 +42,18 @@ object Verify {
     val baseline = CacheHygiene.snapshot(spark.sparkContext)
     // family-contiguous order (registration alone interleaves j-queries
     // into the t-block), so the sweep below fires exactly once per
-    // family and never splits a family's legitimate cache reuse
+    // family and never splits a family's legitimate cache reuse.
+    // Filtered dev runs skip the sweeps entirely: the warmup above was
+    // skipped too, so a lazily-built graph registry is NOT in the
+    // baseline and a sweep would evict it mid-run — and a handful of
+    // kept queries can't accumulate the session state the sweep exists
+    // to control anyway
+    val sweeping = args.length <= 2
     var prevFamily = ""
     CacheHygiene.familyContiguous(SparkEntry.all)(_.name)
       .filter(rq => keep(rq.name)).foreach { rq =>
       val fam = CacheHygiene.family(rq.name)
-      if (prevFamily.nonEmpty && fam != prevFamily)
+      if (sweeping && prevFamily.nonEmpty && fam != prevFamily)
         CacheHygiene.sweep(spark.sparkContext, baseline)
       prevFamily = fam
       try rq.build(spark, sfDir).coalesce(1).write.mode("overwrite")

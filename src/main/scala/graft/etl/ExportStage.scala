@@ -95,337 +95,342 @@ object ExportStage {
                    hdr: (String, String)*): Unit =
       write(name, df.coalesce(1), hdr: _*)
 
-    // ---- core graph (the round-1 seven) ------------------------------
-    write("entry_nodes", g.entries.select("pdbEntry"),
-      "pdbEntry" -> "pdbEntry:ID(entry-id)")
-
-    write("bound_entity_nodes",
-      g.boundEntities.select("uniqueID", "hetCode", "displayID"),
-      "uniqueID" -> "uniqueID:ID(be-id)")
-
-    write("cognate_ligand_nodes",
-      g.cognates.select(col("cogId"), col("cogName").as("name"), col("brand")),
-      "cogId" -> "cogId:ID(cl-id)")
-
-    writeSmall("domain_nodes",
-      g.domains.select("domainAccession", "dtype", "superfamily"),
-      "domainAccession" -> "domainAccession:ID(domain-id)")
-
-    write("be_is_in_pdb_rels",
-      g.boundEntities.select(col("uniqueID"),
-        concat(lit("pdb"), col("ok")).as("pdbEntry")),
-      "uniqueID" -> ":START_ID(be-id)", "pdbEntry" -> ":END_ID(entry-id)")
-
-    // persisted and eagerly materialized: ~13 write jobs consume this
-    // fact join (the interaction rels, the five per-DB splits, chainEc,
-    // domainChain). Counting on the caller thread BEFORE the consumers
-    // are submitted lets the already-queued independent writes keep the
-    // pool busy while the join computes exactly once; a lazy persist
-    // instead makes the first wave of consumers race to materialize the
-    // same blocks (measured slower than no persist at all). Released in
-    // the finally around the Await below.
-    val interactsByDomain = g.interacts.join(
-        g.domains.select("suppkey", "domainAccession", "dtype", "nk"),
-        "suppkey")
-      .persist()
-    interactsByDomain.queryExecution.toRdd.count()
-
-    write("interacts_with_ligand_rels",
-      interactsByDomain.select(col("domainAccession"), col("uniqueID"),
-        col("contactCount"), col("perc").as("domainContactPerc"),
-        col("interactionMode")),
-      "domainAccession" -> ":START_ID(domain-id)",
-      "uniqueID" -> ":END_ID(be-id)",
-      "domainContactPerc" -> "domainContactPerc:float",
-      "contactCount" -> "contactCount:long")
-
-    // C12: occurrences join back to ligand-keyed scores at export
-    write("has_similarity_rels",
-      g.boundEntities.select("uniqueID", "ligandUniqueID")
-        .join(g.similarity, "ligandUniqueID")
-        .select(col("uniqueID"), col("cogId"),
-          col("parityScore"), col("bestCognate")),
-      "uniqueID" -> ":START_ID(be-id)", "cogId" -> ":END_ID(cl-id)",
-      "parityScore" -> "parityScore:float")
-
-    // ---- bound descriptors (produce_neo4j_files.py:394-397) ----------
-    // the DISTINCT ligand structures similarity scoring is keyed by;
-    // descriptor string = the cognate-side canonical SMILES of the same
-    // part (ligandUniqueID == p_partkey == cogId in the star mapping)
-    val descriptors = g.boundEntities.select("ligandUniqueID").distinct()
-      .join(g.cognates.select(col("cogId").as("ligandUniqueID"),
-        col("cogName").as("descriptor")), Seq("ligandUniqueID"), "left")
-    write("bound_descriptors", descriptors,
-      "ligandUniqueID" -> "ligandUniqueID:ID(bd-id)")
-    write("be_bd_rels",
-      g.boundEntities.select("uniqueID", "ligandUniqueID"),
-      "uniqueID" -> ":START_ID(be-id)",
-      "ligandUniqueID" -> ":END_ID(bd-id)")
-
-    // ---- EC hierarchy (produce_neo4j_files.py:69-103) ----------------
-    val cogEc = g.cognates.select(col("cogId"),
-      ecCode(col("brand"), col("csize"), col("cogId")).as("ec"))
-    val ecIds = cogEc.select("ec").distinct()
-    writeSmall("ec_id_nodes", ecIds.select(col("ec")), "ec" -> "ecID:ID(ec-id)")
-    Seq(("ec_nodes_class", 1, "class-id"),
-        ("ec_nodes_subclass", 2, "subclass-id"),
-        ("ec_nodes_subsubclass", 3, "subsubclass-id")).foreach {
-      case (name, lvl, space) =>
-        writeSmall(name,
-          ecIds.select(ecLevel(col("ec"), lvl).as("ecID")).distinct(),
-          "ecID" -> s"ecID:ID($space)")
+    // shared(df): persist + eagerly materialize an intermediate that
+    // several write jobs consume. Registered so the finally below
+    // releases it on EVERY exit path — including a construction or
+    // materialization failure mid-body — not just after a clean Await.
+    val sharedPersists = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def shared(df: DataFrame): DataFrame = {
+      val p = df.persist()
+      sharedPersists += p
+      p.queryExecution.toRdd.count()
+      p
     }
-    // child → parent rels, exactly the reference's direction (:87-92)
-    writeSmall("ec_class_subclass_rel",
-      ecIds.select(ecLevel(col("ec"), 2).as("subclass"),
-        ecLevel(col("ec"), 1).as("cls")).distinct(),
-      "subclass" -> ":START_ID(subclass-id)", "cls" -> ":END_ID(class-id)")
-    writeSmall("ec_subclass_subsubclass_rel",
-      ecIds.select(ecLevel(col("ec"), 3).as("subsubclass"),
-        ecLevel(col("ec"), 2).as("subclass")).distinct(),
-      "subsubclass" -> ":START_ID(subsubclass-id)",
-      "subclass" -> ":END_ID(subclass-id)")
-    writeSmall("ec_subsubclass_id_rel",
-      ecIds.select(col("ec"), ecLevel(col("ec"), 3).as("subsubclass")),
-      "ec" -> ":START_ID(ec-id)", "subsubclass" -> ":END_ID(subsubclass-id)")
-    write("cognate_ligands_ec", cogEc,
-      "cogId" -> ":START_ID(cl-id)", "ec" -> ":END_ID(ec-id)")
+    try {
 
-    // ---- protein chains (produce_neo4j_files.py:124-151,521-548) -----
-    // chain's EC list: the codes of the ligands its domains contact —
-    // sorted collect_set so the array column is deterministic
-    val chainEc = interactsByDomain
-      .select(concat(col("ok"), lit(":"), col("nk")).as("chainUniqueID"),
-        col("pk"))
-      .join(cogEc.select(col("cogId").as("pk"), col("ec")), "pk")
-      .select("chainUniqueID", "ec").distinct()
-      .persist()
-    chainEc.queryExecution.toRdd.count() // eager, same rationale as above
-    write("pdb_protein_chain_nodes",
-      g.chains.select(col("chainUniqueID"), col("nk").as("chainID"))
-        .join(chainEc.groupBy("chainUniqueID")
-            .agg(array_sort(collect_set(col("ec"))).as("ecList")),
-          Seq("chainUniqueID"), "left")
-        .select(col("chainUniqueID"), col("chainID"),
-          coalesce(col("ecList"), array()).as("ecList")),
-      "chainUniqueID" -> "pdbProteinChain:ID(pdbp-id)",
-      "chainID" -> "chainID:long")
-    write("pdb_protein_rels",
-      g.chains.select(col("chainUniqueID"),
-        concat(lit("pdb"), col("ok")).as("pdbEntry")),
-      "chainUniqueID" -> ":START_ID(pdbp-id)",
-      "pdbEntry" -> ":END_ID(entry-id)")
-    write("protein_ec_rels", chainEc,
-      "chainUniqueID" -> ":START_ID(pdbp-id)", "ec" -> ":END_ID(ec-id)")
+      // ---- core graph (the round-1 seven) ------------------------------
+      write("entry_nodes", g.entries.select("pdbEntry"),
+        "pdbEntry" -> "pdbEntry:ID(entry-id)")
 
-    // a domain is in the chain of its nation within every entry it
-    // contacts (chains are (entry, domain-nation) pairs, GraphTables)
-    val domainChain = interactsByDomain
-      .select(col("domainAccession"), col("dtype"),
-        concat(col("ok"), lit(":"), col("nk")).as("chainUniqueID"))
-      .distinct()
-      .persist()
-    domainChain.queryExecution.toRdd.count() // eager, same rationale as above
-    Seq("CATH" -> "cath_protein_rels", "SCOP" -> "scop_protein_rels",
-        "Pfam" -> "pfam_protein_rels").foreach { case (db, name) =>
-      write(name,
-        domainChain.filter(col("dtype") === db)
-          .select("domainAccession", "chainUniqueID"),
-        "domainAccession" -> s":START_ID(${db.toLowerCase}-domain-id)",
-        "chainUniqueID" -> ":END_ID(pdbp-id)")
-    }
-    // SCOP2 classifies the same structures a second time (reference
-    // SCOP2-SF/FA domains are derived views, produce_neo4j_files.py:
-    // 162-179): the SCOP-type domains re-keyed into the scop2 id spaces
-    Seq("scop2-sf" -> "scop2_sf_protein_rels",
-        "scop2-fa" -> "scop2_fa_protein_rels").foreach { case (db, name) =>
-      write(name,
-        domainChain.filter(col("dtype") === "SCOP")
-          .select("domainAccession", "chainUniqueID"),
-        "domainAccession" -> s":START_ID($db-domain-id)",
-        "chainUniqueID" -> ":END_ID(pdbp-id)")
-    }
+      write("bound_entity_nodes",
+        g.boundEntities.select("uniqueID", "hetCode", "displayID"),
+        "uniqueID" -> "uniqueID:ID(be-id)")
 
-    // ---- per-DB domain nodes + interaction splits --------------------
-    Seq("CATH" -> "cath_domains_nodes", "SCOP" -> "scop_domains_nodes",
-        "Pfam" -> "pfam_domains_nodes").foreach { case (db, name) =>
-      writeSmall(name,
-        g.domains.filter(col("dtype") === db)
-          .select(col("domainAccession"), col("dtype").as("type"),
-            col("superfamily").as("group")),
-        "domainAccession" -> s"domain:ID(${db.toLowerCase}-domain-id)")
-    }
-    Seq("scop2-sf" -> "scop2_sf_domains_nodes",
-        "scop2-fa" -> "scop2_fa_domains_nodes").foreach { case (db, name) =>
-      writeSmall(name,
-        g.domains.filter(col("dtype") === "SCOP")
-          .select(col("domainAccession"), lit(db.toUpperCase).as("type"),
-            concat(lit(db.takeRight(2).toUpperCase), col("nk")).as("group")),
-        "domainAccession" -> s"domain:ID($db-domain-id)")
-    }
-    val interactionCols = Seq(col("domainAccession"), col("uniqueID"),
-      col("contactCount"), col("perc").as("domainContactPerc"),
-      col("interactionMode"))
-    Seq("CATH" -> "cath_domain_ligand_interactions",
-        "SCOP" -> "scop_domain_ligand_interactions",
-        "Pfam" -> "pfam_domain_ligand_interactions").foreach {
-      case (db, name) =>
+      write("cognate_ligand_nodes",
+        g.cognates.select(col("cogId"), col("cogName").as("name"), col("brand")),
+        "cogId" -> "cogId:ID(cl-id)")
+
+      writeSmall("domain_nodes",
+        g.domains.select("domainAccession", "dtype", "superfamily"),
+        "domainAccession" -> "domainAccession:ID(domain-id)")
+
+      write("be_is_in_pdb_rels",
+        g.boundEntities.select(col("uniqueID"),
+          concat(lit("pdb"), col("ok")).as("pdbEntry")),
+        "uniqueID" -> ":START_ID(be-id)", "pdbEntry" -> ":END_ID(entry-id)")
+
+      // shared: ~13 write jobs consume this fact join (the interaction
+      // rels, the five per-DB splits, chainEc, domainChain). Counting on
+      // the caller thread BEFORE the consumers are submitted lets the
+      // already-queued independent writes keep the pool busy while the
+      // join computes exactly once; a lazy persist instead makes the first
+      // wave of consumers race to materialize the same blocks (measured
+      // slower than no persist at all).
+      val interactsByDomain = shared(g.interacts.join(
+          g.domains.select("suppkey", "domainAccession", "dtype", "nk"),
+          "suppkey"))
+
+      write("interacts_with_ligand_rels",
+        interactsByDomain.select(col("domainAccession"), col("uniqueID"),
+          col("contactCount"), col("perc").as("domainContactPerc"),
+          col("interactionMode")),
+        "domainAccession" -> ":START_ID(domain-id)",
+        "uniqueID" -> ":END_ID(be-id)",
+        "domainContactPerc" -> "domainContactPerc:float",
+        "contactCount" -> "contactCount:long")
+
+      // C12: occurrences join back to ligand-keyed scores at export
+      write("has_similarity_rels",
+        g.boundEntities.select("uniqueID", "ligandUniqueID")
+          .join(g.similarity, "ligandUniqueID")
+          .select(col("uniqueID"), col("cogId"),
+            col("parityScore"), col("bestCognate")),
+        "uniqueID" -> ":START_ID(be-id)", "cogId" -> ":END_ID(cl-id)",
+        "parityScore" -> "parityScore:float")
+
+      // ---- bound descriptors (produce_neo4j_files.py:394-397) ----------
+      // the DISTINCT ligand structures similarity scoring is keyed by;
+      // descriptor string = the cognate-side canonical SMILES of the same
+      // part (ligandUniqueID == p_partkey == cogId in the star mapping)
+      val descriptors = g.boundEntities.select("ligandUniqueID").distinct()
+        .join(g.cognates.select(col("cogId").as("ligandUniqueID"),
+          col("cogName").as("descriptor")), Seq("ligandUniqueID"), "left")
+      write("bound_descriptors", descriptors,
+        "ligandUniqueID" -> "ligandUniqueID:ID(bd-id)")
+      write("be_bd_rels",
+        g.boundEntities.select("uniqueID", "ligandUniqueID"),
+        "uniqueID" -> ":START_ID(be-id)",
+        "ligandUniqueID" -> ":END_ID(bd-id)")
+
+      // ---- EC hierarchy (produce_neo4j_files.py:69-103) ----------------
+      val cogEc = g.cognates.select(col("cogId"),
+        ecCode(col("brand"), col("csize"), col("cogId")).as("ec"))
+      val ecIds = cogEc.select("ec").distinct()
+      writeSmall("ec_id_nodes", ecIds.select(col("ec")), "ec" -> "ecID:ID(ec-id)")
+      Seq(("ec_nodes_class", 1, "class-id"),
+          ("ec_nodes_subclass", 2, "subclass-id"),
+          ("ec_nodes_subsubclass", 3, "subsubclass-id")).foreach {
+        case (name, lvl, space) =>
+          writeSmall(name,
+            ecIds.select(ecLevel(col("ec"), lvl).as("ecID")).distinct(),
+            "ecID" -> s"ecID:ID($space)")
+      }
+      // child → parent rels, exactly the reference's direction (:87-92)
+      writeSmall("ec_class_subclass_rel",
+        ecIds.select(ecLevel(col("ec"), 2).as("subclass"),
+          ecLevel(col("ec"), 1).as("cls")).distinct(),
+        "subclass" -> ":START_ID(subclass-id)", "cls" -> ":END_ID(class-id)")
+      writeSmall("ec_subclass_subsubclass_rel",
+        ecIds.select(ecLevel(col("ec"), 3).as("subsubclass"),
+          ecLevel(col("ec"), 2).as("subclass")).distinct(),
+        "subsubclass" -> ":START_ID(subsubclass-id)",
+        "subclass" -> ":END_ID(subclass-id)")
+      writeSmall("ec_subsubclass_id_rel",
+        ecIds.select(col("ec"), ecLevel(col("ec"), 3).as("subsubclass")),
+        "ec" -> ":START_ID(ec-id)", "subsubclass" -> ":END_ID(subsubclass-id)")
+      write("cognate_ligands_ec", cogEc,
+        "cogId" -> ":START_ID(cl-id)", "ec" -> ":END_ID(ec-id)")
+
+      // ---- protein chains (produce_neo4j_files.py:124-151,521-548) -----
+      // chain's EC list: the codes of the ligands its domains contact —
+      // sorted collect_set so the array column is deterministic
+      val chainEc = shared(interactsByDomain
+        .select(concat(col("ok"), lit(":"), col("nk")).as("chainUniqueID"),
+          col("pk"))
+        .join(cogEc.select(col("cogId").as("pk"), col("ec")), "pk")
+        .select("chainUniqueID", "ec").distinct())
+      write("pdb_protein_chain_nodes",
+        g.chains.select(col("chainUniqueID"), col("nk").as("chainID"))
+          .join(chainEc.groupBy("chainUniqueID")
+              .agg(array_sort(collect_set(col("ec"))).as("ecList")),
+            Seq("chainUniqueID"), "left")
+          .select(col("chainUniqueID"), col("chainID"),
+            coalesce(col("ecList"), array()).as("ecList")),
+        "chainUniqueID" -> "pdbProteinChain:ID(pdbp-id)",
+        "chainID" -> "chainID:long")
+      write("pdb_protein_rels",
+        g.chains.select(col("chainUniqueID"),
+          concat(lit("pdb"), col("ok")).as("pdbEntry")),
+        "chainUniqueID" -> ":START_ID(pdbp-id)",
+        "pdbEntry" -> ":END_ID(entry-id)")
+      write("protein_ec_rels", chainEc,
+        "chainUniqueID" -> ":START_ID(pdbp-id)", "ec" -> ":END_ID(ec-id)")
+
+      // a domain is in the chain of its nation within every entry it
+      // contacts (chains are (entry, domain-nation) pairs, GraphTables)
+      val domainChain = shared(interactsByDomain
+        .select(col("domainAccession"), col("dtype"),
+          concat(col("ok"), lit(":"), col("nk")).as("chainUniqueID"))
+        .distinct())
+      Seq("CATH" -> "cath_protein_rels", "SCOP" -> "scop_protein_rels",
+          "Pfam" -> "pfam_protein_rels").foreach { case (db, name) =>
         write(name,
-          interactsByDomain.filter(col("dtype") === db)
-            .select(interactionCols: _*),
+          domainChain.filter(col("dtype") === db)
+            .select("domainAccession", "chainUniqueID"),
           "domainAccession" -> s":START_ID(${db.toLowerCase}-domain-id)",
-          "uniqueID" -> ":END_ID(be-id)",
-          "domainContactPerc" -> "domainContactPerc:float",
-          "contactCount" -> "contactCount:long")
-    }
-    Seq("scop2-sf" -> "scop2_sf_domain_ligand_interactions",
-        "scop2-fa" -> "scop2_fa_domain_ligand_interactions").foreach {
-      case (db, name) =>
+          "chainUniqueID" -> ":END_ID(pdbp-id)")
+      }
+      // SCOP2 classifies the same structures a second time (reference
+      // SCOP2-SF/FA domains are derived views, produce_neo4j_files.py:
+      // 162-179): the SCOP-type domains re-keyed into the scop2 id spaces
+      Seq("scop2-sf" -> "scop2_sf_protein_rels",
+          "scop2-fa" -> "scop2_fa_protein_rels").foreach { case (db, name) =>
         write(name,
-          interactsByDomain.filter(col("dtype") === "SCOP")
-            .select(interactionCols: _*),
+          domainChain.filter(col("dtype") === "SCOP")
+            .select("domainAccession", "chainUniqueID"),
           "domainAccession" -> s":START_ID($db-domain-id)",
-          "uniqueID" -> ":END_ID(be-id)",
-          "domainContactPerc" -> "domainContactPerc:float",
-          "contactCount" -> "contactCount:long")
-    }
+          "chainUniqueID" -> ":END_ID(pdbp-id)")
+      }
 
-    // ---- classification hierarchies ----------------------------------
-    // nested nk quotients → proper trees (coarser level = wider quotient)
-    def lv(prefix: String, div: Int): Column =
-      concat(lit(prefix), expr(s"nk div $div"))
+      // ---- per-DB domain nodes + interaction splits --------------------
+      Seq("CATH" -> "cath_domains_nodes", "SCOP" -> "scop_domains_nodes",
+          "Pfam" -> "pfam_domains_nodes").foreach { case (db, name) =>
+        writeSmall(name,
+          g.domains.filter(col("dtype") === db)
+            .select(col("domainAccession"), col("dtype").as("type"),
+              col("superfamily").as("group")),
+          "domainAccession" -> s"domain:ID(${db.toLowerCase}-domain-id)")
+      }
+      Seq("scop2-sf" -> "scop2_sf_domains_nodes",
+          "scop2-fa" -> "scop2_fa_domains_nodes").foreach { case (db, name) =>
+        writeSmall(name,
+          g.domains.filter(col("dtype") === "SCOP")
+            .select(col("domainAccession"), lit(db.toUpperCase).as("type"),
+              concat(lit(db.takeRight(2).toUpperCase), col("nk")).as("group")),
+          "domainAccession" -> s"domain:ID($db-domain-id)")
+      }
+      val interactionCols = Seq(col("domainAccession"), col("uniqueID"),
+        col("contactCount"), col("perc").as("domainContactPerc"),
+        col("interactionMode"))
+      Seq("CATH" -> "cath_domain_ligand_interactions",
+          "SCOP" -> "scop_domain_ligand_interactions",
+          "Pfam" -> "pfam_domain_ligand_interactions").foreach {
+        case (db, name) =>
+          write(name,
+            interactsByDomain.filter(col("dtype") === db)
+              .select(interactionCols: _*),
+            "domainAccession" -> s":START_ID(${db.toLowerCase}-domain-id)",
+            "uniqueID" -> ":END_ID(be-id)",
+            "domainContactPerc" -> "domainContactPerc:float",
+            "contactCount" -> "contactCount:long")
+      }
+      Seq("scop2-sf" -> "scop2_sf_domain_ligand_interactions",
+          "scop2-fa" -> "scop2_fa_domain_ligand_interactions").foreach {
+        case (db, name) =>
+          write(name,
+            interactsByDomain.filter(col("dtype") === "SCOP")
+              .select(interactionCols: _*),
+            "domainAccession" -> s":START_ID($db-domain-id)",
+            "uniqueID" -> ":END_ID(be-id)",
+            "domainContactPerc" -> "domainContactPerc:float",
+            "contactCount" -> "contactCount:long")
+      }
 
-    // CATH: domain → homologousSuperfamily(SF nk) → topology(nk/5) →
-    // architecture(nk/10) → class(nk/20)   (reference :331-362)
-    val cath = g.domains.filter(col("dtype") === "CATH")
-      .select(col("domainAccession"), col("superfamily").as("hsf"),
-        lv("T", 5).as("topo"), lv("A", 10).as("arch"), lv("C", 20).as("cls"))
-    writeSmall("cath_homologous_superfamily_nodes",
-      cath.select(col("hsf")).distinct(), "hsf" -> "hsf:ID(cath-hsf-id)")
-    writeSmall("cath_topology_nodes",
-      cath.select(col("topo")).distinct(), "topo" -> "topo:ID(cath-topology-id)")
-    writeSmall("cath_architecture_nodes",
-      cath.select(col("arch")).distinct(),
-      "arch" -> "arch:ID(cath-architecture-id)")
-    writeSmall("cath_class_nodes",
-      cath.select(col("cls")).distinct(), "cls" -> "cls:ID(cath-class-id)")
-    writeSmall("cath_homologous_superfamily_domain_rels",
-      cath.select("domainAccession", "hsf"),
-      "domainAccession" -> ":START_ID(cath-domain-id)",
-      "hsf" -> ":END_ID(cath-hsf-id)")
-    writeSmall("cath_topology_homology_rels",
-      cath.select("hsf", "topo").distinct(),
-      "hsf" -> ":START_ID(cath-hsf-id)", "topo" -> ":END_ID(cath-topology-id)")
-    writeSmall("cath_architecture_topology_rels",
-      cath.select("topo", "arch").distinct(),
-      "topo" -> ":START_ID(cath-topology-id)",
-      "arch" -> ":END_ID(cath-architecture-id)")
-    writeSmall("cath_class_architecture_rels",
-      cath.select("arch", "cls").distinct(),
-      "arch" -> ":START_ID(cath-architecture-id)",
-      "cls" -> ":END_ID(cath-class-id)")
+      // ---- classification hierarchies ----------------------------------
+      // nested nk quotients → proper trees (coarser level = wider quotient)
+      def lv(prefix: String, div: Int): Column =
+        concat(lit(prefix), expr(s"nk div $div"))
 
-    // SCOP: domain → family(FA nk_parity) → superfamily(SF nk) →
-    // fold(FD nk/5) → class(SCL nk/10)   (reference :286-329)
-    val scop = g.domains.filter(col("dtype") === "SCOP")
-      .select(col("domainAccession"),
-        concat(lit("FA"), col("nk"), lit("_"), col("suppkey") % 2).as("fam"),
-        col("superfamily").as("sf"),
-        lv("FD", 5).as("fold"), lv("SCL", 10).as("cls"))
-    writeSmall("scop_family_nodes",
-      scop.select(col("fam")).distinct(), "fam" -> "scopFamily:ID(scop-family-id)")
-    writeSmall("scop_superfamily_nodes",
-      scop.select(col("sf")).distinct(),
-      "sf" -> "scopSuperfamily:ID(scop-superfam-id)")
-    writeSmall("scop_fold_nodes",
-      scop.select(col("fold")).distinct(), "fold" -> "scopFold:ID(scop-fold-id)")
-    writeSmall("scop_class_nodes",
-      scop.select(col("cls")).distinct(), "cls" -> "scopClass:ID(scop-class-id)")
-    writeSmall("scop_domain_family_rels",
-      scop.select("domainAccession", "fam"),
-      "domainAccession" -> ":START_ID(scop-domain-id)",
-      "fam" -> ":END_ID(scop-family-id)")
-    writeSmall("scop_family_superfam_rels",
-      scop.select("fam", "sf").distinct(),
-      "fam" -> ":START_ID(scop-family-id)", "sf" -> ":END_ID(scop-superfam-id)")
-    writeSmall("scop_superfam_fold_rels",
-      scop.select("sf", "fold").distinct(),
-      "sf" -> ":START_ID(scop-superfam-id)", "fold" -> ":END_ID(scop-fold-id)")
-    writeSmall("scop_fold_class_rels",
-      scop.select("fold", "cls").distinct(),
-      "fold" -> ":START_ID(scop-fold-id)", "cls" -> ":END_ID(scop-class-id)")
+      // CATH: domain → homologousSuperfamily(SF nk) → topology(nk/5) →
+      // architecture(nk/10) → class(nk/20)   (reference :331-362)
+      val cath = g.domains.filter(col("dtype") === "CATH")
+        .select(col("domainAccession"), col("superfamily").as("hsf"),
+          lv("T", 5).as("topo"), lv("A", 10).as("arch"), lv("C", 20).as("cls"))
+      writeSmall("cath_homologous_superfamily_nodes",
+        cath.select(col("hsf")).distinct(), "hsf" -> "hsf:ID(cath-hsf-id)")
+      writeSmall("cath_topology_nodes",
+        cath.select(col("topo")).distinct(), "topo" -> "topo:ID(cath-topology-id)")
+      writeSmall("cath_architecture_nodes",
+        cath.select(col("arch")).distinct(),
+        "arch" -> "arch:ID(cath-architecture-id)")
+      writeSmall("cath_class_nodes",
+        cath.select(col("cls")).distinct(), "cls" -> "cls:ID(cath-class-id)")
+      writeSmall("cath_homologous_superfamily_domain_rels",
+        cath.select("domainAccession", "hsf"),
+        "domainAccession" -> ":START_ID(cath-domain-id)",
+        "hsf" -> ":END_ID(cath-hsf-id)")
+      writeSmall("cath_topology_homology_rels",
+        cath.select("hsf", "topo").distinct(),
+        "hsf" -> ":START_ID(cath-hsf-id)", "topo" -> ":END_ID(cath-topology-id)")
+      writeSmall("cath_architecture_topology_rels",
+        cath.select("topo", "arch").distinct(),
+        "topo" -> ":START_ID(cath-topology-id)",
+        "arch" -> ":END_ID(cath-architecture-id)")
+      writeSmall("cath_class_architecture_rels",
+        cath.select("arch", "cls").distinct(),
+        "arch" -> ":START_ID(cath-architecture-id)",
+        "cls" -> ":END_ID(cath-class-id)")
 
-    // SCOP2: proteinType(TP nk/20) ← class(CL2 nk/10) ← fold(CF nk/5) ←
-    // superfamily(SF2 nk) ← family(FA2 nk_parity) ← the scop2 domain
-    // views   (reference :181-252)
-    val scop2 = g.domains.filter(col("dtype") === "SCOP")
-      .select(col("domainAccession"),
-        concat(lit("FA2_"), col("nk"), lit("_"), col("suppkey") % 2).as("fa"),
-        concat(lit("SF2_"), col("nk")).as("sf"),
-        lv("CF", 5).as("cf"), lv("CL2_", 10).as("cl"), lv("TP", 20).as("tp"))
-    writeSmall("scop2_fa_nodes",
-      scop2.select(col("fa")).distinct(), "fa" -> "fa:ID(scop2-fa-id)")
-    writeSmall("scop2_sf_nodes",
-      scop2.select(col("sf")).distinct(), "sf" -> "sf:ID(scop2-sf-id)")
-    writeSmall("scop2_cf_nodes",
-      scop2.select(col("cf")).distinct(), "cf" -> "cf:ID(scop2-cf-id)")
-    writeSmall("scop2_cl_nodes",
-      scop2.select(col("cl")).distinct(), "cl" -> "cl:ID(scop2-cl-id)")
-    writeSmall("scop2_tp_nodes",
-      scop2.select(col("tp")).distinct(), "tp" -> "tp:ID(scop2-tp-id)")
-    writeSmall("scop2_fa_domains_rels",
-      scop2.select("domainAccession", "fa"),
-      "domainAccession" -> ":START_ID(scop2-fa-domain-id)",
-      "fa" -> ":END_ID(scop2-fa-id)")
-    writeSmall("scop2_sf_domains_rels",
-      scop2.select("domainAccession", "sf"),
-      "domainAccession" -> ":START_ID(scop2-sf-domain-id)",
-      "sf" -> ":END_ID(scop2-sf-id)")
-    writeSmall("scop2_sf_fa_rels",
-      scop2.select("fa", "sf").distinct(),
-      "fa" -> ":START_ID(scop2-fa-id)", "sf" -> ":END_ID(scop2-sf-id)")
-    writeSmall("scop2_sf_cf_rels",
-      scop2.select("sf", "cf").distinct(),
-      "sf" -> ":START_ID(scop2-sf-id)", "cf" -> ":END_ID(scop2-cf-id)")
-    writeSmall("scop2_cf_cl_rels",
-      scop2.select("cf", "cl").distinct(),
-      "cf" -> ":START_ID(scop2-cf-id)", "cl" -> ":END_ID(scop2-cl-id)")
-    writeSmall("scop2_cl_tp_rels",
-      scop2.select("cl", "tp").distinct(),
-      "cl" -> ":START_ID(scop2-cl-id)", "tp" -> ":END_ID(scop2-tp-id)")
+      // SCOP: domain → family(FA nk_parity) → superfamily(SF nk) →
+      // fold(FD nk/5) → class(SCL nk/10)   (reference :286-329)
+      val scop = g.domains.filter(col("dtype") === "SCOP")
+        .select(col("domainAccession"),
+          concat(lit("FA"), col("nk"), lit("_"), col("suppkey") % 2).as("fam"),
+          col("superfamily").as("sf"),
+          lv("FD", 5).as("fold"), lv("SCL", 10).as("cls"))
+      writeSmall("scop_family_nodes",
+        scop.select(col("fam")).distinct(), "fam" -> "scopFamily:ID(scop-family-id)")
+      writeSmall("scop_superfamily_nodes",
+        scop.select(col("sf")).distinct(),
+        "sf" -> "scopSuperfamily:ID(scop-superfam-id)")
+      writeSmall("scop_fold_nodes",
+        scop.select(col("fold")).distinct(), "fold" -> "scopFold:ID(scop-fold-id)")
+      writeSmall("scop_class_nodes",
+        scop.select(col("cls")).distinct(), "cls" -> "scopClass:ID(scop-class-id)")
+      writeSmall("scop_domain_family_rels",
+        scop.select("domainAccession", "fam"),
+        "domainAccession" -> ":START_ID(scop-domain-id)",
+        "fam" -> ":END_ID(scop-family-id)")
+      writeSmall("scop_family_superfam_rels",
+        scop.select("fam", "sf").distinct(),
+        "fam" -> ":START_ID(scop-family-id)", "sf" -> ":END_ID(scop-superfam-id)")
+      writeSmall("scop_superfam_fold_rels",
+        scop.select("sf", "fold").distinct(),
+        "sf" -> ":START_ID(scop-superfam-id)", "fold" -> ":END_ID(scop-fold-id)")
+      writeSmall("scop_fold_class_rels",
+        scop.select("fold", "cls").distinct(),
+        "fold" -> ":START_ID(scop-fold-id)", "cls" -> ":END_ID(scop-class-id)")
 
-    // Pfam clans (reference :364-368)
-    val pfam = g.domains.filter(col("dtype") === "Pfam")
-      .select(col("domainAccession"), lv("CLAN", 5).as("clan"))
-    writeSmall("pfam_clans",
-      pfam.select(col("clan")).distinct(), "clan" -> "clanID:ID(pfam-clan-id)")
-    writeSmall("pfam_clan_rels", pfam.select("domainAccession", "clan"),
-      "domainAccession" -> ":START_ID(pfam-domain-id)",
-      "clan" -> ":END_ID(pfam-clan-id)")
+      // SCOP2: proteinType(TP nk/20) ← class(CL2 nk/10) ← fold(CF nk/5) ←
+      // superfamily(SF2 nk) ← family(FA2 nk_parity) ← the scop2 domain
+      // views   (reference :181-252)
+      val scop2 = g.domains.filter(col("dtype") === "SCOP")
+        .select(col("domainAccession"),
+          concat(lit("FA2_"), col("nk"), lit("_"), col("suppkey") % 2).as("fa"),
+          concat(lit("SF2_"), col("nk")).as("sf"),
+          lv("CF", 5).as("cf"), lv("CL2_", 10).as("cl"), lv("TP", 20).as("tp"))
+      writeSmall("scop2_fa_nodes",
+        scop2.select(col("fa")).distinct(), "fa" -> "fa:ID(scop2-fa-id)")
+      writeSmall("scop2_sf_nodes",
+        scop2.select(col("sf")).distinct(), "sf" -> "sf:ID(scop2-sf-id)")
+      writeSmall("scop2_cf_nodes",
+        scop2.select(col("cf")).distinct(), "cf" -> "cf:ID(scop2-cf-id)")
+      writeSmall("scop2_cl_nodes",
+        scop2.select(col("cl")).distinct(), "cl" -> "cl:ID(scop2-cl-id)")
+      writeSmall("scop2_tp_nodes",
+        scop2.select(col("tp")).distinct(), "tp" -> "tp:ID(scop2-tp-id)")
+      writeSmall("scop2_fa_domains_rels",
+        scop2.select("domainAccession", "fa"),
+        "domainAccession" -> ":START_ID(scop2-fa-domain-id)",
+        "fa" -> ":END_ID(scop2-fa-id)")
+      writeSmall("scop2_sf_domains_rels",
+        scop2.select("domainAccession", "sf"),
+        "domainAccession" -> ":START_ID(scop2-sf-domain-id)",
+        "sf" -> ":END_ID(scop2-sf-id)")
+      writeSmall("scop2_sf_fa_rels",
+        scop2.select("fa", "sf").distinct(),
+        "fa" -> ":START_ID(scop2-fa-id)", "sf" -> ":END_ID(scop2-sf-id)")
+      writeSmall("scop2_sf_cf_rels",
+        scop2.select("sf", "cf").distinct(),
+        "sf" -> ":START_ID(scop2-sf-id)", "cf" -> ":END_ID(scop2-cf-id)")
+      writeSmall("scop2_cf_cl_rels",
+        scop2.select("cf", "cl").distinct(),
+        "cf" -> ":START_ID(scop2-cf-id)", "cl" -> ":END_ID(scop2-cl-id)")
+      writeSmall("scop2_cl_tp_rels",
+        scop2.select("cl", "tp").distinct(),
+        "cl" -> ":START_ID(scop2-cl-id)", "tp" -> ":END_ID(scop2-tp-id)")
 
-    // ---- stats node (reference :553-562) -----------------------------
-    writeSmall("procoggraph_node",
-      g.entries.agg(countDistinct(col("pdbEntry")).as("num_entries"))
-        .crossJoin(g.boundEntities.agg(
-          countDistinct(col("uniqueID")).as("num_bound_molecules"),
-          countDistinct(col("ligandUniqueID")).as("num_bound_descriptors")))
-        .crossJoin(g.cognates.agg(
-          countDistinct(col("cogId")).as("num_cognate_ligands")))
-        .select(lit("procoggraph").as("procoggraph"),
-          lit("ProCogGraph").as("name"),
-          lit("graft-spark").as("description"),
-          lit("1.0").as("database_version"),
-          col("num_entries"), col("num_bound_molecules"),
-          col("num_bound_descriptors"), col("num_cognate_ligands")),
-      "procoggraph" -> "procoggraph:ID(procoggraph-id)")
+      // Pfam clans (reference :364-368)
+      val pfam = g.domains.filter(col("dtype") === "Pfam")
+        .select(col("domainAccession"), lv("CLAN", 5).as("clan"))
+      writeSmall("pfam_clans",
+        pfam.select(col("clan")).distinct(), "clan" -> "clanID:ID(pfam-clan-id)")
+      writeSmall("pfam_clan_rels", pfam.select("domainAccession", "clan"),
+        "domainAccession" -> ":START_ID(pfam-domain-id)",
+        "clan" -> ":END_ID(pfam-clan-id)")
 
-    // surface the FIRST write failure (Future.sequence reports one
-    // deterministic error instead of whichever lands last) and always
-    // release the shared intermediates persisted above (the pool itself
-    // is released by run()'s finally)
-    try Await.result(Future.sequence(pending.toSeq), Duration.Inf)
-    finally Seq(interactsByDomain, chainEc, domainChain)
-      .foreach(_.unpersist(blocking = false))
+      // ---- stats node (reference :553-562) -----------------------------
+      writeSmall("procoggraph_node",
+        g.entries.agg(countDistinct(col("pdbEntry")).as("num_entries"))
+          .crossJoin(g.boundEntities.agg(
+            countDistinct(col("uniqueID")).as("num_bound_molecules"),
+            countDistinct(col("ligandUniqueID")).as("num_bound_descriptors")))
+          .crossJoin(g.cognates.agg(
+            countDistinct(col("cogId")).as("num_cognate_ligands")))
+          .select(lit("procoggraph").as("procoggraph"),
+            lit("ProCogGraph").as("name"),
+            lit("graft-spark").as("description"),
+            lit("1.0").as("database_version"),
+            col("num_entries"), col("num_bound_molecules"),
+            col("num_bound_descriptors"), col("num_cognate_ligands")),
+        "procoggraph" -> "procoggraph:ID(procoggraph-id)")
+
+      // surface the FIRST write failure (Future.sequence reports one
+      // deterministic error instead of whichever lands last); the finally
+      // releases every shared persist on any exit path, and the pool
+      // itself is released by run()'s finally
+      Await.result(Future.sequence(pending.toSeq), Duration.Inf)
+    } finally sharedPersists.foreach(_.unpersist(blocking = false))
     written.toSeq
   }
 }

@@ -120,7 +120,13 @@ object ScaleQueries {
           // all-digit segment after the table name — sweep those too
           f.getName.startsWith("s5_") && {
             val segs = f.getName.split("_")
-            segs.collectFirst { case p if p.matches("p\\d+") => p.drop(1) }
+            // pid = the p-prefixed THIRD-FROM-LAST segment (current
+            // s5_<t>_<dirTag>_p<pid>_<len>_<mtime> layout — positional,
+            // because a dirTag like "p1" would fool a first-match scan
+            // and the fixture would never be swept); legacy layouts
+            // carried a bare pid as the first all-digit segment after
+            // the table name — sweep those too
+            segs.lift(segs.length - 3).filter(_.matches("p\\d+")).map(_.drop(1))
               .orElse(segs.drop(2).find(p => p.nonEmpty && p.forall(_.isDigit)))
               .exists(p => sweepable(p.toLong))
           }
@@ -262,6 +268,11 @@ object ScaleQueries {
       GROUP BY 1 ORDER BY c_mktsegment"""))((s, dir) => {
       Tables(s, dir, "customer").createOrReplaceTempView("s6_customer")
       Tables(s, dir, "orders").createOrReplaceTempView("s6_orders")
+      // sql() analyzes eagerly, so the views can be dropped before the
+      // returned plan executes — without the drop they leak session-
+      // global catalog state bound to THIS dir (a later sf0.001 run
+      // would silently resolve s6_customer to the sf0.1 scan)
+      try {
       // bloom_filter_agg's default sizing (1M items, ~1.2 MB bitset) is a
       // fixed broadcast cost; at a larger dim slice pass explicit
       // (expectedNumItems, numBits) literals sized to table statistics
@@ -276,6 +287,10 @@ object ScaleQueries {
                 (SELECT bloom_filter_agg(xxhash64(c_custkey)) FROM dim),
                 xxhash64(o_custkey))
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      } finally {
+        s.catalog.dropTempView("s6_customer")
+        s.catalog.dropTempView("s6_orders")
+      }
     }),
 
     // The native residue_key expression (plans/ResidueKey, injected via

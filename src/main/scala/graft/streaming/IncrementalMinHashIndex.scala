@@ -41,8 +41,12 @@ final class IncrementalMinHashIndex(
   private def bandsDir = s"$root/bands_v$version"
   private def shDir = s"$root/sh_v$version"
 
-  /** Accepted (doc_a, doc_b, jacc) near-duplicate pairs, append-only. */
-  val dupDir = s"$root/dups"
+  /** Accepted (doc_a, doc_b, jacc) near-duplicate pairs. Versioned and
+    * compacted exactly like the band/shingle stores — an append-only
+    * dups dir would re-grow O(batches) part files, the same small-files
+    * failure the class exists to bound.
+    */
+  def dupDir: String = s"$root/dups_v$version"
 
   locally {
     import s.implicits._
@@ -88,22 +92,24 @@ final class IncrementalMinHashIndex(
     */
   private def compact(): Unit = {
     val next = version + 1
-    val (nb, ns) = (s"$root/bands_v$next", s"$root/sh_v$next")
+    val (nb, ns, nd) =
+      (s"$root/bands_v$next", s"$root/sh_v$next", s"$root/dups_v$next")
     s.read.parquet(bandsDir).coalesce(compactParts).write.parquet(nb)
     s.read.parquet(shDir).coalesce(compactParts).write.parquet(ns)
-    val (ob, os) = (bandsDir, shDir)
+    s.read.parquet(dupDir).coalesce(compactParts).write.parquet(nd)
+    val (ob, os, od) = (bandsDir, shDir, dupDir)
     version = next
-    Seq(ob, os).foreach(d => rmTree(new java.io.File(d)))
+    Seq(ob, os, od).foreach(d => rmTree(new java.io.File(d)))
   }
 
-  /** Parquet part-file counts of the current (bands, shingles) version —
-    * the boundedness observable the compaction spec asserts on.
+  /** Parquet part-file counts of the current (bands, shingles, dups)
+    * versions — the boundedness observable the compaction spec asserts on.
     */
-  def fileCounts: (Int, Int) = {
+  def fileCounts: (Int, Int, Int) = {
     def parts(d: String) =
       Option(new java.io.File(d).listFiles).getOrElse(Array.empty)
         .count(f => f.getName.startsWith("part-"))
-    (parts(bandsDir), parts(shDir))
+    (parts(bandsDir), parts(shDir), parts(dupDir))
   }
 
   private def rmTree(f: java.io.File): Unit = {

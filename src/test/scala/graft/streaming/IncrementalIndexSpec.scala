@@ -39,12 +39,12 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(inc.contains((1L, 2L)) && inc.contains((3L, 4L)),
       "cross-batch duplicate pairs must be found by the index probe")
 
-    // 4 ingests with compactEvery=2 end on a compaction: both stores are
-    // exactly the coalesced rewrite — file count is the compaction
-    // output, not 4 batches of appends
-    val (nb, ns) = idx.fileCounts
-    assert(nb <= 1 && ns <= 1,
-      s"stores not compacted: bands=$nb shingles=$ns part files")
+    // 4 ingests with compactEvery=2 end on a compaction: all three
+    // stores (dups included) are exactly the coalesced rewrite — file
+    // count is the compaction output, not 4 batches of appends
+    val (nb, ns, nd) = idx.fileCounts
+    assert(nb <= 1 && ns <= 1 && nd <= 1,
+      s"stores not compacted: bands=$nb shingles=$ns dups=$nd part files")
     } finally {
       // unlike the registered queries' self-sweeping fixtures, nothing
       // sweeps the idxspec_ prefix — delete the tree or /tmp grows per run

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.mightContainDescriptor)
     ext.injectOptimizerRule(_ =>
       AutoBroadcastDims(GraftExtensions.defaultDims))
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }
 
@@ -101,5 +102,7 @@ object GraftExtensions {
       case (id, info, builder) =>
         s.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    org.apache.spark.sql.graftx.GraftPlanBridge
+      .addStrategy(s, TopKPerGroupStrategy)
   }
 }

@@ -1,0 +1,148 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  BaseOrdering, Descending, Expression, RowOrdering, SortOrder,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
+  UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.graftx.GraftPlanBridge
+
+/** Whole-operator Catalyst extension (the SURVEY §2.I "custom
+  * LogicalPlan + SparkStrategy + SparkPlan" slot): exact top-k rows per
+  * group, planned as a partial/final pair so each input partition sends at
+  * most k rows per group into the exchange.
+  *
+  * The built-in way to say "k best rows per group" is a rank window +
+  * filter: that plan shuffles EVERY row to its group's partition and
+  * full-sorts each partition before the rank filter drops the losers. At
+  * 100 TB the shuffle is the data set. This operator is the per-group
+  * analogue of Spark's own global TakeOrderedAndProjectExec: a bounded
+  * heap per group on the map side first (memory O(groups × k) per task,
+  * O(log k) per row), so the exchange carries ≤ k rows per (group,
+  * input-partition) — shuffle volume scales with GROUPS × k, not rows.
+  * The same bounded-heap pass after the exchange merges the partials
+  * (top-k of a union = top-k of per-part top-ks).
+  *
+  * Reference shapes this serves: every dashboard "best/LIMIT per entity"
+  * query (neodash_queries.yaml's per-entry best-cognate / LIMIT idioms)
+  * and the bestCognate argmax (D4/F2/F4) when k > 1.
+  *
+  * Determinism contract: `order` must be a TOTAL order within a group
+  * (include a unique tiebreak column, as every registered query does) —
+  * same requirement a row_number window has for a stable result.
+  */
+final case class TopKPerGroup(groupExprs: Seq[Expression],
+                              order: Seq[SortOrder], k: Int,
+                              child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(groupExprs.nonEmpty, "topKPerGroup requires at least one group column")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+object TopKPerGroup {
+
+  /** Typed entry: k best rows per group under `order` ((column,
+    * descending) pairs applied left to right). Output columns = input
+    * columns; row order is unspecified (append an orderBy, exactly as
+    * after a groupBy).
+    */
+  def topK(df: DataFrame, groupCols: Seq[String],
+           order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val g = groupCols.map(n => UnresolvedAttribute.quoted(n))
+    val so = order.map { case (n, desc) =>
+      SortOrder(UnresolvedAttribute.quoted(n),
+        if (desc) Descending else Ascending)
+    }
+    GraftPlanBridge.ofRows(df.sparkSession,
+      TopKPerGroup(g, so, k, GraftPlanBridge.planOf(df)))
+  }
+}
+
+/** Plans the logical node as final-over-partial — the HashAggregate
+  * partial/final split, for top-k. EnsureRequirements inserts the single
+  * hash exchange between the two from the final's required distribution.
+  */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      val partial = TopKPerGroupExec(g, o, k, partial = true,
+        planLater(child))
+      TopKPerGroupExec(g, o, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** One bounded-heap pass: per group, a worst-at-head priority queue of at
+  * most k row copies. `partial = true` runs on unshuffled input (map-side
+  * trim, no distribution requirement); `partial = false` declares
+  * ClusteredDistribution on the group key so all partials of one group
+  * meet in one partition for the exact merge.
+  */
+final case class TopKPerGroupExec(groupExprs: Seq[Expression],
+                                  order: Seq[SortOrder], k: Int,
+                                  partial: Boolean,
+                                  child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val groupE = groupExprs
+    val orderE = order
+    val inAttrs = child.output
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val proj = UnsafeProjection.create(groupE, inAttrs)
+      val ord: BaseOrdering = RowOrdering.create(orderE, inAttrs)
+      // head = LAST row in the requested order among those kept = the one
+      // the next better row evicts
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ord.compare(b, a)
+      }
+      val heaps =
+        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = proj(row)
+        var h = heaps.get(key)
+        if (h == null) {
+          h = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
+          heaps.put(key.copy(), h) // proj reuses its row — copy the key
+        }
+        if (h.size() < kk) h.add(row.copy())
+        else if (ord.compare(row, h.peek()) < 0) { // beats the worst kept
+          h.poll()
+          h.add(row.copy())
+        }
+      }
+      heaps.values().iterator().asScala.flatMap { h =>
+        numOutputRows += h.size()
+        h.iterator().asScala
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}

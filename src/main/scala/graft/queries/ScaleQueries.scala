@@ -314,6 +314,36 @@ object ScaleQueries {
           array_sort(collect_list(struct(col("k"), col("res")))),
           x => x.getField("res"))).as("residues"))
         .orderBy("l_orderkey")
+    }),
+
+    // The whole-operator Catalyst extension (plans/TopKPerGroup: logical
+    // node + planner strategy + partial/final physical execs, injected via
+    // SparkSessionExtensions): each customer's 2 highest-priced orders.
+    // The window formulation shuffles EVERY order row and full-sorts each
+    // partition; this plan's map-side exec sends at most k rows per
+    // (customer, input-partition) into the one hash exchange — shuffle
+    // volume scales with groups × k, not with the fact table
+    // (TopKPerGroupSpec asserts the partial/final pair, the single
+    // exchange, and equality with the window formulation).
+    RQ("s7_native_group_topk", Some("""
+      WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                        row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                 FROM orders)
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+      FROM r WHERE rn <= 2
+      ORDER BY o_custkey, total_cents DESC, o_orderkey"""))((s, dir) => {
+      GraftExtensions.install(s)
+      val best = graft.plans.TopKPerGroup.topK(
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        groupCols = Seq("o_custkey"),
+        order = Seq(("o_totalprice", true), ("o_orderkey", false)), k = 2)
+      best
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+        .orderBy(col("o_custkey"), col("total_cents").desc, col("o_orderkey"))
     })
   )
 }

@@ -401,6 +401,56 @@ object VectorQueries {
         .orderBy("cid", "dim")
     }),
 
+    // V10 — semantic dedup (SemDeDup shape): cluster the corpus to k
+    // centroids, then look for near-duplicates ONLY within a cluster —
+    // the cells bound the quadratic exactly like v4's LSH buckets, but
+    // cells are data-adaptive (trained by v8's Lloyd step), which is what
+    // the published SemDeDup pipeline runs on web-scale corpora. Cost is
+    // Σ cell², never N²; at production scale k grows with the corpus
+    // (k ≈ √N keeps expected cell size √N). The keep rule is the
+    // engine-wide greedy min-id keeper (same canonical-keep convention as
+    // t5/t9/m3): a vector is dropped iff a lower-id vector in its cell is
+    // within the cosine threshold.
+    RQ("v10_semantic_dedup", Some(s"""
+      WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+                 WHERE vec_id < 8),
+           asg AS (SELECT vec_id, c_id AS cell, embedding FROM (
+             SELECT n.vec_id, c.c_id, n.embedding,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${cosSql("n.embedding", "c.cv")} DESC, c.c_id)
+                      AS rn
+             FROM embeddings n, c) WHERE rn = 1),
+           drp AS (SELECT DISTINCT b.vec_id
+                   FROM asg a JOIN asg b
+                     ON a.cell = b.cell AND a.vec_id < b.vec_id
+                   WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
+      SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+             CAST(CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS kept
+      FROM asg LEFT JOIN drp USING (vec_id)
+      ORDER BY vec_id"""))((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(cosine(col("embedding"), col("cv")).desc, col("c_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id").as("cell"), col("embedding"))
+      val a = asg.select(col("vec_id").as("a_id"), col("cell"),
+        col("embedding").as("av"))
+      val b = asg.select(col("vec_id").as("b_id"), col("cell"),
+        col("embedding").as("bv"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(cosine(col("av"), col("bv")) >= 0.35)
+        .select(col("b_id").as("vec_id")).distinct()
+      asg.join(dropped.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          when(col("hit").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+        .orderBy("vec_id")
+    }),
+
     RQ("v2_lsh_ann", Some(s"""
       WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
                  FROM embeddings),

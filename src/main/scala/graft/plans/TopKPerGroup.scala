@@ -77,9 +77,16 @@ object TopKPerGroup {
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      val partial = TopKPerGroupExec(g, o, k, partial = true,
+      // Normalize -0.0/0.0 and NaN payloads in float/double group keys
+      // (incl. nested in structs/arrays) at PLANNING time, exactly as
+      // Catalyst's NormalizeFloatingNumbers rule does for Aggregate/
+      // Window/Join keys — that rule never visits a custom node, and
+      // both the hash exchange and the exec's byte-keyed map would
+      // otherwise split one SQL-equal group into several
+      val ng = g.map(GraftPlanBridge.normalizeFloats)
+      val partial = TopKPerGroupExec(ng, o, k, partial = true,
         planLater(child))
-      TopKPerGroupExec(g, o, k, partial = false, partial) :: Nil
+      TopKPerGroupExec(ng, o, k, partial = false, partial) :: Nil
     case _ => Nil
   }
 }
@@ -89,6 +96,16 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * trim, no distribution requirement); `partial = false` declares
   * ClusteredDistribution on the group key so all partials of one group
   * meet in one partition for the exact merge.
+  *
+  * Memory envelope: the per-task state is an on-heap map of
+  * (groups-in-partition × k) row copies with NO spill path — strictly
+  * less state than the window formulation's full per-partition sort
+  * buffer, but unlike that sort it cannot spill. Operating rule at
+  * scale: keep groups-per-reduce-partition × k within executor memory by
+  * raising shuffle partitions (state shrinks linearly; AQE skew split
+  * further caps a hot partition), or fall back to the window form for
+  * pathological group cardinality × large k. Registered usage (s7, k=2,
+  * dimension-keyed groups) sits far inside the envelope.
   */
 final case class TopKPerGroupExec(groupExprs: Seq[Expression],
                                   order: Seq[SortOrder], k: Int,

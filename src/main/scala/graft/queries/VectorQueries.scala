@@ -404,13 +404,16 @@ object VectorQueries {
     // V10 — semantic dedup (SemDeDup shape): cluster the corpus to k
     // centroids, then look for near-duplicates ONLY within a cluster —
     // the cells bound the quadratic exactly like v4's LSH buckets, but
-    // cells are data-adaptive (trained by v8's Lloyd step), which is what
-    // the published SemDeDup pipeline runs on web-scale corpora. Cost is
-    // Σ cell², never N²; at production scale k grows with the corpus
-    // (k ≈ √N keeps expected cell size √N). The keep rule is the
-    // engine-wide greedy min-id keeper (same canonical-keep convention as
-    // t5/t9/m3): a vector is dropped iff a lower-id vector in its cell is
-    // within the cosine threshold.
+    // cluster cells are the shape the published SemDeDup pipeline runs
+    // on web-scale corpora. Centroids here are the first 8 vectors — the
+    // same deterministic stand-in for a trained codebook as v7/v8
+    // (training = v8's Lloyd step iterated; swapping trained means in
+    // changes only the `cents` frame). Cost is Σ cell², never N²; at
+    // production scale k grows with the corpus (k ≈ √N keeps expected
+    // cell size √N). The keep rule is the engine-wide greedy min-id
+    // keeper (same canonical-keep convention as t5/t9/m3): a vector is
+    // dropped iff a lower-id vector in its cell is within the cosine
+    // threshold.
     RQ("v10_semantic_dedup", Some(s"""
       WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
                  WHERE vec_id < 8),
@@ -437,6 +440,11 @@ object VectorQueries {
           .orderBy(cosine(col("embedding"), col("cv")).desc, col("c_id"))))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("c_id").as("cell"), col("embedding"))
+        // consumed by three branches (both pair sides + the final left
+        // join) — without the persist the assignment window runs three
+        // times; CacheHygiene's family sweep reclaims it (see
+        // operators/Ann cache-lifecycle note)
+        .persist()
       val a = asg.select(col("vec_id").as("a_id"), col("cell"),
         col("embedding").as("av"))
       val b = asg.select(col("vec_id").as("b_id"), col("cell"),

@@ -14,8 +14,9 @@ import org.apache.spark.sql.classic
   */
 object GraftPlanBridge {
 
-  /** Analyzed logical plan of an existing frame (the child of a custom
-    * logical node under construction).
+  /** Unanalyzed logical plan of an existing frame (the child of a custom
+    * logical node under construction — `ofRows` re-analyzes the whole
+    * tree, custom node included).
     */
   def planOf(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.logical
@@ -23,6 +24,16 @@ object GraftPlanBridge {
   /** DataFrame over a hand-built logical plan. */
   def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
+  /** Catalyst's float-key normalization (`NormalizeFloatingNumbers.
+    * normalize`: -0.0 → 0.0, one canonical NaN, incl. nested types) for
+    * custom operators' grouping keys — the optimizer rule itself only
+    * visits built-in nodes.
+    */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+      .normalize(e)
 
   /** Idempotently add a planner strategy to an ALREADY-BUILT session (the
     * runtime analogue of `SparkSessionExtensions.injectPlannerStrategy`,

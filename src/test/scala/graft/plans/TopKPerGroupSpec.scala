@@ -77,6 +77,17 @@ class TopKPerGroupSpec extends SparkSpec {
         .toDF("g", "id", "score")
       assert(nativeTopK(df, 1) == Set(("a", 2L, 7.0)))
     }
+    it("normalizes float group keys: -0.0 and 0.0 are ONE group") {
+      // the strategy must normalize double keys exactly as Catalyst's
+      // NormalizeFloatingNumbers does for Aggregate/Window keys — without
+      // it the byte-keyed map AND the hash exchange split this group
+      val df = Seq((0.0, 1L, 5.0), (-0.0, 2L, 4.0), (-0.0, 3L, 3.0))
+        .toDF("g", "id", "score").repartition(3, col("id"))
+      val out = TopKPerGroup.topK(df, Seq("g"),
+          Seq(("score", true), ("id", false)), 2)
+        .as[(Double, Long, Double)].collect().toSet
+      assert(out == Set((0.0, 1L, 5.0), (-0.0, 2L, 4.0)))
+    }
     it("keeps downstream expressions working over the custom node") {
       val out = TopKPerGroup.topK(sample, Seq("g"),
           Seq(("score", true), ("id", false)), 2)

@@ -431,6 +431,30 @@ object RelationalQueries {
           col("n"), col("sum_qty"))
         .orderBy("flag", "status")),
 
+    // D15 — GROUPING SETS: two independent one-dimension summaries in ONE
+    // aggregation pass — the cross-dimensional shape ROLLUP (d12) cannot
+    // express (rollup only nests prefixes). Same one-shuffle Expand-based
+    // plan as d12; at scale this halves the passes over the fact table vs
+    // running the two group-bys separately.
+    RQ("d15_grouping_sets", Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      ORDER BY flag, status"""))((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
     // D11 — group-concat over sorted collect_set
     // (process_all_pdb_contacts.py:65,193)
     RQ("d11_group_concat", Some("""

@@ -24,3 +24,40 @@ object Salting {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 }
+
+/** The adaptive complement: AQE's OptimizeSkewedJoin splits oversized
+  * shuffle partitions at runtime from map-output statistics. ONE
+  * definition of the demo conf scope, shared by the s8 registered query
+  * and SkewJoinSpec so the spec proves exactly the scope the query runs.
+  *
+  * These thresholds are FORCED-DEMO values: test-SF shuffles are a few
+  * hundred KB, far below the production defaults (factor 5, 256 MB
+  * partition threshold, 64 MB advisory target) — under defaults nothing
+  * at test scale ever qualifies as skewed. A production deployment keeps
+  * the defaults (or tunes them to executor memory); the mechanism the
+  * demo exercises is identical, only the thresholds differ.
+  */
+object AqeSkew {
+
+  val demoConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+    // keep the sort-merge path so the skew optimizer applies
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** Save/set/restore the demo confs around an EAGER body (plans finalize
+    * at runtime under AQE, so the work must execute while the confs hold).
+    */
+  def withDemoConfs[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val prev = demoConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+    demoConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+}

@@ -46,6 +46,10 @@ final case class TopKPerGroup(groupExprs: Seq[Expression],
                               child: LogicalPlan) extends UnaryNode {
   require(k >= 1, s"k must be >= 1, got $k")
   require(groupExprs.nonEmpty, "topKPerGroup requires at least one group column")
+  // an empty order would compare all rows equal: the heaps would keep k
+  // ARBITRARY rows per group, varying with partitioning — fail fast
+  // instead of silently breaking the determinism contract
+  require(order.nonEmpty, "topKPerGroup requires at least one order column")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)

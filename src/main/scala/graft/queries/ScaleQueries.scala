@@ -185,27 +185,18 @@ object ScaleQueries {
     // modern default-on alternative to hand-salting (s1 remains the
     // explicit form for engines/joins AQE cannot re-plan). The result is
     // EXACTLY the plain join (the oracle); SkewJoinSpec demonstrates the
-    // split firing ("skew=true" in the adaptive plan) under forced-skew
-    // thresholds. The skew confs are scoped set/restore around an EAGER
-    // run (the join must execute while they hold — plans finalize at
-    // runtime under AQE); the 3-row aggregate is returned as a local
-    // relation, so nothing cached or conf-dependent escapes the scope.
+    // split firing ("skew=true" in the adaptive plan) under the SAME
+    // shared conf scope (operators/AqeSkew — forced-demo thresholds;
+    // production keeps the defaults, see the AqeSkew scaladoc). The run
+    // is EAGER inside the scope (plans finalize at runtime under AQE);
+    // the 3-row aggregate is returned as a local relation, so nothing
+    // cached or conf-dependent escapes the scope.
     RQ("s8_aqe_skew_join", Some("""
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
       GROUP BY 1 ORDER BY o_orderstatus"""))((s, dir) => {
-      val skewConfs = Seq(
-        "spark.sql.adaptive.enabled" -> "true",
-        "spark.sql.adaptive.skewJoin.enabled" -> "true",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
-        // keep the sort-merge path so the skew optimizer applies
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-      val prev = skewConfs.map { case (k, _) => k -> s.conf.getOption(k) }
-      skewConfs.foreach { case (k, v) => s.conf.set(k, v) }
-      val rows = try {
+      val rows = graft.operators.AqeSkew.withDemoConfs(s) {
         Tables(s, dir, "lineitem")
           .select(col("l_orderkey").as("k"), col("l_quantity"))
           .join(Tables(s, dir, "orders")
@@ -215,9 +206,6 @@ object ScaleQueries {
             sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
           .orderBy("o_orderstatus")
           .collect() // dimension-bounded (one row per order status)
-      } finally prev.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None) => s.conf.unset(k)
       }
       s.createDataFrame(java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(Seq(

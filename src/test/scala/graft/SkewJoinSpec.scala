@@ -11,23 +11,12 @@ class SkewJoinSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private val confs = Seq(
-    "spark.sql.adaptive.enabled" -> "true",
-    "spark.sql.adaptive.skewJoin.enabled" -> "true",
-    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
-    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
-    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+  // the ONE shared scope s8 runs under — the spec proves exactly that
+  // scope, so tuning AqeSkew.demoConfs re-tests the query's behavior
+  private val confs = graft.operators.AqeSkew.demoConfs
 
-  private def withSkewConfs[A](body: => A): A = {
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+  private def withSkewConfs[A](body: => A): A =
+    graft.operators.AqeSkew.withDemoConfs(spark)(body)
 
   describe("AQE skew join (s8's mechanism)") {
     it("splits the hot key's partition at runtime (skew=true in the plan)") {

@@ -41,6 +41,14 @@ class PlanAuditSpec extends SparkSpec {
         assert(exchanges <= 2, s"$n has $exchanges exchanges:\n$p")
       }
     }
+    it("d15_grouping_sets is ONE Expand pass, not one group-by per set") {
+      val p = executed("d15_grouping_sets")
+      assert(p.linesIterator.count(_.trim.contains("Expand")) == 1,
+        s"expected a single Expand in:\n$p")
+      val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+      // one hash exchange for the (expanded) aggregate + the orderBy range
+      assert(exchanges <= 2, s"d15 has $exchanges exchanges:\n$p")
+    }
     it("c14_star_join broadcasts dims — no shuffle on the dimension side") {
       val p = executed("c14_star_join")
       assert(p.contains("BroadcastHashJoin"))

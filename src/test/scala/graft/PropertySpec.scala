@@ -55,6 +55,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  describe("TopKPerGroup (s7 operator) vs in-memory reference") {
+    it("matches sort-take per group for arbitrary data/k/partitioning (10 seeded cases)") {
+      val rnd = new Random(19)
+      (1 to 10).foreach { _ =>
+        val n = 50 + rnd.nextInt(300)
+        // duplicate scores are likely (ties broken by unique id), group
+        // count varies 1-9, partitioning is arbitrary w.r.t. the groups
+        val rows = (1 to n).map(i =>
+          (s"g${rnd.nextInt(1 + rnd.nextInt(9))}", i.toLong,
+            rnd.nextInt(40).toDouble))
+        val k = 1 + rnd.nextInt(5)
+        val parts = 1 + rnd.nextInt(7)
+        val df = rows.toDF("g", "id", "score").repartition(parts, col("id"))
+        val got = graft.plans.TopKPerGroup
+          .topK(df, Seq("g"), Seq(("score", true), ("id", false)), k)
+          .as[(String, Long, Double)].collect().toSet
+        val want = rows.groupBy(_._1).values
+          .flatMap(g => g.toSeq.sortBy(r => (-r._3, r._2)).take(k)).toSet
+        assert(got == want, s"k=$k parts=$parts n=$n")
+      }
+    }
+  }
+
   describe("AsOfJoin vs naive range-join reference") {
     it("agrees with max-ts-at-or-before computed per probe row (8 seeded cases)") {
       val rnd = new Random(11)

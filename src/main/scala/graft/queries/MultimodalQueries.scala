@@ -82,6 +82,45 @@ object MultimodalQueries {
         .agg(min("media_id").as("canonical_id"),
           count(lit(1)).as("n_assets"), sum("nb").as("total_bytes"))
         .orderBy("digest64")
+    }),
+
+    // M4 — size-bounded shard packing (the WebDataset/tar-shard pattern):
+    // assets are laid out in a deterministic per-source order and each is
+    // assigned to the shard its START offset falls in (running byte
+    // total / shard size) — exactly what a rollover tar-writer walking
+    // that order produces, but computed declaratively. The window
+    // partitions by SOURCE (t19's same no-global-funnel rule): each
+    // source's running sum is independent, so the cumulative window
+    // parallelizes across sources — never one global ordered partition.
+    // 32 KiB shards are test-SF-sized; production sets ~1 GiB.
+    RQ("m4_shard_pack", Some("""
+      WITH d AS (SELECT source, doc_id AS media_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS nb
+                 FROM documents),
+           c AS (SELECT source, media_id, nb,
+                        sum(nb) OVER (PARTITION BY source ORDER BY media_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM d)
+      SELECT source, CAST((cum - nb) // 32768 AS BIGINT) AS shard_id,
+             CAST(count(*) AS BIGINT) AS n_assets,
+             CAST(sum(nb) AS BIGINT) AS shard_bytes,
+             CAST(min(media_id) AS BIGINT) AS first_id,
+             CAST(max(media_id) AS BIGINT) AS last_id
+      FROM c GROUP BY 1, 2 ORDER BY source, shard_id"""))((s, dir) => {
+      val media = Tables(s, dir, "documents")
+        .select(col("source"),
+          col("doc_id").as("media_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("media_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      media.withColumn("cum", sum(col("nb")).over(w))
+        .withColumn("shard_id",
+          floor((col("cum") - col("nb")) / lit(32768L)).cast("long"))
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_assets"), sum("nb").as("shard_bytes"),
+          min("media_id").as("first_id"), max("media_id").as("last_id"))
+        .orderBy("source", "shard_id")
     })
   )
 }

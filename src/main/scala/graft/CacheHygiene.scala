@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.SparkContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftx.GraftCacheBridge
 
 /** Session cache hygiene for the two all-queries mains (Bench, Verify).
   *
@@ -37,6 +39,26 @@ object CacheHygiene {
       if (!baseline.contains(id)) rdd.unpersist(blocking = false)
     }
     System.gc()
+  }
+
+  /** Session-aware sweep: additionally drops non-baseline CacheManager
+    * ENTRIES (`Dataset.persist` registrations), not just their blocks.
+    * An RDD-only sweep leaves the entry behind, with two costs: the
+    * entry list grows monotonically across a 158-query run (every plan
+    * substitution walks it), and any LATER query whose plan matches a
+    * swept entry silently recomputes through the dead InMemoryRelation
+    * on every action without re-caching — columnar encode each time,
+    * strictly slower than no cache. Baseline membership is decided by
+    * the entry's column-buffer RDD id; an entry that never materialized
+    * has no blocks and is dropped too (re-persisting is one call away
+    * for any plan that actually returns).
+    */
+  def sweep(spark: SparkSession, baseline: Set[Int]): Unit = {
+    GraftCacheBridge.entries(spark).foreach { case (plan, rddId) =>
+      if (!rddId.exists(baseline.contains))
+        GraftCacheBridge.uncache(spark, plan)
+    }
+    sweep(spark.sparkContext, baseline)
   }
 
   /** Query family of a registered-query name: the letter prefix before

@@ -69,7 +69,14 @@ object ExportStage {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       WriteSlots,
       (r: Runnable) => { val t = new Thread(r, "export-write"); t.setDaemon(true); t })
+    // shutdownNow on the failure path: plain shutdown() lets the ~60
+    // still-queued write jobs keep launching Spark jobs on daemon threads
+    // AFTER run() has rethrown — polluting whatever the session does next
+    // (in etl3 that's the following bench queries) and littering partial
+    // output dirs. shutdownNow drains the queue; the in-flight writes are
+    // additionally gated by the failed flag in runWithPool.
     try runWithPool(g, outDir, pool)
+    catch { case e: Throwable => pool.shutdownNow(); throw e }
     finally pool.shutdown()
   }
 
@@ -80,9 +87,17 @@ object ExportStage {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val pending = scala.collection.mutable.ArrayBuffer[Future[Unit]]()
     val written = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // first-failure latch: once any sink write fails, queued jobs that
+    // haven't started their Spark job yet become no-ops (paired with
+    // run()'s shutdownNow, which stops them being dequeued at all)
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def write(name: String, df: DataFrame,
               hdr: (String, String)*): Unit = {
-      pending += Future(Sinks.neo4jTsv(df, s"$outDir/$name", hdr.toMap))
+      pending += Future {
+        if (!failed.get())
+          try Sinks.neo4jTsv(df, s"$outDir/$name", hdr.toMap)
+          catch { case e: Throwable => failed.set(true); throw e }
+      }
       written += name -> s"$outDir/$name"
     }
     // DIMENSION-bounded tables (suppliers, hierarchy levels, distinct EC

@@ -241,7 +241,12 @@ object ProCogQueryDefs {
         .join(broadcast(Tables(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(countDistinct(col("o_orderkey")).as("n_entries"))
+        // count, not countDistinct: o_orderkey is unique per order and the
+        // join multiplicity is exactly 1 (customer/nation/region are all
+        // key-unique dims), so every order survives once — plain count
+        // equals the oracle's COUNT(DISTINCT) without the distinct
+        // aggregate's extra shuffle-side dedup pass
+        .agg(count(col("o_orderkey")).as("n_entries"))
         .orderBy("r_name", "n_name")
     })
   )

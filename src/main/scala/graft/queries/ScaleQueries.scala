@@ -127,7 +127,13 @@ object ScaleQueries {
             // carried a bare pid as the first all-digit segment after
             // the table name — sweep those too
             segs.lift(segs.length - 3).filter(_.matches("p\\d+")).map(_.drop(1))
-              .orElse(segs.drop(2).find(p => p.nonEmpty && p.forall(_.isDigit)))
+              // legacy 5-segment tail (s5_<t>_<pid>_<len>_<mtime>) carried
+              // a bare pid at the SAME third-from-last position — a
+              // first-digit-match scan would instead pick a digit segment
+              // of a sanitized dirTag like "sf0_1" and resolve pid=1
+              // (always live), so those fixtures would never sweep
+              .orElse(segs.lift(segs.length - 3)
+                .filter(p => p.nonEmpty && p.forall(_.isDigit)))
               .exists(p => sweepable(p.toLong))
           }
         }

@@ -27,6 +27,16 @@ object Sinks {
     */
   def neo4jTsv(df: DataFrame, path: String,
                headerFor: Map[String, String] = Map.empty): Unit = {
+    // BEST_SPEED deflate for the .gz parts: the export writes ~70 gzip
+    // files and default-level deflate made the full inventory the most
+    // CPU/IO-bound query in the bench (etl3 73.9 s on the round-7 driver
+    // record). Level 1 keeps the .gz import contract (neo4j-admin only
+    // needs a valid gzip stream) at a fraction of the compression CPU.
+    // Set on the session's Hadoop conf: the codec reads it from the job
+    // conf at write time (honored by both native zlib and Hadoop 3.3+'s
+    // built-in java Deflater path).
+    df.sparkSession.sparkContext.hadoopConfiguration
+      .set("zlib.compress.level", "BEST_SPEED")
     val headers: Seq[String] = df.schema.fields.toSeq.map { f =>
       headerFor.getOrElse(f.name, f.dataType match {
         case LongType | IntegerType => s"${f.name}:long"

@@ -1,0 +1,57 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.CachedData
+
+/** Access to the session CacheManager's entry list for cache hygiene
+  * (graft.CacheHygiene): `Dataset.persist` registers a (logical plan →
+  * InMemoryRelation) entry there, and unpersisting only the underlying
+  * RDD (all a `SparkContext.getPersistentRDDs` sweep can reach) leaves
+  * the entry behind — the catalog grows monotonically across a long
+  * session, and a swept-but-still-registered plan silently recomputes
+  * through its InMemoryRelation on every later action WITHOUT re-caching
+  * (columnar encode each time, no reuse — slower than no cache at all).
+  *
+  * The entry list itself is `private` in CacheManager (no accessor at any
+  * visibility), so enumeration goes through one reflective call to the
+  * private `cachedData()` accessor; eviction then uses the PUBLIC
+  * `uncacheQuery(session, plan, cascade)` API, which removes the entry
+  * and its blocks together. Confined to the graftx bridge package with
+  * GraftPlanBridge — the one place the engine touches Spark internals.
+  */
+object GraftCacheBridge {
+
+  private val cachedDataAccessor = {
+    val m = classOf[org.apache.spark.sql.execution.CacheManager]
+      .getDeclaredMethod("cachedData")
+    m.setAccessible(true)
+    m
+  }
+
+  /** Every CacheManager entry as (logical plan, column-buffer RDD id if
+    * the cache has materialized). An unmaterialized entry has no blocks
+    * yet, so its id is None.
+    */
+  def entries(s: SparkSession): Seq[(LogicalPlan, Option[Int])] = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    cachedDataAccessor.invoke(cs.sharedState.cacheManager)
+      .asInstanceOf[IndexedSeq[CachedData]]
+      .map { cd =>
+        val b = cd.cachedRepresentation.cacheBuilder
+        val id = if (b.isCachedColumnBuffersLoaded)
+          Some(b.cachedColumnBuffers.id) else None
+        (cd.plan, id)
+      }
+  }
+
+  /** Drop one entry (blocks + catalog entry, non-cascading): the public
+    * uncache path `Dataset.unpersist` itself uses.
+    */
+  def uncache(s: SparkSession, plan: LogicalPlan): Unit = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    cs.sharedState.cacheManager
+      .uncacheQuery(cs, plan, cascade = false, blocking = false)
+  }
+}

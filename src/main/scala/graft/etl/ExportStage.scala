@@ -34,6 +34,12 @@ import graft.sources.Sinks
   *    (:364-368). Levels are synthesized deterministically from the
   *    domain's nation key by nested integer quotients — nested quotients
   *    give a proper tree, exactly as dotted EC prefixes do.
+  *  - SUPERFAMILY and Gene3D groups: derived-view re-classifications —
+  *    SUPERFAMILY domains link into the SCOP fold level
+  *    (superfamily_fold_rels, :261-268,315-317), Gene3D domains into the
+  *    CATH topology level (cath_topology_domain_rels, :270-276,361-362) —
+  *    plus their protein rels and per-DB interaction splits, completing
+  *    the import script's 71-file consumption list.
   *  - the `procoggraph` stats node (:553-562).
   */
 object ExportStage {
@@ -423,6 +429,64 @@ object ExportStage {
       writeSmall("pfam_clan_rels", pfam.select("domainAccession", "clan"),
         "domainAccession" -> ":START_ID(pfam-domain-id)",
         "clan" -> ":END_ID(pfam-clan-id)")
+
+      // ---- SUPERFAMILY + Gene3D groups ---------------------------------
+      // The last two classification DBs of the reference import. Both are
+      // derived re-classifications of already-classified domains, not new
+      // domain sources: SUPERFAMILY domain nodes link INTO the SCOP fold
+      // level (superfamily_fold_rels → :END_ID(scop-fold-id),
+      // produce_neo4j_files.py:261-268,315-317) and Gene3D (gene3dsa)
+      // domain nodes link INTO the CATH topology level
+      // (cath_topology_domain_rels → :END_ID(cath-topology-ID), :270-276,
+      // 361-362) — so here they are views over the SCOP and CATH domains
+      // respectively, exactly the SCOP2-SF/FA derived-view pattern above.
+      val superfam = g.domains.filter(col("dtype") === "SCOP")
+        .select(col("domainAccession"),
+          concat(lit("SSF"), col("nk")).as("group"), lv("FD", 5).as("fold"))
+      writeSmall("superfamily_domains_nodes",
+        superfam.select(col("domainAccession"),
+          lit("Superfamily").as("type"), col("group")),
+        "domainAccession" -> "domain:ID(superfamily-domain-id)")
+      writeSmall("superfamily_fold_rels",
+        superfam.select("domainAccession", "fold").distinct(),
+        "domainAccession" -> ":START_ID(superfamily-domain-id)",
+        "fold" -> ":END_ID(scop-fold-id)")
+      write("superfamily_protein_rels",
+        domainChain.filter(col("dtype") === "SCOP")
+          .select("domainAccession", "chainUniqueID"),
+        "domainAccession" -> ":START_ID(superfamily-domain-id)",
+        "chainUniqueID" -> ":END_ID(pdbp-id)")
+      write("superfamily_domain_ligand_interactions",
+        interactsByDomain.filter(col("dtype") === "SCOP")
+          .select(interactionCols: _*),
+        "domainAccession" -> ":START_ID(superfamily-domain-id)",
+        "uniqueID" -> ":END_ID(be-id)",
+        "domainContactPerc" -> "domainContactPerc:float",
+        "contactCount" -> "contactCount:long")
+
+      val gene3d = g.domains.filter(col("dtype") === "CATH")
+        .select(col("domainAccession"), col("superfamily").as("group"),
+          lv("T", 5).as("topo"))
+      writeSmall("gene3d_domains_nodes",
+        gene3d.select(col("domainAccession"),
+          lit("Gene3D").as("type"), col("group")),
+        "domainAccession" -> "domain:ID(g3dsa-domain-id)")
+      writeSmall("cath_topology_domain_rels",
+        gene3d.select("domainAccession", "topo").distinct(),
+        "domainAccession" -> ":START_ID(g3dsa-domain-id)",
+        "topo" -> ":END_ID(cath-topology-id)")
+      write("gene3d_protein_rels",
+        domainChain.filter(col("dtype") === "CATH")
+          .select("domainAccession", "chainUniqueID"),
+        "domainAccession" -> ":START_ID(g3dsa-domain-id)",
+        "chainUniqueID" -> ":END_ID(pdbp-id)")
+      write("gene3dsa_domain_ligand_interactions",
+        interactsByDomain.filter(col("dtype") === "CATH")
+          .select(interactionCols: _*),
+        "domainAccession" -> ":START_ID(g3dsa-domain-id)",
+        "uniqueID" -> ":END_ID(be-id)",
+        "domainContactPerc" -> "domainContactPerc:float",
+        "contactCount" -> "contactCount:long")
 
       // ---- stats node (reference :553-562) -----------------------------
       writeSmall("procoggraph_node",

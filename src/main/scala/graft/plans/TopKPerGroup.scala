@@ -102,14 +102,18 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * meet in one partition for the exact merge.
   *
   * Memory envelope: the per-task state is an on-heap map of
-  * (groups-in-partition × k) row copies with NO spill path — strictly
-  * less state than the window formulation's full per-partition sort
-  * buffer, but unlike that sort it cannot spill. Operating rule at
-  * scale: keep groups-per-reduce-partition × k within executor memory by
-  * raising shuffle partitions (state shrinks linearly; AQE skew split
-  * further caps a hot partition), or fall back to the window form for
-  * pathological group cardinality × large k. Registered usage (s7, k=2,
-  * dimension-keyed groups) sits far inside the envelope.
+  * (groups-in-partition × k) row copies. The PARTIAL pass removes the
+  * OOM cliff with a size-triggered degrade: when the map exceeds
+  * `spark.graft.topk.partialFlushRows` kept rows (default 1M), it is
+  * flushed as partial output and restarted — correct because partial
+  * output is only ever a candidate superset and the final merge
+  * re-trims; the cost of a flush is extra exchange rows (≤ k per group
+  * per flush epoch), degrading toward the window plan's shuffle volume
+  * instead of failing. The FINAL pass sees one group entirely in one
+  * partition, so its state is (groups-per-reduce-partition × k):
+  * bounded operationally by raising shuffle partitions (state shrinks
+  * linearly; AQE skew split caps a hot partition). Registered usage
+  * (s7, k=2, dimension-keyed groups) sits far inside the envelope.
   */
 final case class TopKPerGroupExec(groupExprs: Seq[Expression],
                                   order: Seq[SortOrder], k: Int,
@@ -132,6 +136,15 @@ final case class TopKPerGroupExec(groupExprs: Seq[Expression],
     val orderE = order
     val inAttrs = child.output
     val kk = k
+    // size-triggered degrade (partial pass only): flush-and-restart when
+    // the map holds this many row copies. Partial output is a candidate
+    // superset by construction, so the final merge re-trims to the exact
+    // answer; the final pass itself must never flush mid-group and keeps
+    // the documented raise-shuffle-partitions operating rule instead.
+    val flushBudget =
+      if (partial)
+        conf.getConfString("spark.graft.topk.partialFlushRows", "1048576").toLong
+      else Long.MaxValue
     child.execute().mapPartitions({ iter =>
       val proj = UnsafeProjection.create(groupE, inAttrs)
       val ord: BaseOrdering = RowOrdering.create(orderE, inAttrs)
@@ -143,23 +156,45 @@ final case class TopKPerGroupExec(groupExprs: Seq[Expression],
       }
       val heaps =
         new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      var kept = 0L
+
+      def insert(row: InternalRow): Unit = {
         val key = proj(row)
         var h = heaps.get(key)
         if (h == null) {
           h = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
           heaps.put(key.copy(), h) // proj reuses its row — copy the key
         }
-        if (h.size() < kk) h.add(row.copy())
+        if (h.size() < kk) { h.add(row.copy()); kept += 1 }
         else if (ord.compare(row, h.peek()) < 0) { // beats the worst kept
           h.poll()
           h.add(row.copy())
         }
       }
-      heaps.values().iterator().asScala.flatMap { h =>
-        numOutputRows += h.size()
-        h.iterator().asScala
+
+      def drain(): Iterator[InternalRow] = {
+        val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
+        heaps.values().forEach(h => h.iterator().asScala.foreach(out += _))
+        heaps.clear()
+        kept = 0L
+        numOutputRows += out.size
+        out.iterator
+      }
+
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var inputDone = false
+        private def advance(): Unit =
+          while (!out.hasNext && !inputDone) {
+            var flushed = false
+            while (iter.hasNext && !flushed) {
+              insert(iter.next())
+              if (kept >= flushBudget) { out = drain(); flushed = true }
+            }
+            if (!flushed) { inputDone = true; out = drain() }
+          }
+        override def hasNext: Boolean = { advance(); out.hasNext }
+        override def next(): InternalRow = { advance(); out.next() }
       }
     }, preservesPartitioning = true)
   }

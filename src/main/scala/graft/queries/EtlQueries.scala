@@ -108,7 +108,8 @@ object EtlQueries {
     }),
 
     // Full Neo4j bulk-file inventory roundtrip: ExportStage writes all
-    // ~65 node/rel files (produce_neo4j_files.py:69-562), a representative
+    // 73 node/rel files (produce_neo4j_files.py:69-562; covers the import
+    // script's 71-file consumption list incl. SUPERFAMILY/Gene3D), a representative
     // file from every inventory group is read BACK through the TSV+gz
     // sink layout, and its row count is checked against the star schema —
     // so the EC hierarchy, protein-chain, per-DB split, classification
@@ -162,6 +163,14 @@ object EtlQueries {
                count(DISTINCT l_partkey) FROM lineitem
              UNION ALL SELECT 'be_bd_rels',
                count(DISTINCT l_orderkey || '_' || l_partkey) FROM lineitem
+             UNION ALL SELECT 'superfamily_domains_nodes',
+               count(*) FROM sup WHERE m = 1
+             UNION ALL SELECT 'superfamily_fold_rels',
+               count(*) FROM sup WHERE m = 1
+             UNION ALL SELECT 'gene3d_domains_nodes',
+               count(*) FROM sup WHERE m = 0
+             UNION ALL SELECT 'cath_topology_domain_rels',
+               count(*) FROM sup WHERE m = 0
              UNION ALL SELECT 'procoggraph_node', 1)
       SELECT file, CAST(n AS BIGINT) AS n FROM rows ORDER BY file"""))(
       (s, dir) => {
@@ -174,6 +183,8 @@ object EtlQueries {
         "cath_protein_rels", "cath_class_nodes",
         "cath_homologous_superfamily_domain_rels", "scop_family_nodes",
         "scop2_sf_nodes", "pfam_clans", "bound_descriptors", "be_bd_rels",
+        "superfamily_domains_nodes", "superfamily_fold_rels",
+        "gene3d_domains_nodes", "cath_topology_domain_rels",
         "procoggraph_node")
       subset.map(f => Sinks.readNeo4jTsv(s, written(f))
           .agg(count(lit(1)).as("n")).select(lit(f).as("file"), col("n")))

@@ -13,26 +13,46 @@ import graft.{RQ, Tables}
   */
 object EventQueries {
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read it as long nanos and rebuild a µs timestamp with
-    * integer division (a double roundtrip would lose precision at ~1.7e18).
+  /** `events.ts` varies by testdata generation: parquet TIMESTAMP(NANOS)
+    * in some rounds (Spark 4 rejects it by default — read as long nanos
+    * via the legacy conf, then integer-divide; a double roundtrip would
+    * lose precision at ~1.7e18) and plain TIMESTAMP(MICROS) in others
+    * (reads as a timestamp directly). ONE schema-adaptive reader, so a
+    * driver-side regeneration of the tables can never silently break the
+    * whole event/streaming family again (round 8: 12 queries failed when
+    * NANOS became MICROS).
     */
-  private def ev(s: SparkSession, dir: String): DataFrame = {
+  private def evRaw(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** ts normalized to epoch-µs LONG regardless of the physical type.
+    * MICROS path: NTZ wall-clock == instant under the UTC session zone
+    * both mains pin, matching DuckDB's epoch_us over the same file.
+    */
+  private def tsToMicros(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
+  // private[graft]: the stream/batch-parity specs need the SAME
+  // schema-adaptive reader the queries use, not a hand-rolled copy of
+  // the physical-type handling (which breaks when testdata regenerates)
+  private[graft] def ev(s: SparkSession, dir: String): DataFrame = {
+    val raw = evRaw(s, dir)
+    raw.withColumn("ts", timestamp_micros(tsToMicros(raw)))
   }
 
   /** Events as (user_id, event_id, us, value) with microsecond longs —
-    * the shared nanos-handling recipe for every query that works in
-    * epoch-µs space (e3/e4/e7/j1); ONE definition of the `ts div 1000`
-    * truncation.
+    * the shared recipe for every query that works in epoch-µs space
+    * (e3/e4/e7/j1); ONE definition of the µs truncation.
     */
   private[queries] def evMicros(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(s, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
-        col("value"))
+    val raw = evRaw(s, dir)
+    raw.select(col("user_id"), col("event_id"), tsToMicros(raw).as("us"),
+      col("value"))
   }
 
   /** The 30-minute-gap sessionization oracle — shared verbatim by the

@@ -225,6 +225,61 @@ object ProCogQueryDefs {
         .orderBy("pdbEntry")
     }),
 
+    // Dashboard parameter variants (VERDICT r7 item 6): the neodash
+    // controls are parameter grids over the typed API (DashboardParamsSpec
+    // sweeps the invariants); these three put representative OFF-default
+    // parameter points under the driver's oracle gate.
+
+    // promiscuity with the Best/Any toggle set to Any (neodash's cognate
+    // mode control): every candidate above the cutoff counts, not just
+    // each ligand's best match
+    RQ("p15_promiscuity_any", Some(s"""$G,
+      binds AS (SELECT d.ssf, s.cog, CAST(count(DISTINCT i.sk) AS BIGINT)
+                  AS n_bind
+                FROM (SELECT DISTINCT pk, sk FROM iam) i
+                JOIN sim s ON s.pk = i.pk AND s.score >= 0.95
+                JOIN dom d ON d.sk = i.sk
+                GROUP BY 1, 2),
+      ssfsize AS (SELECT ssf, CAST(count(DISTINCT sk) AS BIGINT) AS n_dom
+                  FROM dom GROUP BY 1)
+      SELECT b.ssf AS superfamily, b.cog AS cogId, b.n_bind, z.n_dom,
+             b.n_bind::DOUBLE / z.n_dom::DOUBLE AS frac_binding
+      FROM binds b JOIN ssfsize z USING (ssf)
+      ORDER BY superfamily, cogId"""))((s, dir) =>
+      ProCogQueries.superfamilyPromiscuity(GraphTables.cached(s, dir), 0.95,
+          AnyCognate)
+        .orderBy("superfamily", "cogId")),
+
+    // interactions restricted to one classification DB (the dashboard's
+    // domain-type dropdown): the CATH partition of p3
+    RQ("p16_interactions_cath", Some(s"""$G
+      SELECT 'pdb' || i.ok AS pdbID, d.acc AS chainDomain,
+             b.disp AS pdbLigand,
+             upper(substr(i.mode, 1, 1)) || substr(i.mode, 2)
+               AS interactionMode,
+             i.cc AS contactCount, i.perc
+      FROM iam i JOIN dom d ON d.sk = i.sk JOIN be b ON b.uid = i.uid
+      WHERE i.ok <= 20 AND d.dtype = 'CATH'
+      ORDER BY pdbID, chainDomain, pdbLigand, interactionMode,
+               contactCount, perc"""))((s, dir) =>
+      ProCogQueries.domainInteractions(GraphTables.cached(s, dir), 20L,
+          Some("CATH"))
+        .orderBy("pdbID", "chainDomain", "pdbLigand", "interactionMode",
+          "contactCount", "perc")),
+
+    // cutoff-swept similarity (the dashboard's parity-score slider): Best
+    // mode at 0.95 — between p4's 0.9 and p5's 0.97 on the cutoff grid
+    RQ("p17_similarity_cutoff", Some(s"""$G
+      SELECT b.hetCode, upper(trim(p.p_name)) AS cognateLigand,
+             s.score AS parityScore, s.best
+      FROM be b JOIN sim s ON s.pk = b.pk
+                JOIN part p ON p.p_partkey = s.cog
+      WHERE b.ok <= 20 AND s.score >= 0.95 AND s.best = 'Y'
+      ORDER BY hetCode, cognateLigand, parityScore, best"""))((s, dir) =>
+      ProCogQueries.ligandSimilarity(GraphTables.cached(s, dir), 20L, 0.95,
+          Best)
+        .orderBy("hetCode", "cognateLigand", "parityScore", "best")),
+
     // EC-hierarchy walk shape (dashboard EC page): two-level rollup listing
     RQ("p10_hierarchy_walk", Some("""
       SELECT r_name, n_name, CAST(count(DISTINCT o_orderkey) AS BIGINT)

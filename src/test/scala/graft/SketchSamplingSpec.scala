@@ -161,9 +161,7 @@ class SketchSamplingSpec extends SparkSpec {
   describe("j8 stream-stream join") {
     it("emits the batch join answer regardless of chunking") {
       val got = q("j8_stream_stream_join").collect().toSeq
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = Tables(spark, sf, "events")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = graft.queries.EventQueries.ev(spark, sf)
       val c = ev.filter(col("event_type").isin("click", "view"))
         .select(col("event_id"), col("user_id"), col("ts").as("cts"))
       val e = ev.filter(col("event_type") === "error")

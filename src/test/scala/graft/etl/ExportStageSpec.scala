@@ -37,9 +37,10 @@ class ExportStageSpec extends SparkSpec {
 
   describe("ExportStage") {
     it("writes the full reference-shaped inventory") {
-      // reference writes ~60 files (produce_neo4j_files.py), consumed by
-      // import_neo4j_data.sh; the engine's inventory covers every group
-      assert(written.size === 65)
+      // the reference import consumes 71 files (import_neo4j_data.sh);
+      // this inventory covers every group — including the SUPERFAMILY and
+      // Gene3D derived-view groups — under the engine's star-schema names
+      assert(written.size === 73)
       // one representative per inventory group must exist
       Seq("entry_nodes", "bound_entity_nodes", "cognate_ligand_nodes",
         "be_is_in_pdb_rels", "interacts_with_ligand_rels",
@@ -67,7 +68,11 @@ class ExportStageSpec extends SparkSpec {
         "scop2_cl_nodes", "scop2_tp_nodes", "scop2_fa_domains_rels",
         "scop2_sf_domains_rels", "scop2_sf_fa_rels", "scop2_sf_cf_rels",
         "scop2_cf_cl_rels", "scop2_cl_tp_rels", "pfam_clans",
-        "pfam_clan_rels", "procoggraph_node", "domain_nodes")
+        "pfam_clan_rels", "procoggraph_node", "domain_nodes",
+        "superfamily_domains_nodes", "superfamily_fold_rels",
+        "superfamily_protein_rels", "superfamily_domain_ligand_interactions",
+        "gene3d_domains_nodes", "cath_topology_domain_rels",
+        "gene3d_protein_rels", "gene3dsa_domain_ligand_interactions")
         .foreach(f => assert(written.contains(f), s"missing $f"))
     }
 
@@ -150,6 +155,18 @@ class ExportStageSpec extends SparkSpec {
         "pfam_clans", "clanID:ID(pfam-clan-id)") === 0)
       assert(dangling("be_bd_rels", ":END_ID(bd-id)",
         "bound_descriptors", "ligandUniqueID:ID(bd-id)") === 0)
+      // the derived-view groups link INTO the host hierarchies: a
+      // SUPERFAMILY domain's fold must be a SCOP fold node, a Gene3D
+      // domain's topology must be a CATH topology node
+      assert(dangling("superfamily_fold_rels", ":END_ID(scop-fold-id)",
+        "scop_fold_nodes", "scopFold:ID(scop-fold-id)") === 0)
+      assert(dangling("superfamily_fold_rels",
+        ":START_ID(superfamily-domain-id)",
+        "superfamily_domains_nodes", "domain:ID(superfamily-domain-id)") === 0)
+      assert(dangling("cath_topology_domain_rels", ":END_ID(cath-topology-id)",
+        "cath_topology_nodes", "topo:ID(cath-topology-id)") === 0)
+      assert(dangling("cath_topology_domain_rels", ":START_ID(g3dsa-domain-id)",
+        "gene3d_domains_nodes", "domain:ID(g3dsa-domain-id)") === 0)
     }
 
     it("surfaces a sink failure from the concurrent write pool") {

@@ -77,6 +77,18 @@ class TopKPerGroupSpec extends SparkSpec {
         .toDF("g", "id", "score")
       assert(nativeTopK(df, 1) == Set(("a", 2L, 7.0)))
     }
+    it("stays exact when the partial pass flush-degrades under a tiny budget") {
+      // budget 4 on a 400-row/7-group input forces many flush epochs per
+      // partial task; extra superset rows cross the exchange and the
+      // final pass must still re-trim to the exact window answer
+      spark.conf.set("spark.graft.topk.partialFlushRows", "4")
+      try
+        Seq(1, 3).foreach { k =>
+          assert(nativeTopK(sample, k) == windowTopK(sample, k),
+            s"k=$k under flush budget 4")
+        }
+      finally spark.conf.unset("spark.graft.topk.partialFlushRows")
+    }
     it("normalizes float group keys: -0.0 and 0.0 are ONE group") {
       // the strategy must normalize double keys exactly as Catalyst's
       // NormalizeFloatingNumbers does for Aggregate/Window keys — without

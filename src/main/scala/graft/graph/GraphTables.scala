@@ -68,6 +68,32 @@ final case class GraphTables(
       .distinct().persist()
   }
 
+  /** Per-(domain, cognate) similarity reachability, cached: for each
+    * distinct (suppkey, cogId) connected through ANY interacting ligand,
+    * the max parity score over those ligands — overall (`maxAnyScore`)
+    * and restricted to best-flagged candidates (`maxBestScore`, null when
+    * no best-flagged path exists). A domain "binds" a cognate at cutoff t
+    * exactly when the mode's max ≥ t, so every cutoff/mode promiscuity
+    * variant is a filter over this table instead of re-expanding the
+    * (ligand×domain) × (ligand×cognate) join (74.6M intermediate rows at
+    * sf0.1 for Any\@0.95 — the r8 p15 profile). This is the Spark
+    * materialization of what the reference precomputes as graph EDGES at
+    * Neo4j import time (produce_neo4j_files.py's domain–cognate
+    * relationship files): dashboards traverse materialized edges, they
+    * don't re-derive them per query. Size is O(distinct domain–cognate
+    * pairs) — the same asymptotics as the reference's edge store, so the
+    * 100 TB footprint argument is inherited from the import, not new.
+    */
+  lazy val domainCognate: DataFrame =
+    interactPairs
+      .join(similarity.select(col("ligandUniqueID"), col("cogId"),
+        col("parityScore"), col("bestCognate")), "ligandUniqueID")
+      .groupBy("suppkey", "cogId")
+      .agg(max(col("parityScore")).as("maxAnyScore"),
+        max(when(col("bestCognate") === "Y", col("parityScore")))
+          .as("maxBestScore"))
+      .persist()
+
   /** Typed stage-boundary views (model/Model.scala) — compile-time field
     * checking for pipeline code consuming a stage's output.
     */

@@ -106,20 +106,22 @@ object ProCogQueries {
     */
   def superfamilyPromiscuity(g: GraphTables, cutoff: Double,
                              mode: CognateMode): DataFrame = {
-    val simsDf = sims(g, cutoff, mode)
     val ssfSize = g.domains.groupBy("superfamily")
       .agg(countDistinct(col("suppkey")).as("n_dom"))
-    // the cached distinct (ligand, domain) reduction BEFORE the
-    // similarity fan-out — the 100-TB-critical step (see interactPairs).
-    // Then dedup to distinct (domain, cognate) BEFORE the domains join:
-    // cost-equivalent to a lone countDistinct (Spark partial-aggregates
-    // single-distinct plans map-side too; Expand appears only with
-    // multiple/mixed distincts) but the explicit form dedups before the
-    // broadcast join instead of after, and suppkey determines
-    // superfamily, so count(*) over the deduped pairs is the same number
-    val binds = g.interactPairs
-      .join(simsDf.select("ligandUniqueID", "cogId"), "ligandUniqueID")
-      .select("suppkey", "cogId").distinct()
+    // serve from the materialized domain–cognate edge table (the Neo4j-
+    // import analogue, see GraphTables.domainCognate): a domain binds a
+    // cognate at `cutoff` in `mode` iff the mode's max parity score over
+    // connecting ligands clears the cutoff — max ≥ t ⇔ ∃ ligand with
+    // score ≥ t. The per-query cost is a filter + broadcast join + agg
+    // over O(domain–cognate pairs), not a re-expansion of the
+    // (ligand×domain) × (ligand×cognate) join (74.6M intermediate rows
+    // at sf0.1 for Any@0.95). maxBestScore is null when no best-flagged
+    // path exists, so the null-rejecting ≥ keeps Best ⊆ Any.
+    val scoreCol = mode match {
+      case Best       => col("maxBestScore")
+      case AnyCognate => col("maxAnyScore")
+    }
+    val binds = g.domainCognate.filter(scoreCol >= cutoff)
       .join(broadcast(g.domains.select("suppkey", "superfamily")), "suppkey")
       .groupBy("superfamily", "cogId")
       .agg(count(lit(1)).as("n_bind"))

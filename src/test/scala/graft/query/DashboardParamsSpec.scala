@@ -112,6 +112,31 @@ class DashboardParamsSpec extends SparkSpec {
       assert(bestBroken === 0, "Best-mode binders not a subset of Any-mode binders")
     }
 
+    it("promiscuity page: the materialized domainCognate edge path equals the direct join expansion at every grid point") {
+      // superfamilyPromiscuity serves from GraphTables.domainCognate
+      // (max-score per domain–cognate edge); this pins it to the
+      // from-scratch definition the oracle SQL states: expand
+      // interactPairs × (mode's similarity rows ≥ cutoff), distinct
+      // (suppkey, cogId), count per (superfamily, cogId).
+      for (c <- cutoffs; mode <- Seq(Best, AnyCognate)) {
+        val simsDf = (mode match {
+          case Best       => g.similarityBest
+          case AnyCognate => g.similarity
+        }).filter(col("parityScore") >= c)
+        val direct = g.interactPairs
+          .join(simsDf.select("ligandUniqueID", "cogId"), "ligandUniqueID")
+          .select("suppkey", "cogId").distinct()
+          .join(g.domains.select("suppkey", "superfamily"), "suppkey")
+          .groupBy("superfamily", "cogId")
+          .agg(count(lit(1)).as("n_bind"))
+        val served = superfamilyPromiscuity(g, c, mode)
+          .select("superfamily", "cogId", "n_bind")
+        assert(served.exceptAll(direct).count() === 0 &&
+          direct.exceptAll(served).count() === 0,
+          s"domainCognate path diverges from direct expansion at cutoff $c, $mode")
+      }
+    }
+
     it("graph view: entry scope bounds every edge and the cutoff prunes only similarity edges") {
       val scope = 20L
       val view = entryGraphView(g, scope, 0.3)

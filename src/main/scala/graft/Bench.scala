@@ -95,12 +95,22 @@ object Bench {
     def registryTables(g: graft.graph.GraphTables) =
       Seq(g.boundEntities, g.interacts, g.similarity, g.similarityBest,
         g.interactPairs, g.domainCognate)
-    try {
-      val g = graft.graph.GraphTables.cached(spark, sfDir)
-      registryTables(g).foreach(_.queryExecution.toRdd.count())
-      graphOpt = Some(g)
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] graph warmup failed: ${e.getMessage}")
+    // one retry: a transient build failure here would otherwise charge
+    // the full registry build to the first registry-served query (the
+    // only mechanism that fits r7's p2 = 64 s — registry queries spike
+    // neither under 2× heap pressure nor under 3-writer dsync disk
+    // stress once the registry is resident; see STATUS round-8 repro)
+    var graphAttempts = 0
+    while (graphOpt.isEmpty && graphAttempts < 2) {
+      graphAttempts += 1
+      try {
+        val g = graft.graph.GraphTables.cached(spark, sfDir)
+        registryTables(g).foreach(_.queryExecution.toRdd.count())
+        graphOpt = Some(g)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[bench] graph warmup attempt $graphAttempts failed: ${e.getMessage}")
+      }
     }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // keep-set for the between-family sweeps: everything persisted so far

@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftx.GraftCacheBridge
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Evaluation is forced through
@@ -163,6 +164,12 @@ object Bench {
           baseline = CacheHygiene.snapshot(spark.sparkContext)
           telemetry.setBaseline(baseline)
         }
+        // the refresh's own blocking unpersists post baseline-eviction
+        // events for the OLD rdd ids; drain the bus so the re-sampled
+        // mark absorbs them — otherwise each refresh leaves in-flight
+        // self-inflicted events that trigger another full rebuild at the
+        // next boundary, cascading for the rest of the run
+        GraftCacheBridge.drainListenerBus(spark)
         baselineEvictMark = telemetry.baselineEvicted
       }
     val results = CacheHygiene.familyContiguous(SparkEntry.all)(_.name)
@@ -171,7 +178,12 @@ object Bench {
       val fam = CacheHygiene.family(rq.name)
       if (prevFamily.nonEmpty && fam != prevFamily) {
         val t0 = System.nanoTime()
-        CacheHygiene.sweep(spark, baseline)
+        // blocking sweep + bus drain: the removals complete and their
+        // listener events are delivered BEFORE the next query's ev0/bev0
+        // sample, so per-query eviction deltas never carry the boundary
+        // sweep's own drops (the exclusion the evJson comment promises)
+        CacheHygiene.sweep(spark, baseline, blocking = true)
+        GraftCacheBridge.drainListenerBus(spark)
         sweepSecs(prevFamily) = sweepSecs.getOrElse(prevFamily, 0.0) +
           (System.nanoTime() - t0) / 1e9
         maybeRefreshRegistry()

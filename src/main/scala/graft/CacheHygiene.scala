@@ -34,9 +34,18 @@ object CacheHygiene {
     * the ContextCleaner's weak-ref queues (shuffles, broadcasts, the
     * localCheckpoint blocks of already-consumed results) drain too.
     */
-  def sweep(sc: SparkContext, baseline: Set[Int]): Unit = {
+  def sweep(sc: SparkContext, baseline: Set[Int]): Unit =
+    sweep(sc, baseline, blocking = false)
+
+  /** `blocking = true` waits for each block removal to complete before
+    * returning — the bench uses it so the removals' listener events are
+    * POSTED by the time it drains the bus and samples its telemetry
+    * counters (an async sweep's in-flight removals would be charged to
+    * the next query's eviction delta). Verify keeps the async default.
+    */
+  def sweep(sc: SparkContext, baseline: Set[Int], blocking: Boolean): Unit = {
     sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!baseline.contains(id)) rdd.unpersist(blocking = false)
+      if (!baseline.contains(id)) rdd.unpersist(blocking = blocking)
     }
     System.gc()
   }
@@ -53,12 +62,16 @@ object CacheHygiene {
     * has no blocks and is dropped too (re-persisting is one call away
     * for any plan that actually returns).
     */
-  def sweep(spark: SparkSession, baseline: Set[Int]): Unit = {
+  def sweep(spark: SparkSession, baseline: Set[Int]): Unit =
+    sweep(spark, baseline, blocking = false)
+
+  def sweep(spark: SparkSession, baseline: Set[Int],
+            blocking: Boolean): Unit = {
     GraftCacheBridge.entries(spark).foreach { case (plan, rddId) =>
       if (!rddId.exists(baseline.contains))
-        GraftCacheBridge.uncache(spark, plan)
+        GraftCacheBridge.uncache(spark, plan, blocking = blocking)
     }
-    sweep(spark.sparkContext, baseline)
+    sweep(spark.sparkContext, baseline, blocking = blocking)
   }
 
   /** Query family of a registered-query name: the letter prefix before

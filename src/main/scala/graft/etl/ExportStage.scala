@@ -68,6 +68,10 @@ object ExportStage {
   private val WriteSlots = 8
 
   def run(g: GraphTables, outDir: String): Seq[(String, String)] = {
+    // fast deflate for the ~70 gzip sink writes, set ONCE here while
+    // single-threaded — mutating the shared hadoopConfiguration from the
+    // pool's sink threads would race per-job Configuration cloning
+    Sinks.ensureFastDeflate(g.entries.sparkSession)
     // the pool's lifecycle lives HERE so a failure anywhere in the body —
     // plan construction included, not just the writes — still shuts it
     // down; daemon threads are the second line of defense against

@@ -31,12 +31,12 @@ object EtlQueries {
                       dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
     val src = new java.io.File(s"$dir/lineitem.parquet")
-    val fp = s"${src.length}_${src.lastModified}"
-    val path = s"/tmp/graft_fixtures/$safe/etl1_contacts_$fp"
-    var readPath = path
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      val tmp = new java.io.File(
-        s"/tmp/graft_fixtures/$safe/.etl1_tmp_${ProcessHandle.current.pid}_$fp")
+    // legacySweep: the retired fixed-path layout ("etl1_contacts", no
+    // fingerprint) and its temp naming, swept once cold
+    Fixtures.installDir(safe, "etl1_contacts",
+      s"${src.length}_${src.lastModified}",
+      legacySweep = n => n == "etl1_contacts" ||
+        n.matches("\\.etl1_tmp_\\d+_.*")) { tmp =>
       Tables(s, dir, "lineitem")
         .select(to_json(struct(
           concat(lit("pdb"), col("l_orderkey") % 50).as("pdb_id"),
@@ -52,31 +52,8 @@ object EtlQueries {
             .as("interacting_entities"),
           col("l_extendedprice").as("distance"),
           lit("atom-atom").as("type"))).as("value"))
-        .write.mode("overwrite").text(tmp.getPath)
-      val dst = new java.io.File(path)
-      if (!tmp.renameTo(dst)) {
-        // concurrent winner in place → drop ours; cold wreck → heal;
-        // young no-_SUCCESS dst → read our temp (same policy as s4)
-        if (new java.io.File(s"$path/_SUCCESS").exists()) rm(tmp)
-        else if (System.currentTimeMillis - dst.lastModified > 600000L) {
-          rm(dst)
-          if (!tmp.renameTo(dst)) readPath = tmp.getPath
-        } else readPath = tmp.getPath
-      }
-      // sweep stale fingerprints (older testdata) once cold, and orphaned
-      // temps of dead processes
-      Option(new java.io.File(s"/tmp/graft_fixtures/$safe").listFiles)
-        .getOrElse(Array.empty)
-        .filter { f =>
-          val n = f.getName
-          (n.startsWith("etl1_contacts_") && f.getPath != path &&
-            System.currentTimeMillis - f.lastModified > 3600000L) ||
-            (n.matches("\\.etl1_tmp_\\d+_.*") && f.getPath != readPath &&
-              Fixtures.sweepable(n.split("_")(2).toLong))
-        }
-        .foreach(rm)
+        .write.mode("overwrite").text(tmp)
     }
-    readPath
   }
 
   val defs: Seq[RQ] = Seq(

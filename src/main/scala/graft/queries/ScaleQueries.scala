@@ -31,59 +31,17 @@ object ScaleQueries {
       FROM orders WHERE o_orderstatus = 'F'
       GROUP BY 1 ORDER BY o_orderpriority"""))((s, dir) => {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      // key the fixture by the source file's (size, mtime): a cached copy
-      // written from DIFFERENT data (or an older layout) is never reused
+      // install-once fixture keyed by the source file's (size, mtime):
+      // temp-write → atomic-rename install → cold-wreck heal → stale
+      // sweep, all via the shared Fixtures.installDir policy (one copy
+      // of the mechanics; legacySweep covers the retired .s4_tmp_ temp
+      // naming)
       val src = new java.io.File(s"$dir/orders.parquet")
-      val fp = s"${src.length}_${src.lastModified}"
-      val path = s"/tmp/graft_fixtures/$safe/s4_part_$fp"
-      var readPath = path
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        // build in a process-unique dot-prefixed temp dir and RENAME into
-        // place: concurrent JVMs on the same sfDir (Bench + Verify) each
-        // write their own temp; exactly one rename wins and the final path
-        // is never written in place, so a reader can't see a half-built or
-        // mid-delete fixture. The dot prefix keeps in-flight temps out of
-        // the stale sweep below (it matches only final-layout names).
-        val tmp = new java.io.File(
-          s"/tmp/graft_fixtures/$safe/.s4_tmp_${ProcessHandle.current.pid}_$fp")
+      val readPath = Fixtures.installDir(safe, "s4_part",
+        s"${src.length}_${src.lastModified}",
+        legacySweep = n => n.matches("\\.s4_tmp_\\d+_.*")) { tmp =>
         Tables(s, dir, "orders").write.mode("overwrite")
-          .partitionBy("o_orderstatus").parquet(tmp.getPath)
-        val dst = new java.io.File(path)
-        if (!tmp.renameTo(dst)) {
-          // either a concurrent winner is in place (has _SUCCESS — drop
-          // our copy), or a CORRUPT final blocks the rename. Installs are
-          // atomic renames of complete temps, so a no-_SUCCESS dst means a
-          // concurrent healer is mid-rm of an older wreck, or a leftover
-          // of the old in-place-write layout. Heal only when the wreck is
-          // cold (>10 min): rm-ing a YOUNG no-_SUCCESS dir could race the
-          // other healer's just-completed install (its fresh fixture
-          // briefly looked incomplete to our pre-rename check) and yank it
-          // from under readers. A young wreck costs us nothing — this
-          // process reads its own temp copy instead (kept on disk; swept
-          // by a later process once this pid exits).
-          if (new java.io.File(s"$path/_SUCCESS").exists()) rm(tmp)
-          else if (System.currentTimeMillis - dst.lastModified > 600000L) {
-            rm(dst)
-            if (!tmp.renameTo(dst)) readPath = tmp.getPath
-          } else readPath = tmp.getPath
-        }
-        // drop fixtures keyed to older source fingerprints (or the old
-        // unfingerprinted layout), plus orphaned temps of crashed
-        // processes, so /tmp doesn't accumulate copies. Finals carry no
-        // owner pid (installed by rename), so the stale sweep uses an age
-        // guard instead of liveness: an older-fingerprint fixture is only
-        // swept once cold (>1 h) — a live JVM that read the PREVIOUS
-        // testdata generation may still be executing plans over it
-        Option(new java.io.File(s"/tmp/graft_fixtures/$safe").listFiles)
-          .getOrElse(Array.empty)
-          .filter { f =>
-            val n = f.getName
-            (n.startsWith("s4_part") && f.getPath != path &&
-              System.currentTimeMillis - f.lastModified > 3600000L) ||
-              (n.matches("\\.s4_tmp_\\d+_.*") && f.getPath != readPath &&
-                sweepable(n.split("_")(2).toLong))
-          }
-          .foreach(rm)
+          .partitionBy("o_orderstatus").parquet(tmp)
       }
       s.read.parquet(readPath).filter(col("o_orderstatus") === "F")
         .groupBy("o_orderpriority")

@@ -25,18 +25,25 @@ object Sinks {
     * for that: one driver-written `header.tsv` plus headerless gzip data
     * parts under `data/` — imported as `--nodes=header.tsv,data/part-.*`.
     */
+  /** BEST_SPEED deflate for this session's gzip sinks: the Neo4j export
+    * writes ~70 gzip files and default-level deflate made the full
+    * inventory the most CPU/IO-bound query in the bench (etl3 73.9 s on
+    * the round-7 driver record). Level 1 keeps the .gz import contract
+    * (neo4j-admin only needs a valid gzip stream) at a fraction of the
+    * compression CPU. SESSION-SCOPED and idempotent: the setting lives
+    * on the shared `hadoopConfiguration`, so every later Hadoop-codec
+    * deflate write in the session inherits it — call it from a
+    * single-threaded setup point (ExportStage.run does, before its write
+    * pool starts; the single-write callers do inline), never from
+    * concurrent sink threads: per-job Configuration cloning races with a
+    * mid-flight mutation.
+    */
+  def ensureFastDeflate(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .set("zlib.compress.level", "BEST_SPEED")
+
   def neo4jTsv(df: DataFrame, path: String,
                headerFor: Map[String, String] = Map.empty): Unit = {
-    // BEST_SPEED deflate for the .gz parts: the export writes ~70 gzip
-    // files and default-level deflate made the full inventory the most
-    // CPU/IO-bound query in the bench (etl3 73.9 s on the round-7 driver
-    // record). Level 1 keeps the .gz import contract (neo4j-admin only
-    // needs a valid gzip stream) at a fraction of the compression CPU.
-    // Set on the session's Hadoop conf: the codec reads it from the job
-    // conf at write time (honored by both native zlib and Hadoop 3.3+'s
-    // built-in java Deflater path).
-    df.sparkSession.sparkContext.hadoopConfiguration
-      .set("zlib.compress.level", "BEST_SPEED")
     val headers: Seq[String] = df.schema.fields.toSeq.map { f =>
       headerFor.getOrElse(f.name, f.dataType match {
         case LongType | IntegerType => s"${f.name}:long"

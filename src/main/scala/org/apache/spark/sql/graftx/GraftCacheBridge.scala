@@ -49,9 +49,23 @@ object GraftCacheBridge {
   /** Drop one entry (blocks + catalog entry, non-cascading): the public
     * uncache path `Dataset.unpersist` itself uses.
     */
-  def uncache(s: SparkSession, plan: LogicalPlan): Unit = {
+  def uncache(s: SparkSession, plan: LogicalPlan,
+              blocking: Boolean = false): Unit = {
     val cs = s.asInstanceOf[classic.SparkSession]
     cs.sharedState.cacheManager
-      .uncacheQuery(cs, plan, cascade = false, blocking = false)
+      .uncacheQuery(cs, plan, cascade = false, blocking = blocking)
   }
+
+  /** Wait until the async listener bus has delivered every posted event
+    * (`SparkContext.listenerBus` is `private[spark]`, reachable from this
+    * bridge package). The bench samples its block-telemetry counters
+    * around measured regions; without a drain, block-removal events from
+    * an immediately-preceding sweep are still in flight and get charged
+    * to the NEXT query's eviction delta. Returns false on timeout (bus
+    * still busy) — callers sample anyway; attribution degrades to the
+    * undrained behavior rather than failing the run.
+    */
+  def drainListenerBus(s: SparkSession, timeoutMs: Long = 10000L): Boolean =
+    try { s.sparkContext.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }

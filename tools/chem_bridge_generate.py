@@ -65,16 +65,25 @@ def neutralize(smiles: str):
     mol = Chem.MolFromSmiles(smiles)
     if mol is None:
         return None
-    pattern = Chem.MolFromSmarts("[+1!h0!$([*]~[-1,-2,-3,-4]),-1!$([*]~[+1,+2,+3,+4])]")
-    at_matches = mol.GetSubstructMatches(pattern)
-    for (idx,) in at_matches:
-        atom = mol.GetAtomWithIdx(idx)
-        chg = atom.GetFormalCharge()
-        h_count = atom.GetTotalNumHs()
-        atom.SetFormalCharge(0)
-        atom.SetNumExplicitHs(h_count - chg)
-        atom.UpdatePropertyCache()
-    return Chem.MolToSmiles(mol)
+    # guarded per-molecule: a charged atom whose H adjustment yields an
+    # invalid valence (e.g. tetrafluoroborate's B-: SetNumExplicitHs(1)
+    # gives boron 5 bonds) raises in UpdatePropertyCache — keep the
+    # original canonical form for that descriptor instead of aborting
+    # the whole generation run (the reference likewise leaves
+    # un-neutralisable ligands as-is)
+    try:
+        pattern = Chem.MolFromSmarts("[+1!h0!$([*]~[-1,-2,-3,-4]),-1!$([*]~[+1,+2,+3,+4])]")
+        at_matches = mol.GetSubstructMatches(pattern)
+        for (idx,) in at_matches:
+            atom = mol.GetAtomWithIdx(idx)
+            chg = atom.GetFormalCharge()
+            h_count = atom.GetTotalNumHs()
+            atom.SetFormalCharge(0)
+            atom.SetNumExplicitHs(h_count - chg)
+            atom.UpdatePropertyCache()
+        return Chem.MolToSmiles(mol)
+    except Exception:
+        return Chem.MolToSmiles(Chem.MolFromSmiles(smiles))
 
 
 def parity_score(smiles_a: str, smiles_b: str):

@@ -164,11 +164,12 @@ object Bench {
           baseline = CacheHygiene.snapshot(spark.sparkContext)
           telemetry.setBaseline(baseline)
         }
-        // the refresh's own blocking unpersists post baseline-eviction
-        // events for the OLD rdd ids; drain the bus so the re-sampled
-        // mark absorbs them — otherwise each refresh leaves in-flight
-        // self-inflicted events that trigger another full rebuild at the
-        // next boundary, cascading for the rest of the run
+        // drain before re-sampling the mark: the refresh's unpersists
+        // post no events (BenchHygieneSpec pins this), but any GENUINE
+        // residency-loss events still in flight from the pressure that
+        // triggered this refresh must land before the mark is read —
+        // otherwise they arrive after and re-trigger a full rebuild at
+        // the next boundary with no new pressure
         GraftCacheBridge.drainListenerBus(spark)
         baselineEvictMark = telemetry.baselineEvicted
       }
@@ -178,10 +179,14 @@ object Bench {
       val fam = CacheHygiene.family(rq.name)
       if (prevFamily.nonEmpty && fam != prevFamily) {
         val t0 = System.nanoTime()
-        // blocking sweep + bus drain: the removals complete and their
-        // listener events are delivered BEFORE the next query's ev0/bev0
-        // sample, so per-query eviction deltas never carry the boundary
-        // sweep's own drops (the exclusion the evJson comment promises)
+        // blocking sweep + bus drain before the next query's ev0/bev0
+        // sample. Unpersist itself posts NO block-update events (pinned
+        // by BenchHygieneSpec — only genuine storage transitions do:
+        // LRU drops, disk demotions), so the deltas never see the
+        // sweep's own removals; the blocking+drain pair closes the
+        // remaining window where a REAL transition triggered during the
+        // previous family is still in flight on the async bus and would
+        // be charged to the next query
         CacheHygiene.sweep(spark, baseline, blocking = true)
         GraftCacheBridge.drainListenerBus(spark)
         sweepSecs(prevFamily) = sweepSecs.getOrElse(prevFamily, 0.0) +

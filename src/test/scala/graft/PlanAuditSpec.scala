@@ -116,5 +116,20 @@ class PlanAuditSpec extends SparkSpec {
         p.contains("BroadcastHashJoin"), p)
       assert(!p.contains("SortMergeJoin"), p)
     }
+    it("p15/p6 promiscuity serve from the materialized domainCognate edge cache, not a re-expansion") {
+      // the Any@0.95 expansion this replaces was 74.6M intermediate rows
+      // at sf0.1 (see GraphTables.domainCognate): the served plan must
+      // read the edge table's InMemoryRelation and join ONLY the
+      // broadcast domain dim — a SortMergeJoin or a join against the
+      // similarity table means the per-variant expansion is back
+      Seq("p15_promiscuity_any", "p6_superfamily_promiscuity").foreach { n =>
+        val p = executed(n)
+        assert(p.contains("InMemoryTableScan"),
+          s"$n does not read a cached table:\n$p")
+        assert(!p.contains("SortMergeJoin"), s"$n re-expands:\n$p")
+        assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+          s"$n dim joins not broadcast:\n$p") // domains + ssfSize
+      }
+    }
   }
 }

@@ -144,7 +144,7 @@ object GraphAnalytics {
               cap: Int = 40): DataFrame = {
     import org.apache.spark.graphx.EdgeTriplet
     val verts = coBindingPairs(s, dir).select(col("sk")).distinct()
-    val src = verts.agg(min("sk")).head.getLong(0)
+    val src = verts.agg(min("sk")).head().getLong(0)
     val Unreached = Long.MaxValue / 4 // sentinel; +1 never overflows
     val vertices = verts.repartition(GraphParts).rdd.map(r =>
       (r.getLong(0), if (r.getLong(0) == src) 0L else Unreached))

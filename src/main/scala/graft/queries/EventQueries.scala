@@ -339,7 +339,7 @@ object EventQueries {
           .as[(Long, Long, java.sql.Timestamp)].collect() :+
           ((-1L, sentinelUser, new java.sql.Timestamp(sentinelMs)))
       }
-      val flushMs = base.agg(max(col("ts"))).head
+      val flushMs = base.agg(max(col("ts"))).head()
         .getTimestamp(0).getTime + 5L * 3600 * 1000
       val clicks = side(col("event_type").isin("click", "view"), -1L, flushMs)
       val errors = side(col("event_type") === "error", -2L, flushMs)

@@ -17,6 +17,67 @@ object ScaleQueries {
 
   import Fixtures.{rm, sweepable}
 
+  /** Install (once per JVM/session) the pid-keyed external bucketed
+    * copies of orders and lineitem that s5_bucketed_join joins, sweeping
+    * dead processes' fixtures first, and return the (orders, lineitem)
+    * catalog table names. Pulled out of the s5 query body so the bench
+    * can run it during UNTIMED warmup: the catalog is session-scoped and
+    * the table names are pid-keyed, so a fresh JVM (every driver bench
+    * run) otherwise pays both bucketed writes inside s5's timed region —
+    * the same timed-fixture defect the r7 verdict flagged for etl1.
+    * Verify/tests still install lazily on first use via the query body.
+    */
+  def installBucketedFixture(s: org.apache.spark.sql.SparkSession,
+                             dir: String): (String, String) = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // underscore-free dir tag: it's embedded in an underscore-delimited
+    // table name the sweep below parses positionally
+    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "").toLowerCase
+    val pid = ProcessHandle.current.pid
+    val fixRoot = new java.io.File(s"/tmp/graft_fixtures/$safe")
+    Option(fixRoot.listFiles).getOrElse(Array.empty)
+      .filter { f =>
+        // pid = the p-prefixed segment (current s5_<t>_<dirTag>_p<pid>_
+        // layout — unambiguous even when a sanitized dir tag is all
+        // digits); legacy layouts carried a bare pid as the first
+        // all-digit segment after the table name — sweep those too
+        f.getName.startsWith("s5_") && {
+          val segs = f.getName.split("_")
+          // pid = the p-prefixed THIRD-FROM-LAST segment (current
+          // s5_<t>_<dirTag>_p<pid>_<len>_<mtime> layout — positional,
+          // because a dirTag like "p1" would fool a first-match scan
+          // and the fixture would never be swept); legacy layouts
+          // carried a bare pid as the first all-digit segment after
+          // the table name — sweep those too
+          segs.lift(segs.length - 3).filter(_.matches("p\\d+")).map(_.drop(1))
+            // legacy 5-segment tail (s5_<t>_<pid>_<len>_<mtime>) carried
+            // a bare pid at the SAME third-from-last position — a
+            // first-digit-match scan would instead pick a digit segment
+            // of a sanitized dirTag like "sf0_1" and resolve pid=1
+            // (always live), so those fixtures would never sweep
+            .orElse(segs.lift(segs.length - 3)
+              .filter(p => p.nonEmpty && p.forall(_.isDigit)))
+            .exists(p => sweepable(p.toLong))
+        }
+      }
+      .foreach(rm)
+    def bucketed(t: String, key: String, keep: Seq[String]): String = {
+      val src = new java.io.File(s"$dir/$t.parquet")
+      // dirTag must be part of the CATALOG key, not only the path:
+      // without it, two data dirs whose source files collide on
+      // (length, mtime) would satisfy tableExists and silently reuse
+      // the other dir's bucketed copy
+      val tbl = s"s5_${t}_${dirTag}_p${pid}_${src.length}_${src.lastModified}"
+      if (!s.catalog.tableExists(tbl))
+        Tables(s, dir, t).select(keep.map(col): _*)
+          .write.mode("overwrite").bucketBy(8, key).sortBy(key)
+          .option("path", s"$fixRoot/$tbl").saveAsTable(tbl)
+      tbl
+    }
+    (bucketed("orders", "o_orderkey", Seq("o_orderkey", "o_orderpriority")),
+      bucketed("lineitem", "l_orderkey", Seq("l_orderkey", "l_quantity")))
+  }
+
   val defs: Seq[RQ] = Seq(
 
     // Partition-pruned scan: orders written hive-partitioned by status,
@@ -64,55 +125,7 @@ object ScaleQueries {
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY o_orderpriority"""))((s, dir) => {
-      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      // underscore-free dir tag: it's embedded in an underscore-delimited
-      // table name the sweep below parses positionally
-      val dirTag = dir.replaceAll("[^A-Za-z0-9]", "").toLowerCase
-      val pid = ProcessHandle.current.pid
-      val fixRoot = new java.io.File(s"/tmp/graft_fixtures/$safe")
-      Option(fixRoot.listFiles).getOrElse(Array.empty)
-        .filter { f =>
-          // pid = the p-prefixed segment (current s5_<t>_<dirTag>_p<pid>_
-          // layout — unambiguous even when a sanitized dir tag is all
-          // digits); legacy layouts carried a bare pid as the first
-          // all-digit segment after the table name — sweep those too
-          f.getName.startsWith("s5_") && {
-            val segs = f.getName.split("_")
-            // pid = the p-prefixed THIRD-FROM-LAST segment (current
-            // s5_<t>_<dirTag>_p<pid>_<len>_<mtime> layout — positional,
-            // because a dirTag like "p1" would fool a first-match scan
-            // and the fixture would never be swept); legacy layouts
-            // carried a bare pid as the first all-digit segment after
-            // the table name — sweep those too
-            segs.lift(segs.length - 3).filter(_.matches("p\\d+")).map(_.drop(1))
-              // legacy 5-segment tail (s5_<t>_<pid>_<len>_<mtime>) carried
-              // a bare pid at the SAME third-from-last position — a
-              // first-digit-match scan would instead pick a digit segment
-              // of a sanitized dirTag like "sf0_1" and resolve pid=1
-              // (always live), so those fixtures would never sweep
-              .orElse(segs.lift(segs.length - 3)
-                .filter(p => p.nonEmpty && p.forall(_.isDigit)))
-              .exists(p => sweepable(p.toLong))
-          }
-        }
-        .foreach(rm)
-      def bucketed(t: String, key: String, keep: Seq[String]): String = {
-        val src = new java.io.File(s"$dir/$t.parquet")
-        // dirTag must be part of the CATALOG key, not only the path:
-        // without it, two data dirs whose source files collide on
-        // (length, mtime) would satisfy tableExists and silently reuse
-        // the other dir's bucketed copy
-        val tbl = s"s5_${t}_${dirTag}_p${pid}_${src.length}_${src.lastModified}"
-        if (!s.catalog.tableExists(tbl))
-          Tables(s, dir, t).select(keep.map(col): _*)
-            .write.mode("overwrite").bucketBy(8, key).sortBy(key)
-            .option("path", s"$fixRoot/$tbl").saveAsTable(tbl)
-        tbl
-      }
-      val o = bucketed("orders", "o_orderkey",
-        Seq("o_orderkey", "o_orderpriority"))
-      val l = bucketed("lineitem", "l_orderkey",
-        Seq("l_orderkey", "l_quantity"))
+      val (o, l) = installBucketedFixture(s, dir)
       // merge hint: tiny SFs would otherwise broadcast, which bypasses
       // the bucket-to-bucket path this query exists to demonstrate
       s.table(l).hint("merge")

@@ -102,9 +102,11 @@ object Bench {
     // first registry-served query paid the full build (exactly the
     // hypothesis the r7 record could not check for p2=64 s).
     var graphOpt: Option[graft.graph.GraphTables] = None
-    def registryTables(g: graft.graph.GraphTables) =
-      Seq(g.boundEntities, g.interacts, g.similarity, g.similarityBest,
-        g.interactPairs, g.domainCognate)
+    // ONE registry inventory (GraphTables.registryTables): a locally
+    // maintained list here drifted from Verify's when domainCognate was
+    // added — the table was then built lazily inside the first promiscuity
+    // query, after the baseline snapshot, and swept at the next boundary
+    def registryTables(g: graft.graph.GraphTables) = g.registryTables
     // one retry: a transient build failure here would otherwise charge
     // the full registry build to the first registry-served query (the
     // only mechanism that fits r7's p2 = 64 s — registry queries spike

@@ -32,10 +32,8 @@ object Verify {
     // must not pay the full registry build — a kept query that does need
     // it builds it lazily through GraphTables.cached
     if (args.length <= 2) try {
-      val g = graft.graph.GraphTables.cached(spark, sfDir)
-      Seq(g.boundEntities, g.interacts, g.similarity, g.similarityBest,
-          g.interactPairs)
-        .foreach(_.queryExecution.toRdd.count())
+      graft.graph.GraphTables.cached(spark, sfDir)
+        .registryTables.foreach(_.queryExecution.toRdd.count())
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] graph warmup failed: ${e.getMessage}")
     }

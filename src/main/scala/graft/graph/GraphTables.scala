@@ -94,6 +94,19 @@ final case class GraphTables(
           .as("maxBestScore"))
       .persist()
 
+  /** Every persisted table of the registry, in build-dependency order —
+    * the ONE definition of "what a registry warmup must materialize".
+    * Bench and Verify both eagerly build these BEFORE their cache-hygiene
+    * baseline snapshot; a table added here but not to a caller's local
+    * list would be built lazily inside the first dashboard query that
+    * touches it, landing AFTER the baseline and getting swept at the next
+    * family boundary (stale CacheManager entry over a dead RDD — the
+    * silent-recompute hazard BenchHygieneSpec documents).
+    */
+  def registryTables: Seq[DataFrame] =
+    Seq(boundEntities, interacts, similarity, similarityBest,
+      interactPairs, domainCognate)
+
   /** Typed stage-boundary views (model/Model.scala) — compile-time field
     * checking for pipeline code consuming a stage's output.
     */

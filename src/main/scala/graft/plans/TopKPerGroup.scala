@@ -154,7 +154,7 @@ final case class TopKPerGroupExec(groupExprs: Seq[Expression],
         override def compare(a: InternalRow, b: InternalRow): Int =
           ord.compare(b, a)
       }
-      val heaps =
+      var heaps =
         new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       var kept = 0L
 
@@ -172,13 +172,21 @@ final case class TopKPerGroupExec(groupExprs: Seq[Expression],
         }
       }
 
+      // LAZY drain: hand out an iterator over the current map and start a
+      // fresh one, instead of copying every kept row reference into a
+      // transient ArrayBuffer at the operator's peak-memory moment. Safe
+      // against concurrent mutation because the outer iterator only
+      // resumes insert() after the drained iterator is exhausted (the
+      // advance() loop gates on !out.hasNext); the old map becomes
+      // garbage as it drains.
       def drain(): Iterator[InternalRow] = {
-        val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
-        heaps.values().forEach(h => h.iterator().asScala.foreach(out += _))
-        heaps.clear()
+        val old = heaps
+        heaps = new java.util.HashMap[
+          UnsafeRow, java.util.PriorityQueue[InternalRow]]()
         kept = 0L
-        numOutputRows += out.size
-        out.iterator
+        old.values().iterator().asScala
+          .flatMap(_.iterator().asScala)
+          .map { r => numOutputRows += 1; r }
       }
 
       new Iterator[InternalRow] {

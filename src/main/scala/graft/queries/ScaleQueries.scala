@@ -35,6 +35,22 @@ object ScaleQueries {
     val dirTag = dir.replaceAll("[^A-Za-z0-9]", "").toLowerCase
     val pid = ProcessHandle.current.pid
     val fixRoot = new java.io.File(s"/tmp/graft_fixtures/$safe")
+    def tblName(t: String): String = {
+      val src = new java.io.File(s"$dir/$t.parquet")
+      // dirTag must be part of the CATALOG key, not only the path:
+      // without it, two data dirs whose source files collide on
+      // (length, mtime) would satisfy tableExists and silently reuse
+      // the other dir's bucketed copy
+      s"s5_${t}_${dirTag}_p${pid}_${src.length}_${src.lastModified}"
+    }
+    val (oTbl, lTbl) = (tblName("orders"), tblName("lineitem"))
+    // fast path — already installed this session (the bench-warmup case):
+    // return without the dead-pid sweep below, whose directory listing +
+    // per-entry ProcessHandle liveness probes would otherwise run inside
+    // s5's TIMED region on every measured call (the same timed-fixture
+    // noise class the warmup install exists to remove)
+    if (s.catalog.tableExists(oTbl) && s.catalog.tableExists(lTbl))
+      return (oTbl, lTbl)
     Option(fixRoot.listFiles).getOrElse(Array.empty)
       .filter { f =>
         // pid = the p-prefixed segment (current s5_<t>_<dirTag>_p<pid>_
@@ -61,21 +77,18 @@ object ScaleQueries {
         }
       }
       .foreach(rm)
-    def bucketed(t: String, key: String, keep: Seq[String]): String = {
-      val src = new java.io.File(s"$dir/$t.parquet")
-      // dirTag must be part of the CATALOG key, not only the path:
-      // without it, two data dirs whose source files collide on
-      // (length, mtime) would satisfy tableExists and silently reuse
-      // the other dir's bucketed copy
-      val tbl = s"s5_${t}_${dirTag}_p${pid}_${src.length}_${src.lastModified}"
+    def bucketed(tbl: String, t: String, key: String,
+                 keep: Seq[String]): String = {
       if (!s.catalog.tableExists(tbl))
         Tables(s, dir, t).select(keep.map(col): _*)
           .write.mode("overwrite").bucketBy(8, key).sortBy(key)
           .option("path", s"$fixRoot/$tbl").saveAsTable(tbl)
       tbl
     }
-    (bucketed("orders", "o_orderkey", Seq("o_orderkey", "o_orderpriority")),
-      bucketed("lineitem", "l_orderkey", Seq("l_orderkey", "l_quantity")))
+    (bucketed(oTbl, "orders", "o_orderkey",
+        Seq("o_orderkey", "o_orderpriority")),
+      bucketed(lTbl, "lineitem", "l_orderkey",
+        Seq("l_orderkey", "l_quantity")))
   }
 
   val defs: Seq[RQ] = Seq(
@@ -100,7 +113,11 @@ object ScaleQueries {
       val src = new java.io.File(s"$dir/orders.parquet")
       val readPath = Fixtures.installDir(safe, "s4_part",
         s"${src.length}_${src.lastModified}",
-        legacySweep = n => n.matches("\\.s4_tmp_\\d+_.*")) { tmp =>
+        // n == "s4_part": the retired UNfingerprinted final-dir layout —
+        // without this arm a leftover /tmp copy from that era is never
+        // reclaimed (the fingerprinted sweep only matches "s4_part_<fp>")
+        legacySweep = n =>
+          n.matches("\\.s4_tmp_\\d+_.*") || n == "s4_part") { tmp =>
         Tables(s, dir, "orders").write.mode("overwrite")
           .partitionBy("o_orderstatus").parquet(tmp)
       }

@@ -99,10 +99,20 @@ def parity_score(smiles_a: str, smiles_b: str):
     if mol_a is None or mol_b is None:
         return 0.0, ""
     try:
+        # PERMISSIVE typing (CompareAny), as the reference's FindMCS call
+        # (get_pdb_parity.py:93-99) and the published PARITY method: the
+        # MCS maps the largest common GRAPH, and the element-agreement
+        # count below then credits only same-element mapped pairs. Under
+        # the default CompareElements every mapped pair already shares an
+        # element, which silently reduces PARITY to plain MCS fraction —
+        # wrong for hetero-substituted analogues (e.g. pyridine/benzene).
         mcs = rdFMCS.FindMCS(
             [mol_a, mol_b],
+            atomCompare=rdFMCS.AtomCompare.CompareAny,
+            bondCompare=rdFMCS.BondCompare.CompareAny,
             matchValences=False,
             ringMatchesRingOnly=False,
+            completeRingsOnly=True,
             timeout=MCS_TIMEOUT_S,
         )
         if not mcs.smartsString:
@@ -110,6 +120,13 @@ def parity_score(smiles_a: str, smiles_b: str):
         patt = Chem.MolFromSmarts(mcs.smartsString)
         match_a = mol_a.GetSubstructMatch(patt)
         match_b = mol_b.GetSubstructMatch(patt)
+        # empty-match = the SMARTS failed to re-match a molecule (possible
+        # with timeout-truncated query SMARTS): a computation FAILURE, so
+        # keep the (0.0, "") convention — a non-empty mcs_smarts must
+        # always mean "computed", never "failed" (the engine's C11
+        # cache-probe distinguishes the two)
+        if not match_a or not match_b:
+            return 0.0, ""
         matching = sum(
             1
             for ia, ib in zip(match_a, match_b)

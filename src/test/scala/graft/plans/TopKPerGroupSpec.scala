@@ -89,6 +89,23 @@ class TopKPerGroupSpec extends SparkSpec {
         }
       finally spark.conf.unset("spark.graft.topk.partialFlushRows")
     }
+    it("stays exact across randomized inputs and every flush-budget regime") {
+      // seeded randomized sweep over the lazy epoch-drain path: budget 1
+      // flushes after EVERY insert (maximum epoch churn — each kept row
+      // crosses the exchange alone), 7 flushes mid-group, MaxValue never
+      // flushes; all must equal the window formulation on the same data
+      val rnd = new scala.util.Random(42)
+      val data = (1 to 500).map { i =>
+        (s"g${rnd.nextInt(13)}", i.toLong, rnd.nextInt(50).toDouble)
+      }
+      val df = data.toDF("g", "id", "score").repartition(6, col("id"))
+      for (budget <- Seq("1", "7", Long.MaxValue.toString); k <- Seq(2, 5)) {
+        spark.conf.set("spark.graft.topk.partialFlushRows", budget)
+        try assert(nativeTopK(df, k) == windowTopK(df, k),
+          s"k=$k budget=$budget")
+        finally spark.conf.unset("spark.graft.topk.partialFlushRows")
+      }
+    }
     it("normalizes float group keys: -0.0 and 0.0 are ONE group") {
       // the strategy must normalize double keys exactly as Catalyst's
       // NormalizeFloatingNumbers does for Aggregate/Window keys — without

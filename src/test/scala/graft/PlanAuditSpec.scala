@@ -132,4 +132,56 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  describe("global plan sweep — every registered query") {
+    // Queries whose plan LEGITIMATELY contains a broadcast nested-loop
+    // join: a deliberately tiny broadcast side crossed against the fact,
+    // where the pair expansion IS the semantics and the broadcast side is
+    // bounded by a dimension/constant (never fact × fact). Every entry
+    // must say why.
+    val nestedLoopAllowed = Map(
+      // k centroids (k = O(100)) broadcast against the vector table —
+      // Lloyd assignment is by definition every-vector × every-centroid
+      "v8_kmeans_step" -> "broadcast k-centroid assignment",
+      // same centroid-assignment shape inside the SemDeDup clustering
+      "v10_semantic_dedup" -> "broadcast centroid assignment",
+      // IVF probes cross the query row against nprobe cell heads
+      "v3_ivf_ann" -> "broadcast cell-centroid probe",
+      "v9_multiprobe_ivf" -> "broadcast cell-centroid probe",
+      // single-row broadcast totals crossed onto every row (the scalar
+      // denominator pattern — broadcast side is exactly one row)
+      "p1_summary_stats" -> "single-row corpus counts cross",
+      "t15_tfidf_keywords" -> "single-row N-docs cross",
+      "t16_vocab_zipf" -> "single-row token-total cross",
+      "t17_stratified_sample" -> "single-row corpus-total cross",
+      // the documented brute-force ANN BASELINE: the (small) query set is
+      // broadcast against the corpus — v2/v3 are the scale path
+      "v1_ann_brute_topk" -> "broadcast query-set × corpus by design",
+      "v5_ann_recall" -> "brute-force truth side of the recall gate",
+      // 256-codeword PQ codebook broadcast per subspace
+      "v7_pq_codes" -> "broadcast codebook assignment",
+      // partial-EC PREFIX match (startswith) against the EC hierarchy
+      // dimension — non-equi by semantics, broadcast side is the dim
+      "c9_prefix_expand" -> "broadcast EC-dim prefix join")
+
+    it("no ScalaUDF, CartesianProduct, or unsanctioned nested-loop join " +
+      "in any of the registered queries' plans") {
+      val violations = SparkEntry.all.flatMap { rq =>
+        val plan = rq.build(spark, sf).queryExecution.executedPlan.toString
+        val bad = Seq(
+          // the engine's no-UDF claim (SCALING.md): every scalar path is
+          // codegen — a ScalaUDF anywhere breaks whole-stage codegen and
+          // the claim
+          "ScalaUDF" -> plan.contains("ScalaUDF"),
+          // an unconditional cross product is never sanctioned
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "BroadcastNestedLoopJoin" ->
+            (plan.contains("BroadcastNestedLoopJoin") &&
+              !nestedLoopAllowed.contains(rq.name)))
+        bad.collect { case (what, true) => s"${rq.name}: $what" }
+      }
+      assert(violations.isEmpty,
+        s"plan violations:\n${violations.mkString("\n")}")
+    }
+  }
 }

@@ -56,6 +56,38 @@ object VectorQueries {
                         (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
             CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
 
+  /** The IVF-ANN answer as ONE oracle definition, shared by batch v3 and
+    * the stream-maintained j10 index: j10's emitted top-k must equal the
+    * batch IVF search exactly (assignment depends only on the fixed
+    * coarse quantizer, so the index is batching-invariant), the same
+    * shared-oracle discipline as t6/j6.
+    */
+  private lazy val ivfAnnSql: String = s"""
+      WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+                 WHERE vec_id < 8),
+           asg AS (SELECT n_id, c_id, cell_cos FROM (
+             SELECT n.vec_id AS n_id, c.c_id,
+                    ${cosSql("n.embedding", "c.cv")} AS cell_cos,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${cosSql("n.embedding", "c.cv")} DESC, c.c_id)
+                      AS rn
+             FROM embeddings n, c) WHERE rn = 1),
+           q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 5),
+           qa AS (SELECT q.q_id, q.qv, a.c_id FROM q
+                  JOIN asg a ON a.n_id = q.q_id),
+           cand AS (SELECT qa.q_id, a.n_id, ${cosSql("qa.qv", "n.embedding")}
+                      AS cos
+                    FROM qa JOIN asg a ON a.c_id = qa.c_id
+                    JOIN embeddings n ON n.vec_id = a.n_id
+                    WHERE a.n_id <> qa.q_id),
+           r AS (SELECT q_id, n_id, cos,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, n_id) AS rnk
+                 FROM cand)
+      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
+
   /** DuckDB mirror of l2sqExpr. */
   private def l2sqSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
@@ -87,31 +119,7 @@ object VectorQueries {
     // centroids (coarse quantizer), then search only the query's cell.
     // The scale path when LSH bit-patterns are too coarse: cells are
     // data-adaptive and the assignment is one broadcast pass.
-    RQ("v3_ivf_ann", Some(s"""
-      WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
-                 WHERE vec_id < 8),
-           asg AS (SELECT n_id, c_id, cell_cos FROM (
-             SELECT n.vec_id AS n_id, c.c_id,
-                    ${cosSql("n.embedding", "c.cv")} AS cell_cos,
-                    row_number() OVER (PARTITION BY n.vec_id
-                      ORDER BY ${cosSql("n.embedding", "c.cv")} DESC, c.c_id)
-                      AS rn
-             FROM embeddings n, c) WHERE rn = 1),
-           q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-                 WHERE vec_id < 5),
-           qa AS (SELECT q.q_id, q.qv, a.c_id FROM q
-                  JOIN asg a ON a.n_id = q.q_id),
-           cand AS (SELECT qa.q_id, a.n_id, ${cosSql("qa.qv", "n.embedding")}
-                      AS cos
-                    FROM qa JOIN asg a ON a.c_id = qa.c_id
-                    JOIN embeddings n ON n.vec_id = a.n_id
-                    WHERE a.n_id <> qa.q_id),
-           r AS (SELECT q_id, n_id, cos,
-                        row_number() OVER (PARTITION BY q_id
-                                           ORDER BY cos DESC, n_id) AS rnk
-                 FROM cand)
-      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
-      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))((s, dir) => {
+    RQ("v3_ivf_ann", Some(ivfAnnSql))((s, dir) => {
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
@@ -474,6 +482,69 @@ object VectorQueries {
       ORDER BY q_id"""))((s, dir) =>
       graft.operators.Ann
         .lshNearest(emb(s, dir), "vec_id", "embedding", 8)
-        .orderBy("q_id"))
+        .orderBy("q_id")),
+
+    // J10 — stream-maintained IVF index: vectors arrive in 3
+    // micro-batches; each batch assigns its vectors to the nearest fixed
+    // coarse-quantizer centroid (one broadcast pass — the quantizer is
+    // trained OFFLINE in production, v8's Lloyd step iterated) and
+    // appends (n_id, nv) to a parquet index PARTITIONED BY CELL — the
+    // physical IVF layout: a probe reads only the probed cells'
+    // directories, never the whole index (VectorStreamSpec asserts the
+    // dynamic partition-pruning filter on the index scan). After
+    // ingestion the fixed query set searches its own cell, exactly batch
+    // v3's semantics — assignment depends only on the static quantizer,
+    // so the index is batching-invariant and the oracle is the SAME
+    // ivfAnnSql as v3 (the t6/j6 shared-oracle discipline). This is the
+    // at-ingestion vector-index maintenance of a streaming embedding
+    // pipeline; file-count boundedness at real batch counts comes from
+    // the versioned-compaction mechanism j6's IncrementalMinHashIndex
+    // already demonstrates (a table format's OPTIMIZE job in
+    // production).
+    RQ("j10_stream_ivf_index", Some(ivfAnnSql))((s, dir) => {
+      import s.implicits._
+      Option(new java.io.File("/tmp/graft_fixtures").listFiles)
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.matches("j10_idx_\\d+_\\d+") &&
+          Fixtures.sweepable(f.getName.split("_")(2).toLong))
+        .foreach(Fixtures.rm)
+      val root = s"/tmp/graft_fixtures/j10_idx_" +
+        s"${ProcessHandle.current.pid}_${System.nanoTime}"
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val data = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      Replay.chunked(s, data.toSeq, 3, statePartitions = Some(8))(ds =>
+        ds.toDF("vec_id", "embedding")
+          .writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              batch
+                .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+                .crossJoin(broadcast(cents))
+                .withColumn("rn", row_number().over(
+                  Window.partitionBy("n_id")
+                    .orderBy(cosine(col("nv"), col("cv")).desc, col("c_id"))))
+                .filter(col("rn") === 1)
+                .select(col("n_id"), col("nv"), col("c_id"))
+                .write.mode("append").partitionBy("c_id").parquet(root)
+          }.start())
+      val idx = s.read.parquet(root)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      // the query's own cell comes from its index row (queries are part
+      // of the stream); the candidate scan prunes to the probed cells
+      val qa = q.join(
+        idx.select(col("n_id").as("q_id"), col("c_id")), "q_id")
+      qa.join(idx, "c_id").filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
+          col("cos"))
+        .orderBy("q_id", "rnk")
+    })
   )
 }

@@ -27,7 +27,16 @@ import org.apache.spark.storage.{BlockId, RDDBlockId}
   */
 final class StorageTelemetry extends SparkListener {
 
-  private val memBytes = new ConcurrentHashMap[BlockId, java.lang.Long]()
+  // keyed by (block manager, block): replicated blocks — broadcast
+  // pieces, 2x-replicated RDD blocks — are stored per executor under the
+  // SAME BlockId; keying on BlockId alone would collapse the replicas
+  // into one entry (under-counting bytes) and count one executor's drop
+  // as a residency loss while another still holds the block in memory
+  // (a false baseline-eviction signal). Single-JVM local mode has one
+  // block manager, so the bench's numbers are unchanged — the key is for
+  // the multi-executor deployment this class must survive.
+  private val memBytes =
+    new ConcurrentHashMap[(String, BlockId), java.lang.Long]()
   private val current = new AtomicLong(0L)
   private val high = new AtomicLong(0L)
   private val evictedCnt = new AtomicLong(0L)
@@ -42,9 +51,10 @@ final class StorageTelemetry extends SparkListener {
   override def onBlockUpdated(u: SparkListenerBlockUpdated): Unit = {
     val info = u.blockUpdatedInfo
     val newMem = if (info.storageLevel.useMemory) info.memSize else 0L
+    val key = (info.blockManagerId.executorId, info.blockId)
     val prevBoxed =
-      if (newMem > 0L) memBytes.put(info.blockId, newMem)
-      else memBytes.remove(info.blockId)
+      if (newMem > 0L) memBytes.put(key, newMem)
+      else memBytes.remove(key)
     val prev = if (prevBoxed == null) 0L else prevBoxed.longValue()
     if (newMem != prev) {
       val c = current.addAndGet(newMem - prev)

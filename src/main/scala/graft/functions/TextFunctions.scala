@@ -19,7 +19,9 @@ object TextFunctions {
     * runs as separate tokens (the pre-tokenizer split BPE vocabularies
     * assume). Pattern kept to ASCII classes so every regex engine agrees.
     */
-  val bpeTokenPattern: String = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+  // [^...\\s]: excluding ONLY the literal space would emit tab/newline/CR
+  // runs as punctuation "tokens" — no BPE pre-tokenizer does that
+  val bpeTokenPattern: String = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
 
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpeTokenPattern), lit(0))
@@ -91,10 +93,13 @@ object TextFunctions {
         lit(0L), (acc, x) => acc + x) % mod)
       .otherwise(lit(0L))
 
-  /** Marker-word count for the n-gram-heuristic language scorer. */
+  /** Marker-word count for the n-gram-heuristic language scorer.
+    * array_intersect already de-duplicates its result, so no
+    * array_distinct pre-pass — this runs once per (doc, language
+    * profile) in the t1/t2/t4 hot path.
+    */
   def markerHits(ws: Column, markers: Seq[String]): Column =
-    size(array_intersect(array_distinct(ws),
-      array(markers.map(lit): _*))).cast("long")
+    size(array_intersect(ws, array(markers.map(lit): _*))).cast("long")
 
   /** Language ID: argmax of marker-hit counts with a fixed preference order
     * on ties. Marker lists are the heuristic's "n-gram profile" — swap per

@@ -36,6 +36,11 @@ object Ann {
     val n = emb.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
     n.crossJoin(broadcast(q)).filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
+      // a zero-norm vector's cosine is null (cosine's nullif guard); it
+      // must drop out of the RANKING too, not just threshold filters —
+      // unfiltered, null rows would fill top-k slots for queries with
+      // fewer than k real matches
+      .filter(col("cos").isNotNull)
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
       .filter(col("rnk") <= k)
@@ -62,6 +67,10 @@ object Ann {
       col("bucket"), col("nrm").as("nn"))
     a.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", dot(col("qv"), col("nv")) / nullif(col("qn") * col("nn"), lit(0.0)))
+      // null-cos rows (zero-norm query or mate) must not surface as a
+      // "nearest neighbor" when a bucket holds only degenerate mates —
+      // the null drops out of the ranking, same rule as bruteTopK
+      .filter(col("cos").isNotNull)
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
       .filter(col("rnk") === 1)

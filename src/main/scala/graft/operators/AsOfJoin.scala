@@ -32,6 +32,13 @@ object AsOfJoin {
   def asOfLeft(probe: DataFrame, build: DataFrame, key: String, ts: String,
                payload: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
+    // collision-proof temp names (the WindowOps.preferenceFirst pattern):
+    // fixed "__side"/"__b"/"__m" would duplicate or shadow a caller's
+    // columns of those names and break the union/window resolution
+    def temp(base: String): String = Iterator.from(0)
+      .map(i => s"__graft_$base$i")
+      .find(c => !probeCols.contains(c) && !build.columns.contains(c)).get
+    val (sideC, bC, mC) = (temp("side"), temp("b"), temp("m"))
     // the payload travels as ONE struct per build row: `last(ignoreNulls)`
     // then picks whole build rows, never mixing columns from different
     // rows when an individual payload VALUE is null (a per-column last
@@ -42,8 +49,8 @@ object AsOfJoin {
       StructType(payload.map(c => StructField(c, build.schema(c).dataType)))
     }
     val pSide = probe.select(
-      probeCols.map(col) ++ Seq(lit(1).as("__side"),
-        lit(null).cast(structType).as("__b")): _*)
+      probeCols.map(col) ++ Seq(lit(1).as(sideC),
+        lit(null).cast(structType).as(bC)): _*)
     // null-key build rows can never match under equi-join semantics
     // (NULL = NULL is not true), and null-TS build rows never satisfy
     // `probe.ts >= build.ts` in SQL ASOF — but under Spark's nulls-first
@@ -53,13 +60,13 @@ object AsOfJoin {
       probeCols.map {
         case c if c == key || c == ts => col(c)
         case c => lit(null).cast(probe.schema(c).dataType).as(c)
-      } ++ Seq(lit(0).as("__side"), payloadStruct.as("__b")): _*)
-    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      } ++ Seq(lit(0).as(sideC), payloadStruct.as(bC)): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col(sideC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pSide.unionByName(bSide)
-      .withColumn("__m", last(col("__b"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn(mC, last(col(bC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
       .select(probeCols.map(col) ++
-        payload.map(c => col(s"__m.$c").as(c)): _*)
+        payload.map(c => col(s"$mC.$c").as(c)): _*)
   }
 }

@@ -18,10 +18,15 @@ object Salting {
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  saltSource: Column, n: Int): DataFrame = {
-    val salted = probe.withColumn("__salt", pmod(hash(saltSource), lit(n)))
+    // collision-proof temp name (the WindowOps.preferenceFirst pattern):
+    // a fixed "__salt" would silently REPLACE and then drop a caller's
+    // column of that name
+    val salt = Iterator.from(0).map(i => s"__graft_salt$i")
+      .find(c => !probe.columns.contains(c) && !build.columns.contains(c)).get
+    val salted = probe.withColumn(salt, pmod(hash(saltSource), lit(n)))
     val replicated = build
-      .withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+      .withColumn(salt, explode(sequence(lit(0), lit(n - 1))))
+    salted.join(replicated, Seq(key, salt)).drop(salt)
   }
 }
 

@@ -37,7 +37,12 @@ object WindowOps {
                      totalName: String, shareName: String): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)
     df.withColumn(totalName, sum(value).over(w))
-      .withColumn(shareName, value / col(totalName))
+      // nullif guard: a zero-sum group (all-zero counts or signed values
+      // netting to zero) must yield a null share, not a DIVIDE_BY_ZERO
+      // failure under ANSI mode — same convention as VectorFunctions
+      // .cosine. Registered callers always divide positive-count totals,
+      // so their oracle values are unchanged.
+      .withColumn(shareName, value / nullif(col(totalName), lit(0)))
   }
 
   /** D5 — deterministic dense group id *within a partition* over explicitly

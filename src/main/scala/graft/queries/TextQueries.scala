@@ -173,10 +173,10 @@ object TextQueries {
     // pre-tokenizer boundary a BPE vocabulary assumes)
     RQ("t1b_bpe_tokens", Some("""
       SELECT doc_id,
-             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+'))
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
                   AS BIGINT) AS n_bpe_tokens,
              CAST(len(list_distinct(
-               regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')))
+               regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')))
                   AS BIGINT) AS n_unique
       FROM documents ORDER BY doc_id"""))((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -907,7 +907,7 @@ object TextQueries {
         ds.toDF("doc_id", "text")
           .writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) => idx.ingest(batch)
+           batchId: Long) => idx.ingest(batch, batchId)
           }.start())
       // distinct is belt-and-braces: each pair is emitted exactly once
       s.read.parquet(idx.dupDir).distinct().orderBy("doc_a", "doc_b")

@@ -106,7 +106,7 @@ object VectorQueries {
            r AS (SELECT q_id, n_id, cos,
                         row_number() OVER (PARTITION BY q_id
                                            ORDER BY cos DESC, n_id) AS rnk
-                 FROM p)
+                 FROM p WHERE cos IS NOT NULL)
       SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))((s, dir) => {
       val e = emb(s, dir)
@@ -181,7 +181,7 @@ object VectorQueries {
            r AS (SELECT q_id, n_id,
                         row_number() OVER (PARTITION BY q_id
                                            ORDER BY cos DESC, n_id) AS rnk
-                 FROM p),
+                 FROM p WHERE cos IS NOT NULL),
            truth AS (SELECT q_id, n_id FROM r WHERE rnk <= 5),
            b AS (SELECT vec_id, $bucketSql AS bucket FROM embeddings),
            cand AS (SELECT DISTINCT qb.vec_id AS q_id, nb.vec_id AS n_id
@@ -477,7 +477,7 @@ object VectorQueries {
            r AS (SELECT q_id, n_id, bucket, cos,
                         row_number() OVER (PARTITION BY q_id
                                            ORDER BY cos DESC, n_id) AS rnk
-                 FROM p)
+                 FROM p WHERE cos IS NOT NULL)
       SELECT q_id, n_id, bucket, cos FROM r WHERE rnk = 1
       ORDER BY q_id"""))((s, dir) =>
       graft.operators.Ann
@@ -515,11 +515,16 @@ object VectorQueries {
         .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       val data = e.select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].collect()
+      // at-least-once guard (same convention as IncrementalMinHashIndex):
+      // a re-delivered batch must not double-append its cell rows
+      var lastBatchId = -1L
       Replay.chunked(s, data.toSeq, 3, statePartitions = Some(8))(ds =>
         ds.toDF("vec_id", "embedding")
           .writeStream.foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-             _: Long) =>
+             batchId: Long) =>
+              if (batchId > lastBatchId) {
+              lastBatchId = batchId
               batch
                 .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
                 .crossJoin(broadcast(cents))
@@ -529,6 +534,7 @@ object VectorQueries {
                 .filter(col("rn") === 1)
                 .select(col("n_id"), col("nv"), col("c_id"))
                 .write.mode("append").partitionBy("c_id").parquet(root)
+              }
           }.start())
       val idx = s.read.parquet(root)
       val q = e.filter(col("vec_id") < 5)

@@ -37,6 +37,7 @@ final class IncrementalMinHashIndex(
 
   private var version = 0
   private var batches = 0
+  private var lastBatchId = -1L
 
   private def bandsDir = s"$root/bands_v$version"
   private def shDir = s"$root/sh_v$version"
@@ -63,23 +64,43 @@ final class IncrementalMinHashIndex(
     * mid-append — only the new batch's own rows need the eager
     * checkpoint (they're reused across cand + verify + append, and a
     * streaming batch DF must not outlive the foreachBatch call).
+    *
+    * At-least-once safety: foreachBatch may RE-DELIVER a batch after a
+    * failure, and the parquet appends are external side effects Spark
+    * cannot roll back — a blind re-ingest would double-append the batch's
+    * bands/shingles, inflating per-doc shingle counts and corrupting
+    * every later Jaccard against those docs. Callers pass foreachBatch's
+    * `batchId`; a batch at or below the high-water mark is skipped
+    * entirely. (A crash BETWEEN this object's appends still leaves a
+    * partial batch on disk — healing that needs atomically-committed
+    * multi-file writes, i.e. the table-format seam the compaction
+    * scaladoc already names; the batchId guard makes the common
+    * re-delivery path exact.)
     */
-  def ingest(batch: DataFrame): Unit = {
+  def ingest(batch: DataFrame, batchId: Long = -1L): Unit = {
+    if (batchId >= 0 && batchId <= lastBatchId) return
+    lastBatchId = math.max(lastBatchId, batchId)
     val shNew = MinHashDedup.shingleRows(batch, "doc_id", "text")
       .localCheckpoint(true)
     val bandNew = MinHashDedup.bandRows(shNew).localCheckpoint(true)
     val bandAll = s.read.parquet(bandsDir).unionByName(bandNew)
-    val shAll = s.read.parquet(shDir).unionByName(shNew)
-    val cand = bandNew
-      .select(col("doc_id").as("x"), col("b"), col("bh"))
-      .join(bandAll.select(col("doc_id").as("y"), col("b"), col("bh")),
-        Seq("b", "bh"))
-      .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("da"),
-        greatest(col("x"), col("y")).as("db"))
-      .distinct()
-    MinHashDedup.verifyPairs(cand, shAll, threshold)
-      .write.mode("append").parquet(dupDir)
+    // persisted: verifyPairs consumes its shingle argument THREE times
+    // (per-doc counts + both sides of the intersection join); unpersisted
+    // this re-scanned the full accumulated store — the largest and
+    // fastest-growing dir — three times per batch
+    val shAll = s.read.parquet(shDir).unionByName(shNew).persist()
+    try {
+      val cand = bandNew
+        .select(col("doc_id").as("x"), col("b"), col("bh"))
+        .join(bandAll.select(col("doc_id").as("y"), col("b"), col("bh")),
+          Seq("b", "bh"))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("da"),
+          greatest(col("x"), col("y")).as("db"))
+        .distinct()
+      MinHashDedup.verifyPairs(cand, shAll, threshold)
+        .write.mode("append").parquet(dupDir)
+    } finally shAll.unpersist()
     bandNew.write.mode("append").parquet(bandsDir)
     shNew.write.mode("append").parquet(shDir)
     batches += 1

@@ -27,7 +27,15 @@ class IncrementalIndexSpec extends SparkSpec {
     try {
     val idx = new IncrementalMinHashIndex(spark, root, compactEvery = 2)
     Seq(docs.take(2), docs.slice(2, 3), docs.slice(3, 4), docs.drop(4))
-      .foreach(chunk => idx.ingest(chunk.toDF("doc_id", "text")))
+      .zipWithIndex.foreach { case (chunk, i) =>
+        val df = chunk.toDF("doc_id", "text")
+        idx.ingest(df, i.toLong)
+        // at-least-once RE-DELIVERY of the same batchId must be a no-op:
+        // a blind re-ingest would double-append this batch's shingles and
+        // corrupt every later Jaccard against these docs — the equality
+        // against the batch operator below would then fail
+        idx.ingest(df, i.toLong)
+      }
 
     val inc = spark.read.parquet(idx.dupDir)
       .select("doc_a", "doc_b").distinct()

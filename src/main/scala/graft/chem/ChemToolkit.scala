@@ -42,6 +42,13 @@ object FixtureChem extends ChemToolkit {
     upper(trim(descriptor))
 
   override def parityScore(boundSize: Column, cognateSize: Column): Column =
-    (lit(100) - abs(boundSize.cast("long") - cognateSize.cast("long")))
-      .cast("double") / lit(100.0)
+    // clamped at 0: the trait contract is a score in [0,1], and a size
+    // difference over 100 would otherwise go negative and flow into
+    // cutoff filters / the bestCognate argmax as an out-of-contract
+    // value. Registered data never reaches the clamp (p_size ∈ [1,50],
+    // and bucket blocking caps the diff at 9), so oracle values are
+    // unchanged and the oracles keep the unclamped formula.
+    greatest(lit(0.0),
+      (lit(100) - abs(boundSize.cast("long") - cognateSize.cast("long")))
+        .cast("double") / lit(100.0))
 }

@@ -43,8 +43,11 @@ object FixtureKernel extends ParityKernel {
   override def compare(p: CandidatePair,
                        budgetMillis: Long): (Double, Seq[Int], Boolean) = {
     val deadline = System.nanoTime() + budgetMillis * 1000000L
-    val s = (100L - math.abs(p.boundSize.toLong - p.cognateSize.toLong))
-      .toDouble / 100.0
+    // clamped at 0 — the kernel contract is a score in [0,1], matching
+    // FixtureChem.parityScore's clamp (registered data never reaches it)
+    val s = math.max(0.0,
+      (100L - math.abs(p.boundSize.toLong - p.cognateSize.toLong))
+        .toDouble / 100.0)
     val matched = (1 to math.min(p.boundSize, p.cognateSize)).toSeq
     (s, matched, System.nanoTime() > deadline)
   }

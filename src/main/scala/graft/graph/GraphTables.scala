@@ -179,6 +179,14 @@ object GraphTables {
     }
   }
 
+  /** The hetCode encoding — ONE definition, shared by the registry build
+    * and any query that re-derives a hetCode from a ligand id (ecPage):
+    * an inline re-spelling would silently diverge the day the encoding
+    * (prefix, padding, source column) changes in only one place.
+    */
+  def hetCode(ligandUniqueID: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("HET"), ligandUniqueID)
+
   /** Ownership-classifier bands (thresholds from README.md:256-265 shape).
     * Public: the ETL contacts stage classifies with the SAME bands — one
     * definition, so a threshold change cannot silently diverge the two.
@@ -217,7 +225,7 @@ object GraphTables {
     val boundEntities = li.select(col("l_orderkey").as("ok"),
         col("l_partkey").as("ligandUniqueID")).distinct()
       .withColumn("uniqueID", concat(col("ok"), lit("_"), col("ligandUniqueID")))
-      .withColumn("hetCode", concat(lit("HET"), col("ligandUniqueID")))
+      .withColumn("hetCode", GraphTables.hetCode(col("ligandUniqueID")))
       .withColumn("displayID",
         concat(lit("bm"), dense_rank().over(
           Window.partitionBy(col("ok")).orderBy(col("ligandUniqueID")))))

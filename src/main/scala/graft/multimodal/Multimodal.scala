@@ -36,7 +36,11 @@ object Multimodal {
     struct(lit(mime).as("mime"),
       (length(text) % 640).cast("int").as("width"),
       (length(text) % 480).cast("int").as("height"),
-      length(text).cast("long").as("n_bytes")).as("meta"))
+      // BYTE length of the payload, not character length of the text:
+      // for multi-byte UTF-8 the two differ, and decodeStub's n_bytes
+      // (length over binary) must agree with the metadata for the same
+      // asset
+      length(text.cast("binary")).cast("long").as("n_bytes")).as("meta"))
 
   /** ===== DECODE STUB =====
     * Deterministic fake "decode + feature extraction": byte length, a
@@ -56,7 +60,13 @@ object Multimodal {
     * hex so downstream joins/dedups treat them as plain strings.
     */
   def sampleFrames(df: DataFrame, payload: String, frameBytes: Int,
-                   stride: Int): DataFrame =
+                   stride: Int): DataFrame = {
+    // fail fast: stride = 0 would make the frame-count division null
+    // (silently dropping every row) or an ANSI error; negative values
+    // produce descending sequences and negative substring offsets
+    require(stride > 0 && frameBytes > 0,
+      s"sampleFrames needs stride > 0 and frameBytes > 0, got " +
+        s"stride=$stride frameBytes=$frameBytes")
     // payloads shorter than one frame emit ZERO frames — a clamped index
     // would emit a truncated partial "frame" that downstream dedup counts
     df.filter(length(col(payload)) >= frameBytes)
@@ -65,4 +75,5 @@ object Multimodal {
           floor((length(col(payload)) - frameBytes) / stride).cast("int"))))
       .withColumn("frame",
         hex(expr(s"substring($payload, frame_idx * $stride + 1, $frameBytes)")))
+  }
 }

@@ -52,6 +52,15 @@ object ResidueKey {
 object ResidueKeyUtil {
   /** "123_A" → (123 << 16) | 'A'; no inscode → low bits 0. Shared by the
     * interpreted path and generated code.
+    *
+    * Signed numerics: PDB auth_seq_id can be NEGATIVE (His-tag residues)
+    * and the reference parses signed ints — a digit-only scan would fold
+    * "-5" to +5 and silently mis-sort it after residue 3. A leading '-'
+    * negates; the shifted key stays a signed long, so negative residues
+    * order before positives under the plain long sort. The inscode lives
+    * in the low 16 bits unsigned, so within one negative residue number
+    * a LOWER inscode still yields a SMALLER key (two's-complement low
+    * bits are order-preserving within the same high bits).
     */
   def eval(s: String): Long = {
     val sep = s.indexOf('_')
@@ -60,12 +69,15 @@ object ResidueKeyUtil {
       else (s.substring(0, sep),
         if (sep + 1 < s.length) s.charAt(sep + 1).toLong else 0L)
     var num = 0L
+    var neg = false
     var i = 0
     while (i < numPart.length) {
       val c = numPart.charAt(i)
-      if (c >= '0' && c <= '9') num = num * 10 + (c - '0')
+      if (c == '-' && i == 0) neg = true
+      else if (c >= '0' && c <= '9') num = num * 10 + (c - '0')
       i += 1
     }
+    if (neg) num = -num
     (num << 16) | (ins & 0xffffL)
   }
 }

@@ -49,7 +49,19 @@ object ProCogQueries {
   def searchEntries(g: GraphTables, substr: String,
                     cutoff: Double, mode: CognateMode): DataFrame = {
     val simsDf = sims(g, cutoff, mode)
-    val beCounts = g.boundEntities.groupBy("ok")
+    val matched =
+      g.entries.filter(upper(col("pdbEntry")).contains(substr.toUpperCase))
+    // filter FIRST, aggregate second: a substring search matches a
+    // handful of entries out of millions, and grouping the full
+    // boundEntities table (and the full candidate × similarity join)
+    // only to left-join the few matched rows would discard nearly all
+    // of that work. The matched-ok set is a filtered one-column dim
+    // projection — broadcast semi-join it into the fact side before
+    // any grouping. Left-join semantics are unchanged: restricting the
+    // grouped input to matched oks cannot change any matched ok's count.
+    val be = g.boundEntities
+      .join(broadcast(matched.select("ok")), Seq("ok"), "left_semi")
+    val beCounts = be.groupBy("ok")
       .agg(countDistinct(col("uniqueID")).as("be_count"))
     // fan candidates into (entry, ligand-structure) pairs, never
     // occurrences: boundEntities is GRAIN-GUARANTEED one row per
@@ -58,10 +70,10 @@ object ProCogQueries {
     // would be unchanged by duplicate pairs, but an occurrence-grained
     // source would need a distinct here before the candidate join (the
     // ligand-keyed lesson of cognateSummary / GraphTables.interactPairs)
-    val cogCounts = g.boundEntities.select("ok", "ligandUniqueID")
+    val cogCounts = be.select("ok", "ligandUniqueID")
       .join(simsDf.select("ligandUniqueID", "cogId"), "ligandUniqueID")
       .groupBy("ok").agg(countDistinct(col("cogId")).as("cog_count"))
-    g.entries.filter(upper(col("pdbEntry")).contains(substr.toUpperCase))
+    matched
       .join(beCounts, Seq("ok"), "left")
       .join(cogCounts, Seq("ok"), "left")
       .select(col("pdbEntry"),
@@ -238,7 +250,7 @@ object ProCogQueries {
         .select("ligandUniqueID", "cogId", "parityScore"), "ligandUniqueID")
       .join(broadcast(g.cognates.select("cogId", "cogName")), "cogId")
       .select(concat(lit("pdb"), col("ok")).as("pdbEntry"),
-        concat(lit("HET"), col("ligandUniqueID")).as("hetCode"),
+        GraphTables.hetCode(col("ligandUniqueID")).as("hetCode"),
         col("cogName").as("cognateLigand"), col("parityScore"))
       .distinct()
       .orderBy("pdbEntry", "hetCode", "cognateLigand", "parityScore")

@@ -64,17 +64,32 @@ object Sinks {
       .option("compression", "gzip")
       .option("emptyValue", "")
       .csv(s"$path/data")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "header.tsv"),
-      headers.mkString("\t") + "\n")
+    // header goes through the HADOOP filesystem of the output path, not
+    // java.nio: the data parts above land wherever the path's scheme says
+    // (hdfs://, s3a://, file://), and a local-FS header write would leave
+    // the neo4j-admin contract (--nodes=header.tsv,data/part-.*) with no
+    // header next to cluster-resident data
+    val hPath = new org.apache.hadoop.fs.Path(path, "header.tsv")
+    val fs = hPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(hPath, true)
+    try out.write((headers.mkString("\t") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Read back a `neo4jTsv` table (tests / the a10 roundtrip query). */
   def readNeo4jTsv(s: org.apache.spark.sql.SparkSession,
                    path: String): DataFrame = {
-    val headers = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(path, "header.tsv"))
-      .trim.split("\t").toSeq
+    val hPath = new org.apache.hadoop.fs.Path(path, "header.tsv")
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(hPath)
+    val headerLine =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val headers = headerLine.trim.split("\t").toSeq
     s.read.option("sep", "\t").option("header", "false")
       .option("emptyValue", "").csv(s"$path/data")
       .toDF(headers: _*)
@@ -91,8 +106,15 @@ object Sinks {
     */
   def skewSplit(df: DataFrame, weightCol: String, pctl: Double = 0.8,
                 chunkSize: Int = 100): (DataFrame, DataFrame) = {
-    val Array(threshold) = df.stat.approxQuantile(weightCol, Array(pctl), 0.001)
-    skewSplitAt(df, weightCol, threshold, chunkSize)
+    // approxQuantile ignores null/NaN and returns an EMPTY array when no
+    // values remain (empty df, all-null weight column) — destructuring
+    // unconditionally would MatchError on exactly the degenerate inputs
+    // skewSplitAt below is hardened for. No threshold → nothing is
+    // "heavy": every row (all null-weighted) belongs on the light side.
+    df.stat.approxQuantile(weightCol, Array(pctl), 0.001) match {
+      case Array(threshold) => skewSplitAt(df, weightCol, threshold, chunkSize)
+      case _ => skewSplitAt(df, weightCol, Double.PositiveInfinity, chunkSize)
+    }
   }
 
   /** A11 with an externally supplied threshold (exact-percentile callers,

@@ -14,6 +14,14 @@ class ResidueKeySpec extends SparkSpec {
       assert(ResidueKey.eval("2_A") < ResidueKey.eval("2_B"))
       assert(ResidueKey.eval("2") === (2L << 16))
     }
+    it("parses signed residue numbers (PDB auth_seq_id can be negative)") {
+      // a digit-only scan would fold "-5" to +5 and mis-sort it AFTER 3
+      assert(ResidueKey.eval("-5_") < ResidueKey.eval("3_"))
+      assert(ResidueKey.eval("-5_") < ResidueKey.eval("-4_"))
+      // inscode order is preserved within one negative residue number
+      assert(ResidueKey.eval("-5_A") < ResidueKey.eval("-5_B"))
+      assert(ResidueKey.eval("-1_Z") < ResidueKey.eval("0_"))
+    }
     it("is callable from SQL via the session extension") {
       val r = spark.sql("SELECT residue_key('123_A') AS k").as[Long].head()
       assert(r === ((123L << 16) | 'A'.toLong))

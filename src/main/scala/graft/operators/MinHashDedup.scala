@@ -30,12 +30,54 @@ object MinHashDedup {
     // sh feeds the signature, both sides of the intersection join, and
     // the per-doc counts — persist instead of re-shingling four times
     val sh = shingleRows(docs, idCol, textCol, n).persist()
+    verifyPairs(candidatePairs(sh, seeds, rowsPerBand), sh, threshold)
+  }
+
+  /** Containment near-dup (Broder's C(A,B) = |A∩B| / |A|): keeps
+    * candidate pairs whose max directional containment reaches
+    * `threshold`. Catches the asymmetric near-dups symmetric Jaccard
+    * misses — a short document quoted whole inside a much longer one has
+    * C(short→long) = 1 while Jaccard ≈ |A|/|B| → 0.
+    *
+    * Candidates come from a RARE-SHINGLE inverted index, NOT the minhash
+    * bands: a band collision's probability tracks Jaccard, so banded LSH
+    * systematically misses exactly the asymmetric pairs this measure
+    * exists for. Instead, two docs are candidates when they share any
+    * shingle with corpus document-frequency ≤ `maxDf` (the inverted-
+    * index-with-stopword-pruning trick; same join shape as benchmark
+    * decontamination). Scale: per-shingle fanout is capped at maxDf², so
+    * candidate cost is ≤ maxDf × (rare-shingle occurrences) — linear in
+    * the corpus, never N². Recall: a contained doc shares ALL its
+    * shingles with its container, so the pair is missed only if every
+    * one of its shingles is corpus-common (df > maxDf) — i.e. the doc is
+    * pure boilerplate, which line-level dedup (t28) handles instead.
+    */
+  def containmentDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, maxDf: Int = 5,
+                          threshold: Double = 0.8): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n).persist()
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("s")
+    val rs = sh.join(rare, "s")
+    val cand = rs.select(col("doc_id").as("da"), col("s"))
+      .join(rs.select(col("doc_id").as("db"), col("s")), "s")
+      .filter(col("da") < col("db")).select("da", "db").distinct()
+    pairOverlap(cand, sh)
+      .withColumn("cont_a", col("i").cast("double") / col("na").cast("double"))
+      .withColumn("cont_b", col("i").cast("double") / col("nb").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("cont_a"), col("cont_b"))
+  }
+
+  /** Stage 2.5 — banded (da, db) candidate pairs, da < db, deduped. */
+  def candidatePairs(sh: DataFrame, seeds: Int = 8,
+                     rowsPerBand: Int = 2): DataFrame = {
     val band = bandRows(sh, seeds, rowsPerBand)
     val bandA = band.select(col("doc_id").as("da"), col("b"), col("bh"))
     val bandB = band.select(col("doc_id").as("db"), col("b"), col("bh"))
-    val cand = bandA.join(bandB, Seq("b", "bh"))
+    bandA.join(bandB, Seq("b", "bh"))
       .filter(col("da") < col("db")).select("da", "db").distinct()
-    verifyPairs(cand, sh, threshold)
   }
 
   /** Stage 1 — (doc_id, s) distinct n-gram shingle rows. */
@@ -80,19 +122,26 @@ object MinHashDedup {
     * from a batch self-join or an incremental index probe.
     */
   def verifyPairs(cand: DataFrame, sh: DataFrame,
-                  threshold: Double): DataFrame = {
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("doc_id").as("da"), col("s"))
-    val shB = sh.select(col("doc_id").as("db"), col("s"))
-    val inter = cand.join(shA, "da").join(shB, Seq("db", "s"))
-      .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    inter
-      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+                  threshold: Double): DataFrame =
+    pairOverlap(cand, sh)
       .withColumn("jacc",
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jacc") >= threshold)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jacc"))
+
+  /** Exact per-pair overlap: (da, db, i, na, nb) — intersection size and
+    * the two shingle-set sizes, the sufficient statistics for ANY overlap
+    * measure (Jaccard, containment, dice). One shuffle keyed by (db, s)
+    * for the intersection, one tiny count join per side.
+    */
+  private def pairOverlap(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("da"), col("s"))
+    val shB = sh.select(col("doc_id").as("db"), col("s"))
+    cand.join(shA, "da").join(shB, Seq("db", "s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
   }
 
   /** Collapse near-duplicate pairs into clusters and pick a canonical

@@ -91,6 +91,49 @@ object ScaleQueries {
         Seq("l_orderkey", "l_quantity")))
   }
 
+  /** 16-bit Morton (Z-order) interleave of two 8-bit dimensions: x bits
+    * land at even positions, y bits at odd. Pure shift/mask arithmetic —
+    * whole-stage-codegen'd, no UDF.
+    */
+  private def morton8(x: org.apache.spark.sql.Column,
+                      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftright(x, i).bitwiseAND(1) * (1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(1) * (1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** DuckDB mirror of morton8 over columns named x and y — generated from
+    * the same bit positions so the two engines cannot silently diverge.
+    */
+  private val mortonSql: String = (0 until 8).map { i =>
+    s"((x // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+      s"((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+  }.mkString(" + ")
+
+  /** The hive-partitioned copy of orders (partitionBy o_orderstatus)
+    * shared by s4 (static partition pruning) and s10 (dynamic partition
+    * pruning). Install-once fixture keyed by the source file's
+    * (size, mtime): temp-write → atomic-rename install → cold-wreck heal
+    * → stale sweep, all via the shared Fixtures.installDir policy (one
+    * copy of the mechanics; legacySweep covers the retired .s4_tmp_ temp
+    * naming). Returns the path to read.
+    */
+  def partitionedOrdersFixture(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val src = new java.io.File(s"$dir/orders.parquet")
+    Fixtures.installDir(safe, "s4_part",
+      s"${src.length}_${src.lastModified}",
+      // n == "s4_part": the retired UNfingerprinted final-dir layout —
+      // without this arm a leftover /tmp copy from that era is never
+      // reclaimed (the fingerprinted sweep only matches "s4_part_<fp>")
+      legacySweep = n =>
+        n.matches("\\.s4_tmp_\\d+_.*") || n == "s4_part") { tmp =>
+      Tables(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(tmp)
+    }
+  }
+
   val defs: Seq[RQ] = Seq(
 
     // Partition-pruned scan: orders written hive-partitioned by status,
@@ -104,28 +147,83 @@ object ScaleQueries {
                AS cents
       FROM orders WHERE o_orderstatus = 'F'
       GROUP BY 1 ORDER BY o_orderpriority"""))((s, dir) => {
-      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      // install-once fixture keyed by the source file's (size, mtime):
-      // temp-write → atomic-rename install → cold-wreck heal → stale
-      // sweep, all via the shared Fixtures.installDir policy (one copy
-      // of the mechanics; legacySweep covers the retired .s4_tmp_ temp
-      // naming)
-      val src = new java.io.File(s"$dir/orders.parquet")
-      val readPath = Fixtures.installDir(safe, "s4_part",
-        s"${src.length}_${src.lastModified}",
-        // n == "s4_part": the retired UNfingerprinted final-dir layout —
-        // without this arm a leftover /tmp copy from that era is never
-        // reclaimed (the fingerprinted sweep only matches "s4_part_<fp>")
-        legacySweep = n =>
-          n.matches("\\.s4_tmp_\\d+_.*") || n == "s4_part") { tmp =>
-        Tables(s, dir, "orders").write.mode("overwrite")
-          .partitionBy("o_orderstatus").parquet(tmp)
-      }
+      val readPath = partitionedOrdersFixture(s, dir)
       s.read.parquet(readPath).filter(col("o_orderstatus") === "F")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
         .orderBy("o_orderpriority")
+    }),
+
+    // DYNAMIC partition pruning (the runtime complement of s4): the fact
+    // side is the SAME hive-partitioned orders copy, but the pruning
+    // predicate — "the modal order status" — is an AGGREGATE of the dim
+    // side, so no static partition filter can exist: a scalar predicate
+    // on the dim key (even through md5) gets constraint-propagated onto
+    // the fact's partition column and prunes statically, silently
+    // degrading the demo to s4. An argmax-over-count survives nothing of
+    // the sort; Catalyst plants a dynamicpruningexpression subquery on
+    // the fact scan that reuses the dim broadcast, and only the winning
+    // status's partition directory is read (PlanAuditSpec asserts the
+    // expression is the ONLY status predicate). At 100 TB this is how a
+    // fact scan joined to a filtered dimension reads selectivity ×
+    // partitions instead of the table — with no static predicate
+    // available. Result == the plain unpartitioned join (the oracle).
+    RQ("s10_dpp_join", Some("""
+      WITH dim AS (SELECT o_orderstatus AS st FROM orders GROUP BY 1
+                   QUALIFY row_number()
+                     OVER (ORDER BY count(*) DESC, o_orderstatus) = 1)
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders JOIN dim ON o_orderstatus = dim.st
+      GROUP BY 1 ORDER BY o_orderpriority"""))((s, dir) => {
+      val fact = s.read.parquet(partitionedOrdersFixture(s, dir))
+      val dim = Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("st")).agg(count(lit(1)).as("c"))
+        // global window over ≤ |distinct statuses| rows — dim-bounded
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("c").desc, col("st"))))
+        .filter(col("rn") === 1).select("st")
+      fact.join(broadcast(dim), fact("o_orderstatus") === col("st"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Z-order (Morton) layout clustering: interleave the low 8 bits of
+    // two independent dimensions — customer and order day — into one
+    // sort/cluster key. Writing files in zkey order bounds EVERY file's
+    // min/max range on BOTH dimensions at once (each zkey>>8 cell is
+    // exactly a 16×16 tile), so parquet min/max stats prune scans for
+    // filters on either column — the multi-dimensional generalization of
+    // s4's single-column partitioning, and the layout technique behind
+    // Delta/Iceberg OPTIMIZE ZORDER. The query materializes the per-cell
+    // stats a file-skipping index would hold; ZOrderSpec asserts the
+    // ≤ 15 tile-span bound that makes the skipping effective.
+    RQ("s9_zorder_layout", Some(s"""
+      WITH b AS (SELECT o_custkey % 256 AS x,
+                        (epoch_us(o_orderdate) // 86400000000) % 256 AS y
+                 FROM orders),
+           z AS (SELECT x, y, ($mortonSql) AS zkey FROM b)
+      SELECT CAST(zkey // 256 AS BIGINT) AS zcell,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+             CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+      FROM z GROUP BY 1 ORDER BY zcell"""))((s, dir) => {
+      Tables(s, dir, "orders")
+        .select((col("o_custkey") % 256).as("x"),
+          // NTZ→timestamp cast under the mains' pinned UTC session zone —
+          // same micros DuckDB's epoch_us reads from the file
+          (expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            % 256).as("y"))
+        .withColumn("zcell", shiftright(morton8(col("x"), col("y")), 8))
+        .groupBy("zcell")
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy("zcell")
     }),
 
     // Bucketed co-located join: both fact sides pre-bucketed on the join

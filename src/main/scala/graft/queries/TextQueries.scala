@@ -545,6 +545,42 @@ object TextQueries {
         .canonicalize(nearDupPairs(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // T31 — containment near-dup (Broder's C(A,B) = |A∩B|/|A|): the
+    // asymmetric measure that catches a short document quoted whole
+    // inside a longer one (C = 1 while Jaccard → 0 — invisible to t6).
+    // Candidates from a rare-shingle inverted index (df ≤ 5 — banded
+    // minhash would miss exactly these pairs; see
+    // MinHashDedup.containmentDupPairs for the recall/scale argument),
+    // verified on exact directional containments (exact int divisions —
+    // bit-identical doubles on both engines). The fragment's sh/cnt CTEs
+    // are reused; its band/cand chain goes unevaluated.
+    RQ("t31_containment_dedup", Some(s"""
+      WITH RECURSIVE
+           ws AS (SELECT doc_id, str_split(text,' ') AS w FROM documents),
+           ${lshDedupSqlCtes("ws")},
+           rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh
+                                   GROUP BY 1) WHERE df <= 5),
+           rs AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+           cand2 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                     FROM rs a JOIN rs b
+                       ON a.s = b.s AND a.doc_id < b.doc_id),
+           inter2 AS (SELECT da, db, count(*) AS i FROM cand2
+                      JOIN sh sx ON sx.doc_id = da
+                      JOIN sh sy ON sy.doc_id = db AND sx.s = sy.s
+                      GROUP BY 1, 2)
+      SELECT da AS doc_a, db AS doc_b,
+             i::DOUBLE / ca.n::DOUBLE AS cont_a,
+             i::DOUBLE / cb.n::DOUBLE AS cont_b
+      FROM inter2
+      JOIN cnt ca ON ca.doc_id = da
+      JOIN cnt cb ON cb.doc_id = db
+      WHERE greatest(i::DOUBLE / ca.n::DOUBLE, i::DOUBLE / cb.n::DOUBLE) >= 0.8
+      ORDER BY doc_a, doc_b"""))((s, dir) =>
+      graft.operators.MinHashDedup
+        .containmentDupPairs(docs(s, dir), "doc_id", "text",
+          n = 3, maxDf = 5, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
     // T15 — corpus TF-IDF keyword extraction: per-doc term frequency ×
     // corpus-level inverse document frequency, top-3 terms per document.
     // The idf is the exact rational N/df (no float log — the score stays

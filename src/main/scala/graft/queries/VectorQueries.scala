@@ -115,6 +115,36 @@ object VectorQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // V11 — metadata-FILTERED vector search (the "filtered ANN" shape
+    // every retrieval stack needs: top-k among vectors satisfying a
+    // predicate). Strategy is filter-FIRST: the label predicate prunes
+    // the candidate side before any distance is computed — under a
+    // selective filter this beats post-filtering a top-k (which can
+    // return < k survivors) and is exact. The filter is a plain column
+    // predicate, so at scale it pushes down to the parquet scan
+    // (PushedFilters) and composes with v2/v3's bucketed candidate
+    // generation unchanged — bucket membership is independent of the
+    // metadata predicate.
+    RQ("v11_filtered_ann", Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 10),
+           n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings
+                 WHERE label = 1),
+           p AS (SELECT q_id, n_id, ${cosSql("qv", "nv")} AS cos
+                 FROM q, n WHERE n_id <> q_id),
+           r AS (SELECT q_id, n_id, cos,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, n_id) AS rnk
+                 FROM p WHERE cos IS NOT NULL)
+      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Ann
+        .bruteTopK(e.filter(col("label") === 1),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy("q_id", "rnk")
+    }),
+
     // V3 — IVF ANN: assign every vector to its nearest of 8 fixed
     // centroids (coarse quantizer), then search only the query's cell.
     // The scale path when LSH bit-patterns are too coarse: cells are

@@ -71,6 +71,41 @@ class PlanAuditSpec extends SparkSpec {
       val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
       assert(pf.contains("o_orderstatus"), pf)
     }
+    it("s10_dpp_join plants a dynamicpruning subquery on the fact scan") {
+      // the aggregate (modal-status) dim filter means NO static
+      // o_orderstatus predicate can appear in the fact's partition
+      // filters — runtime pruning is the only mechanism; its absence
+      // means the scan reads every partition directory. The default
+      // 100-char metadata render truncates PartitionFilters, so widen it
+      // for the assertion.
+      val prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+      spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+      try {
+        val p = executed("s10_dpp_join")
+        val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+        assert(pf.contains("dynamicpruning"), s"no DPP expression in: $pf")
+        // nothing static beyond null-safety: any md5/CASE/literal status
+        // predicate here means constraint propagation found a static
+        // route and the demo degraded to s4
+        val statics = pf.substring(pf.indexOf("PartitionFilters"))
+          .split(",").count(f => f.contains("o_orderstatus") &&
+            !f.contains("dynamicpruning") && !f.contains("isnotnull"))
+        assert(statics == 0, s"statically inferred predicate in: $pf")
+      } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    }
+    it("v11_filtered_ann pushes the label predicate into the parquet scan") {
+      val p = executed("v11_filtered_ann")
+      assert(p.contains("PushedFilters:") && p.contains("EqualTo(label"),
+        s"label filter not pushed down:\n$p")
+    }
+    it("s9_zorder_layout is scan → project → one agg exchange — no funnel") {
+      val p = executed("s9_zorder_layout")
+      assert(!p.contains("Exchange SinglePartition"), p)
+      assert(!p.contains("Join"), p)
+      val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+      // one hash exchange for the zcell aggregate + the orderBy range
+      assert(exchanges <= 2, s"s9 has $exchanges exchanges:\n$p")
+    }
     it("ANN queries actually use the native vec_dot expression") {
       Seq("v1_ann_brute_topk", "v2_lsh_ann", "v4_cosine_neardup").foreach { n =>
         assert(executed(n).contains("vectordot"), s"$n lost VectorDot")
@@ -157,6 +192,10 @@ class PlanAuditSpec extends SparkSpec {
       // the documented brute-force ANN BASELINE: the (small) query set is
       // broadcast against the corpus — v2/v3 are the scale path
       "v1_ann_brute_topk" -> "broadcast query-set × corpus by design",
+      // same baseline shape over the metadata-filtered candidate set —
+      // the filter-first strategy (the selective predicate shrinks the
+      // corpus side BEFORE the cross)
+      "v11_filtered_ann" -> "broadcast query-set × filtered corpus",
       "v5_ann_recall" -> "brute-force truth side of the recall gate",
       // 256-codeword PQ codebook broadcast per subspace
       "v7_pq_codes" -> "broadcast codebook assignment",

@@ -207,6 +207,34 @@ object EventQueries {
           col("event_type"), col("n"), col("val_milli"))
         .orderBy("wstart_us", "event_type")),
 
+    // E9 — cohort retention: users bucketed by their FIRST active hour
+    // (the cohort), then counted per (cohort, hours-since-cohort) cell —
+    // the product-analytics retention triangle. The cohort is a window
+    // min over the user's own partition (no join back against a per-user
+    // cohort table — one shuffle keyed by user instead of two), and the
+    // (user, hour) distinct keeps a user active once per hour cell no
+    // matter how many events they fired.
+    RQ("e9_cohort_retention", Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr
+                 FROM events),
+           a AS (SELECT DISTINCT user_id,
+                        min(hr) OVER (PARTITION BY user_id) AS cohort, hr
+                 FROM e)
+      SELECT CAST(cohort AS BIGINT) AS cohort_hr,
+             CAST(hr - cohort AS BIGINT) AS age_hr,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM a GROUP BY 1, 2 ORDER BY cohort_hr, age_hr"""))((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      evMicros(s, dir)
+        .select(col("user_id"), expr("us div 3600000000").as("hr"))
+        .withColumn("cohort", min(col("hr")).over(w))
+        .distinct()
+        .groupBy(col("cohort").as("cohort_hr"),
+          (col("hr") - col("cohort")).as("age_hr"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_hr", "age_hr")
+    }),
+
     // J — WATERMARKED tumbling-window aggregation under the oracle gate:
     // the events table replayed time-ordered through a MemoryStream into
     // StreamingOps.hourlyCounts (groupBy(window(ts, 1h)) with a 2-hour

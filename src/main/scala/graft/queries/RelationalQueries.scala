@@ -776,6 +776,36 @@ object RelationalQueries {
         // summing hit (not counting rows) keeps the zero-count exact
         .agg(sum("hit").as("n_in_range"))
         .orderBy("s_suppkey")
+    }),
+
+    // C18 — blocked fuzzy-match self-join (entity resolution / record
+    // linkage): near-identical catalog names found by edit distance ≤ 4,
+    // with candidates BLOCKED on a stable token (the name's noun) so the
+    // pair space is Σ block² over distinct NAMES — never all-pairs, and
+    // never the occurrence table (occurrences join back by name, the
+    // same distinct-key discipline as the similarity registry). At
+    // production block sizes use Spark's 3-arg levenshtein(a, b, k)
+    // (early-exits the DP once k is exceeded, returns -1) — here the
+    // 2-arg form keeps the expression bit-identical to the DuckDB
+    // oracle's levenshtein.
+    RQ("c18_fuzzy_link", Some("""
+      WITH n AS (SELECT DISTINCT p_name FROM part),
+           t AS (SELECT p_name, str_split(p_name, ' ')[2] AS noun FROM n)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM t a JOIN t b ON a.noun = b.noun AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+      ORDER BY name_a, name_b"""))((s, dir) => {
+      val n = t(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+      val a = n.select(col("p_name").as("name_a"), col("noun"))
+      val b = n.select(col("p_name").as("name_b"), col("noun"))
+      a.join(b, Seq("noun")).filter(col("name_a") < col("name_b"))
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 4)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
     })
   )
 }

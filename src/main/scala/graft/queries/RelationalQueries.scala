@@ -797,7 +797,11 @@ object RelationalQueries {
       WHERE levenshtein(a.p_name, b.p_name) <= 4
       ORDER BY name_a, name_b"""))((s, dir) => {
       val n = t(s, dir, "part").select(col("p_name")).distinct()
-        .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+        // get() (0-based, null on out-of-bounds) — a single-token name
+        // yields noun NULL and drops out of the equi-join, exactly the
+        // oracle's str_split[2]=NULL semantics; element_at would THROW
+        // under ANSI mode instead
+        .withColumn("noun", get(split(col("p_name"), " "), lit(1)))
       val a = n.select(col("p_name").as("name_a"), col("noun"))
       val b = n.select(col("p_name").as("name_b"), col("noun"))
       a.join(b, Seq("noun")).filter(col("name_a") < col("name_b"))

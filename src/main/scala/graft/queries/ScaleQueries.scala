@@ -95,8 +95,10 @@ object ScaleQueries {
     * land at even positions, y bits at odd. Pure shift/mask arithmetic —
     * whole-stage-codegen'd, no UDF.
     */
-  private def morton8(x: org.apache.spark.sql.Column,
-                      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  // private[queries]: ZOrderSpec pins this exact production expression
+  // against an independent reference interleave
+  private[queries] def morton8(x: org.apache.spark.sql.Column,
+                               y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until 8).map { i =>
       shiftright(x, i).bitwiseAND(1) * (1L << (2 * i)) +
         shiftright(y, i).bitwiseAND(1) * (1L << (2 * i + 1))

@@ -83,7 +83,12 @@ class PlanAuditSpec extends SparkSpec {
       try {
         val p = executed("s10_dpp_join")
         val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
-        assert(pf.contains("dynamicpruning"), s"no DPP expression in: $pf")
+        // the expression must PRUNE ON THE PARTITION COLUMN — a planned-
+        // away filter renders dynamicpruningexpression(true) (no reusable
+        // broadcast), which scans every partition while still containing
+        // the substring "dynamicpruning"
+        assert(pf.contains("dynamicpruningexpression(o_orderstatus"),
+          s"no live DPP expression on the partition column in: $pf")
         // nothing static beyond null-safety: any md5/CASE/literal status
         // predicate here means constraint propagation found a static
         // route and the demo degraded to s4

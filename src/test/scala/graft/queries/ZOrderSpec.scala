@@ -24,22 +24,30 @@ class ZOrderSpec extends SparkSpec {
         assert(ys >= 0 && ys <= 15, s"y span $ys in cell ${r.get(0)}")
       }
     }
-    it("the interleave is a bijection on the 8-bit x 8-bit grid") {
+    it("the production interleave matches an independent reference on " +
+      "the full 8-bit x 8-bit grid (and is therefore a bijection)") {
+      // independent reference implementation — shifts and ORs, written
+      // differently from morton8's multiply-and-sum column expression
       def mortonRef(x: Int, y: Int): Long =
         (0 until 8).map { i =>
           (((x >> i) & 1).toLong << (2 * i)) |
             (((y >> i) & 1).toLong << (2 * i + 1))
         }.sum
-      val pts = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
-      // s9's column expression is private to ScaleQueries; spot-check the
-      // query end-to-end instead: distinct zcells of a 16x16 tile all map
-      // to the same cell id under >>8 iff x>>4 == y>>4 == tile coords.
-      assert(pts.map { case (x, y) => mortonRef(x.toInt, y.toInt) }
-        .distinct.size == 256, "reference interleave must be injective")
-      // every point of one 16x16 tile shares one zkey>>8 cell
-      val cellIds = pts.map { case (x, y) =>
-        mortonRef(x.toInt, y.toInt) >> 8 }.distinct
-      assert(cellIds == Seq(0L), s"tile split across cells: $cellIds")
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val pts = for (x <- 0 until 256; y <- 0 until 256) yield (x.toLong, y.toLong)
+      // evaluate the PRODUCTION column expression (the one s9 uses) over
+      // every grid point and compare value-for-value
+      val got = pts.toDF("x", "y")
+        .withColumn("z", ScaleQueries.morton8(col("x"), col("y")))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      pts.foreach { case (x, y) =>
+        assert(got((x, y)) == mortonRef(x.toInt, y.toInt),
+          s"morton8($x, $y) diverged from the reference")
+      }
+      // bijection follows: 65536 distinct inputs → 65536 distinct refs
+      assert(got.values.toSet.size == 65536)
     }
   }
 }

@@ -94,6 +94,22 @@ object GraphAnalytics {
       .orderBy("suppkey")
   }
 
+  /** Same components as `coBindingComponents`, computed by the pure
+    * DataFrame large-star/small-star loop (operators/DataFrameCC) instead
+    * of GraphX — the fact-sized-edge-list path (see DataFrameCC's scaladoc
+    * for when each applies). Identical output by construction: both label
+    * with the component's minimum id, so x1's recursive-CTE oracle checks
+    * this one too.
+    */
+  def coBindingComponentsDF(s: SparkSession, dir: String): DataFrame = {
+    val edges = coBindingPartners(s, dir).filter(col("s1") < col("s2"))
+      .select(col("s1").as("a"), col("s2").as("b")).distinct()
+    val vertices = coBindingPairs(s, dir).select(col("sk").as("id")).distinct()
+    graft.operators.DataFrameCC.components(s, vertices, edges)
+      .withColumnRenamed("node", "suppkey")
+      .orderBy("suppkey")
+  }
+
   /** Per-vertex triangle counts on the top-k co-binding graph: each
     * supplier keeps edges to its k strongest partners (most shared
     * parts, ties by id), edges are canonicalized, and GraphX

@@ -235,6 +235,63 @@ object EventQueries {
         .orderBy("cohort_hr", "age_hr")
     }),
 
+    // E10 — SCD2 (slowly-changing-dimension type-2) interval build from a
+    // change log: each user's event stream collapses consecutive
+    // same-type runs into one row, then each run becomes a validity
+    // interval [valid_from, valid_to) via lead(); the open (current) run
+    // reports valid_to = -1. This is the warehouse-ETL shape behind every
+    // dimension-history table (and the reference's dated REST snapshots —
+    // "which annotation was current when this entry was processed"). Two
+    // windows + one aggregation, all partitioned by user — no self-join,
+    // no driver loop; ordering ties broken by the unique event_id so both
+    // engines see one total order.
+    RQ("e10_scd2_intervals", Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                 FROM events),
+           f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT
+                                     FROM event_type THEN 1 ELSE 0 END AS chg
+                 FROM e WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY us, event_id)),
+           r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+                 FROM f),
+           runs AS (SELECT user_id, run_id, min(event_type) AS event_type,
+                           min(us) AS valid_from_us,
+                           CAST(count(*) AS BIGINT) AS n_events
+                    FROM r GROUP BY 1, 2),
+           iv AS (SELECT user_id, event_type, valid_from_us, n_events,
+                         coalesce(lead(valid_from_us) OVER (
+                           PARTITION BY user_id ORDER BY valid_from_us), -1)
+                           AS valid_to_us
+                  FROM runs)
+      SELECT user_id, event_type, valid_from_us, valid_to_us, n_events,
+             CAST(CASE WHEN valid_to_us = -1 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+      FROM iv ORDER BY user_id, valid_from_us"""))((s, dir) => {
+      val raw = evRaw(s, dir)
+      val e = raw.select(col("user_id"), col("event_id"), col("event_type"),
+        tsToMicros(raw).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val runs = e
+        .withColumn("chg",
+          when(not(lag(col("event_type"), 1).over(w) <=> col("event_type")),
+            1L).otherwise(0L))
+        .withColumn("run_id", sum("chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "run_id")
+        .agg(min("event_type").as("event_type"),
+          min("us").as("valid_from_us"), count(lit(1)).as("n_events"))
+      val wi = Window.partitionBy("user_id").orderBy("valid_from_us")
+      runs
+        .withColumn("valid_to_us",
+          coalesce(lead(col("valid_from_us"), 1).over(wi), lit(-1L)))
+        .select(col("user_id"), col("event_type"), col("valid_from_us"),
+          col("valid_to_us"), col("n_events"),
+          when(col("valid_to_us") === -1L, 1L).otherwise(0L)
+            .as("is_current"))
+        .orderBy("user_id", "valid_from_us")
+    }),
+
     // J — WATERMARKED tumbling-window aggregation under the oracle gate:
     // the events table replayed time-ordered through a MemoryStream into
     // StreamingOps.hourlyCounts (groupBy(window(ts, 1h)) with a 2-hour

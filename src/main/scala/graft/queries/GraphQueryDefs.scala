@@ -43,9 +43,13 @@ object GraphQueryDefs {
       e AS (SELECT DISTINCT least(s1, s2) a, greatest(s1, s2) b FROM top3),
       nodes AS (SELECT DISTINCT l_suppkey sk FROM lineitem)"""
 
-  val defs: Seq[RQ] = Seq(
-
-    RQ("x1_graph_components", Some(s"""
+  /** Min-label-propagation recursive CTE over the capped co-binding
+    * edges — ONE oracle text shared by x1 (GraphX CC) and x6 (DataFrame
+    * large-star/small-star CC): both label every node with its
+    * component's minimum id, so a single SQL mirror checks both
+    * implementations and they cannot silently diverge from each other.
+    */
+  private val componentsOracleSql: String = s"""
       WITH RECURSIVE
       $cappedIncSqlCte,
       e0 AS (SELECT a.sk AS s1, b.sk AS s2
@@ -58,8 +62,20 @@ object GraphQueryDefs {
         UNION
         SELECT e.s2, r.lab FROM reach r JOIN edges e ON e.s1 = r.node)
       SELECT node AS suppkey, CAST(min(lab) AS BIGINT) AS component
-      FROM reach GROUP BY node ORDER BY suppkey"""))((s, dir) =>
+      FROM reach GROUP BY node ORDER BY suppkey"""
+
+  val defs: Seq[RQ] = Seq(
+
+    RQ("x1_graph_components", Some(componentsOracleSql))((s, dir) =>
       GraphAnalytics.coBindingComponents(s, dir)),
+
+    // X6 — the SAME components as x1, computed by the pure-DataFrame
+    // large-star/small-star loop (operators/DataFrameCC) instead of
+    // GraphX: the path for fact-sized edge lists (dedup-cluster graphs at
+    // 100 TB), O(log² n) rounds independent of diameter, every round
+    // inside whole-stage codegen. Shares x1's oracle verbatim.
+    RQ("x6_dataframe_cc", Some(componentsOracleSql))((s, dir) =>
+      GraphAnalytics.coBindingComponentsDF(s, dir)),
 
     RQ("x2_promiscuity_degrees", Some("""
       SELECT l_partkey AS p_partkey,

@@ -402,6 +402,30 @@ object RelationalQueries {
         .agg(countDistinct(col("o_custkey")).as("n_customers"),
           countDistinct(col("o_orderkey")).as("n_orders"))),
 
+    // D16 — HLL++ approximate distinct under an error GATE: the sketch
+    // value itself is engine-specific (Spark's HLL++ vs DuckDB's
+    // ApproxCountDistinct use different registers), so it can never
+    // hash-match an oracle — what CAN be gated exactly is the exact
+    // count plus a boolean "the sketch landed within 10% relative
+    // error" (rsd = 2%, so 10% is a ≥5σ bound — a deterministic pass on
+    // real data, same gate discipline as v5's ANN recall). At 100 TB the
+    // sketch is the point: approx_count_distinct is one mergeable
+    // 4 KB register set per group — no distinct-Expand shuffle, no
+    // per-key state proportional to cardinality.
+    RQ("d16_hll_gate", Some("""
+      SELECT o_orderpriority,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+             CAST(1 AS BIGINT) AS approx_ok
+      FROM orders GROUP BY 1 ORDER BY o_orderpriority"""))((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))
+        .select(col("o_orderpriority"), col("n_exact"),
+          when(abs(col("n_approx") - col("n_exact")).cast("double")
+            <= col("n_exact").cast("double") * 0.1, 1L).otherwise(0L)
+            .as("approx_ok"))
+        .orderBy("o_orderpriority")),
+
     // D9 — list-concat agg: flatten(collect_list) (get_ec_information.py:458)
     RQ("d9_flatten_agg", Some("""
       SELECT p_brand,

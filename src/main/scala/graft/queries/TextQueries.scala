@@ -581,6 +581,62 @@ object TextQueries {
           n = 3, maxDf = 5, threshold = 0.8)
         .orderBy("doc_a", "doc_b")),
 
+    // T32 — temperature-weighted corpus mixing: each source's sampling
+    // rate is (token_share)^(1/T) of the largest source, T = 2 (the
+    // sqrt-scaling multilingual/multi-domain LM runs use to flatten the
+    // head without starving the tail). The keep decision is a
+    // deterministic md5-threshold compare — the per-source rate becomes
+    // an 8-hex-digit threshold (floor(p·2³²) in hex) compared against the
+    // doc-id digest PREFIX as a string, so both engines make bit-identical
+    // decisions with no float-vs-hash conversion anywhere (p itself is
+    // one exact division + one IEEE sqrt, identical across engines).
+    // Scale shape: the per-source rate table is tiny and broadcast back;
+    // the corpus is touched once, no shuffle on the doc side.
+    RQ("t32_weighted_mix", Some("""
+      WITH d AS (SELECT doc_id, source, len(str_split(text, ' ')) AS n_tok
+                 FROM documents),
+           c AS (SELECT source, sum(n_tok) AS n_toks FROM d GROUP BY 1),
+           m AS (SELECT max(n_toks) AS maxt FROM c),
+           r AS (SELECT c.source,
+                        sqrt(c.n_toks::DOUBLE / m.maxt::DOUBLE) AS p,
+                        lower(lpad(hex(CAST(least(floor(
+                          sqrt(c.n_toks::DOUBLE / m.maxt::DOUBLE)
+                            * 4294967296.0), 4294967295.0) AS BIGINT)),
+                          8, '0')) AS thr
+                 FROM c CROSS JOIN m),
+           f AS (SELECT d.*, r.p, r.thr,
+                        (r.p >= 1.0 OR
+                         substr(md5(d.doc_id::VARCHAR), 1, 8) < r.thr)
+                          AS keep
+                 FROM d JOIN r USING (source))
+      SELECT source,
+             CAST(max(floor(p * 1000000)) AS BIGINT) AS weight_ppm,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tok_kept
+      FROM f GROUP BY 1 ORDER BY source"""))((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val c = d.groupBy("source").agg(sum("n_tok").as("n_toks"))
+      val m = c.agg(max("n_toks").as("maxt"))
+      val r = c.crossJoin(broadcast(m))
+        .withColumn("p",
+          sqrt(col("n_toks").cast("double") / col("maxt").cast("double")))
+        .withColumn("thr", lower(lpad(hex(
+          least(floor(col("p") * lit(4294967296.0)), lit(4294967295.0))
+            .cast("long")), 8, "0")))
+        .select("source", "p", "thr")
+      d.join(broadcast(r), "source")
+        .withColumn("keep", col("p") >= 1.0 ||
+          substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 8) < col("thr"))
+        .groupBy("source")
+        .agg(max(floor(col("p") * 1000000)).cast("long").as("weight_ppm"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tok_kept"))
+        .orderBy("source")
+    }),
+
     // T15 — corpus TF-IDF keyword extraction: per-doc term frequency ×
     // corpus-level inverse document frequency, top-3 terms per document.
     // The idf is the exact rational N/df (no float log — the score stays

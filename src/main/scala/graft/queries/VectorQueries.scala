@@ -326,6 +326,86 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // V12 — PQ asymmetric-distance search (ADC): the query stays full
+    // precision while the corpus is represented ONLY by its v7 PQ codes —
+    // distance(q, x) ≈ Σⱼ ‖q⁽ʲ⁾ − centroid[codeⱼ(x)]⁽ʲ⁾‖², looked up from
+    // a per-query distance table of |queries|·4·4 entries instead of
+    // touching any corpus vector. This is the search step that makes the
+    // v6/v7/v8 quantization family an actual index: at 100 TB the scan
+    // reads 4 SMALL code columns (slot for 2-bit codes) instead of 256
+    // float bytes/row, the distance table broadcasts, and the join is
+    // code-keyed. The 4 per-subspace doubles are summed in FIXED order
+    // (((d0+d1)+d2)+d3) so the ADC value is bit-identical across engines.
+    RQ("v12_pq_adc_search", Some(s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                 WHERE vec_id < 4),
+           sub AS (SELECT v.vec_id AS n_id, t.j, c.cid,
+                          ${l2sqSql("v.embedding[t.j*16+1 : t.j*16+16]",
+                                    "c.cv[t.j*16+1 : t.j*16+16]")} AS d2
+                   FROM embeddings v, c, unnest([0,1,2,3]) AS t(j)),
+           codes AS (SELECT n_id, j, cid FROM (
+                       SELECT *, row_number() OVER (PARTITION BY n_id, j
+                         ORDER BY d2, cid) AS rn FROM sub) WHERE rn = 1),
+           q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 5),
+           dtab AS (SELECT q.q_id, t.j, c.cid,
+                           ${l2sqSql("q.qv[t.j*16+1 : t.j*16+16]",
+                                     "c.cv[t.j*16+1 : t.j*16+16]")} AS d2
+                    FROM q, c, unnest([0,1,2,3]) AS t(j)),
+           per AS (SELECT dtab.q_id, codes.n_id, dtab.j, dtab.d2
+                   FROM codes JOIN dtab
+                     ON dtab.j = codes.j AND dtab.cid = codes.cid
+                   WHERE codes.n_id <> dtab.q_id),
+           acc AS (SELECT q_id, n_id,
+                          max(CASE WHEN j = 0 THEN d2 END) AS d0,
+                          max(CASE WHEN j = 1 THEN d2 END) AS d1,
+                          max(CASE WHEN j = 2 THEN d2 END) AS d2_,
+                          max(CASE WHEN j = 3 THEN d2 END) AS d3
+                   FROM per GROUP BY 1, 2),
+           a AS (SELECT q_id, n_id, ((d0 + d1) + d2_) + d3 AS adc FROM acc),
+           r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY adc, n_id) AS rnk FROM a)
+      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, adc
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))((s, dir) => {
+      val e = emb(s, dir)
+      val cents2 = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val codes = e.select(col("vec_id").as("n_id"), col("embedding"))
+        .crossJoin(broadcast(cents2))
+        .select(col("n_id"), col("cid"),
+          explode(sequence(lit(0), lit(3))).as("j"),
+          col("embedding"), col("cv"))
+        .withColumn("d2", expr(l2sqExpr(
+          "slice(embedding, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("n_id", "j").orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select("n_id", "j", "cid")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val dtab = q.crossJoin(broadcast(cents2))
+        .select(col("q_id"), col("cid"),
+          explode(sequence(lit(0), lit(3))).as("j"), col("qv"), col("cv"))
+        .withColumn("d2", expr(l2sqExpr(
+          "slice(qv, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
+        .select("q_id", "j", "cid", "d2")
+      codes.join(broadcast(dtab), Seq("j", "cid"))
+        .filter(col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(max(when(col("j") === 0, col("d2"))).as("d0"),
+          max(when(col("j") === 1, col("d2"))).as("d1"),
+          max(when(col("j") === 2, col("d2"))).as("d2_"),
+          max(when(col("j") === 3, col("d2"))).as("d3"))
+        .withColumn("adc",
+          ((col("d0") + col("d1")) + col("d2_")) + col("d3"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("adc"), col("n_id")))
+          .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "n_id", "rnk", "adc")
+        .orderBy("q_id", "rnk")
+    }),
+
     // V9 — multiprobe IVF ANN: like v3, but the query searches its TWO
     // nearest cells (nprobe=2) instead of only its own — the standard
     // recall lever when a query lands near a cell boundary. Corpus

@@ -194,6 +194,7 @@ class PlanAuditSpec extends SparkSpec {
       "t15_tfidf_keywords" -> "single-row N-docs cross",
       "t16_vocab_zipf" -> "single-row token-total cross",
       "t17_stratified_sample" -> "single-row corpus-total cross",
+      "t32_weighted_mix" -> "single-row max-source-total cross",
       // the documented brute-force ANN BASELINE: the (small) query set is
       // broadcast against the corpus — v2/v3 are the scale path
       "v1_ann_brute_topk" -> "broadcast query-set × corpus by design",
@@ -204,6 +205,9 @@ class PlanAuditSpec extends SparkSpec {
       "v5_ann_recall" -> "brute-force truth side of the recall gate",
       // 256-codeword PQ codebook broadcast per subspace
       "v7_pq_codes" -> "broadcast codebook assignment",
+      // the same broadcast codebook cross twice: corpus-side code
+      // assignment + the per-query distance-table build (4·4 rows/query)
+      "v12_pq_adc_search" -> "broadcast codebook assignment + ADC table",
       // partial-EC PREFIX match (startswith) against the EC hierarchy
       // dimension — non-equi by semantics, broadcast side is the dim
       "c9_prefix_expand" -> "broadcast EC-dim prefix join")

@@ -71,6 +71,34 @@ object EventQueries {
              CAST(count(*) AS BIGINT) AS n_events
       FROM x GROUP BY 1 ORDER BY user_id"""
 
+  /** The SCD2 interval-build oracle — shared verbatim by the batch
+    * two-window form (e10) and the stateful streaming replay (j11), which
+    * must agree by construction (same discipline as sessionizeOracleSql).
+    */
+  private[queries] val scd2OracleSql: String = """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                 FROM events),
+           f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT
+                                     FROM event_type THEN 1 ELSE 0 END AS chg
+                 FROM e WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY us, event_id)),
+           r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+                 FROM f),
+           runs AS (SELECT user_id, run_id, min(event_type) AS event_type,
+                           min(us) AS valid_from_us,
+                           CAST(count(*) AS BIGINT) AS n_events
+                    FROM r GROUP BY 1, 2),
+           iv AS (SELECT user_id, event_type, valid_from_us, n_events,
+                         coalesce(lead(valid_from_us) OVER (
+                           PARTITION BY user_id ORDER BY valid_from_us), -1)
+                           AS valid_to_us
+                  FROM runs)
+      SELECT user_id, event_type, valid_from_us, valid_to_us, n_events,
+             CAST(CASE WHEN valid_to_us = -1 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+      FROM iv ORDER BY user_id, valid_from_us"""
+
   /** The stream-stream join's range condition — ONE definition shared by
     * j8 (inner), j9 (left outer), and the batch-parity spec: a width or
     * column change cannot make the two streaming joins answer different
@@ -245,29 +273,7 @@ object EventQueries {
     // windows + one aggregation, all partitioned by user — no self-join,
     // no driver loop; ordering ties broken by the unique event_id so both
     // engines see one total order.
-    RQ("e10_scd2_intervals", Some("""
-      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-                 FROM events),
-           f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT
-                                     FROM event_type THEN 1 ELSE 0 END AS chg
-                 FROM e WINDOW w AS (PARTITION BY user_id
-                                     ORDER BY us, event_id)),
-           r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
-                   ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS run_id
-                 FROM f),
-           runs AS (SELECT user_id, run_id, min(event_type) AS event_type,
-                           min(us) AS valid_from_us,
-                           CAST(count(*) AS BIGINT) AS n_events
-                    FROM r GROUP BY 1, 2),
-           iv AS (SELECT user_id, event_type, valid_from_us, n_events,
-                         coalesce(lead(valid_from_us) OVER (
-                           PARTITION BY user_id ORDER BY valid_from_us), -1)
-                           AS valid_to_us
-                  FROM runs)
-      SELECT user_id, event_type, valid_from_us, valid_to_us, n_events,
-             CAST(CASE WHEN valid_to_us = -1 THEN 1 ELSE 0 END AS BIGINT)
-               AS is_current
-      FROM iv ORDER BY user_id, valid_from_us"""))((s, dir) => {
+    RQ("e10_scd2_intervals", Some(scd2OracleSql))((s, dir) => {
       val raw = evRaw(s, dir)
       val e = raw.select(col("user_id"), col("event_id"), col("event_type"),
         tsToMicros(raw).as("us"))
@@ -285,6 +291,39 @@ object EventQueries {
       runs
         .withColumn("valid_to_us",
           coalesce(lead(col("valid_from_us"), 1).over(wi), lit(-1L)))
+        .select(col("user_id"), col("event_type"), col("valid_from_us"),
+          col("valid_to_us"), col("n_events"),
+          when(col("valid_to_us") === -1L, 1L).otherwise(0L)
+            .as("is_current"))
+        .orderBy("user_id", "valid_from_us")
+    }),
+
+    // J11 — the SAME SCD2 dimension-history table maintained AT INGESTION:
+    // StreamingOps.scd2Intervals folds each user's type runs in
+    // flatMapGroupsWithState state; a type change emits the closed
+    // interval once (final), the open run re-emits as an is_current
+    // snapshot each batch, and the update-mode sink is resolved to the
+    // latest row per (user, valid_from) — valid_to_us moves only
+    // -1 → close time and n_events only grows, so max() per key IS the
+    // final state. Oracle = e10's batch rebuild, shared verbatim: the
+    // stream-maintained table must equal the full-log rebuild exactly
+    // (the t6/j6 batching-invariance discipline).
+    RQ("j11_stream_scd2", Some(scd2OracleSql))((s, dir) => {
+      import s.implicits._
+      val raw = evRaw(s, dir)
+      val data = raw
+        .select(col("user_id"), tsToMicros(raw).as("us"), col("event_id"),
+          col("event_type"))
+        .orderBy("us", "event_id")
+        .as[(Long, Long, Long, String)].collect()
+      Replay.chunked(s, data.toSeq, 4, statePartitions = Some(8))(ds =>
+        graft.streaming.StreamingOps.scd2Intervals(ds)
+          .toDF().writeStream.format("memory").queryName("j11_scd2")
+          .outputMode("update").start())
+      s.table("j11_scd2").groupBy("user_id", "valid_from_us")
+        .agg(min("event_type").as("event_type"),
+          max("valid_to_us").as("valid_to_us"),
+          max("n_events").as("n_events"))
         .select(col("user_id"), col("event_type"), col("valid_from_us"),
           col("valid_to_us"), col("n_events"),
           when(col("valid_to_us") === -1L, 1L).otherwise(0L)

@@ -88,6 +88,73 @@ object StreamingOps {
       }
   }
 
+  /** Per-user open-run state for scd2Intervals: the current type run plus
+    * the last processed (us, event_id) high-water mark for late-drop.
+    */
+  final case class Scd2State(curType: String, validFrom: Long,
+                             nEvents: Long, lastUs: Long, lastId: Long)
+  final case class Scd2Row(user_id: Long, event_type: String,
+                           valid_from_us: Long, valid_to_us: Long,
+                           n_events: Long, is_current: Long)
+
+  /** Streaming SCD2 interval build — the stateful form of the
+    * e10_scd2_intervals batch query: per user, consecutive same-type
+    * event runs become validity intervals; a type change CLOSES the open
+    * interval (valid_to = the new run's start, final — emitted once,
+    * never revised) and the still-open run is emitted each batch as an
+    * is_current=1 snapshot with valid_to = -1 (update semantics: the
+    * consumer keeps the latest row per (user, valid_from)). This is the
+    * dimension-history table maintained AT INGESTION — the batch query
+    * rebuilds it from the full log, this keeps it current per
+    * micro-batch with one small state record per user.
+    *
+    * Late rows (at or below the state's (us, event_id) high-water) are
+    * dropped, same contract as sessionizeByGap: processing one would
+    * retroactively split an already-closed interval. Out-of-order rows
+    * INSIDE a batch are sorted before folding.
+    *
+    * State is one fixed-size record per user — no TTL by default
+    * (evicting a user's open run would restart its history mid-stream);
+    * an unbounded user space bounds it upstream, as with quotaAdmit.
+    */
+  def scd2Intervals(events: Dataset[(Long, Long, Long, String)])
+      : Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[Scd2State]) =>
+          var stOpt = state.getOption
+          val fresh = rows
+            .filter(r => stOpt.forall(st =>
+              r._2 > st.lastUs || (r._2 == st.lastUs && r._3 > st.lastId)))
+            .toSeq.sortBy(r => (r._2, r._3))
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val out = Seq.newBuilder[Scd2Row]
+            fresh.foreach { case (_, us, id, typ) =>
+              stOpt match {
+                case None =>
+                  stOpt = Some(Scd2State(typ, us, 1L, us, id))
+                case Some(st) if st.curType == typ =>
+                  stOpt = Some(st.copy(nEvents = st.nEvents + 1L,
+                    lastUs = us, lastId = id))
+                case Some(st) =>
+                  out += Scd2Row(user, st.curType, st.validFrom, us,
+                    st.nEvents, 0L)
+                  stOpt = Some(Scd2State(typ, us, 1L, us, id))
+              }
+            }
+            val st = stOpt.get
+            state.update(st)
+            out += Scd2Row(user, st.curType, st.validFrom, -1L,
+              st.nEvents, 1L)
+            out.result().iterator
+          }
+      }
+  }
+
   /** An admitted (source, doc) row from quotaAdmit. */
   final case class Admitted(source: String, doc_id: Long)
 

@@ -71,6 +71,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("scd2Intervals (flatMapGroupsWithState)") {
+    // (user, us, event_id, type) — user 1: A,A,B,A runs; user 2: one run
+    val scd2Data = Seq(
+      (1L, 100L, 1L, "A"), (1L, 200L, 2L, "A"), (1L, 300L, 3L, "B"),
+      (1L, 400L, 4L, "A"), (2L, 150L, 5L, "C"))
+
+    def runScd2(chunks: Int, name: String) = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val q = StreamingOps.scd2Intervals(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        scd2Data.grouped(scd2Data.length / chunks + 1).foreach { c =>
+          mem.addData(c: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name).groupBy("user_id", "valid_from_us")
+        .agg(min("event_type").as("event_type"),
+          max("valid_to_us").as("valid_to_us"),
+          max("n_events").as("n_events"))
+        .orderBy("user_id", "valid_from_us")
+        .as[(Long, Long, String, Long, Long)].collect().toSeq
+    }
+
+    it("closes intervals on type change and keeps the open run current") {
+      val got = runScd2(1, "scd2_one")
+      assert(got === Seq(
+        (1L, 100L, "A", 300L, 2L), (1L, 300L, "B", 400L, 1L),
+        (1L, 400L, "A", -1L, 1L), (2L, 150L, "C", -1L, 1L)))
+    }
+
+    it("is batching-invariant: per-event micro-batches give the same table") {
+      assert(runScd2(5, "scd2_many") === runScd2(1, "scd2_again"))
+    }
+
+    it("drops late rows behind the per-user high-water mark") {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val q = StreamingOps.scd2Intervals(mem.toDS())
+        .writeStream.format("memory").queryName("scd2_late")
+        .outputMode("update").start()
+      try {
+        mem.addData((1L, 100L, 1L, "A"), (1L, 300L, 3L, "B"))
+        q.processAllAvailable()
+        // us=200 arrives AFTER us=300 was processed — splitting the
+        // closed A-run retroactively would corrupt the history; dropped
+        mem.addData((1L, 200L, 2L, "A"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("scd2_late").groupBy("user_id", "valid_from_us")
+        .agg(max("valid_to_us").as("valid_to_us"),
+          max("n_events").as("n_events"))
+        .orderBy("valid_from_us")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 100L, 300L, 1L), (1L, 300L, -1L, 1L)))
+    }
+  }
+
   describe("newPairsAgainstCache") {
     it("anti-joins the cache exactly like the reference's to-calculate split") {
       val cache = Seq("a|x", "b|y").toDF("pair_key")

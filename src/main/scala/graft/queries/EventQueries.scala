@@ -331,6 +331,57 @@ object EventQueries {
         .orderBy("user_id", "valid_from_us")
     }),
 
+    // E11 — conversion funnel: first view → first qualifying click within
+    // 24 h → first qualifying purchase within 24 h of that click, per
+    // user. Each stage is a typed filter joined to the PREVIOUS stage's
+    // (dimension-sized, one row per user) anchor and re-aggregated — the
+    // sequential-dependency shape a single window pass cannot express
+    // (stage N's window anchors on stage N-1's result). Unreached stages
+    // report -1; `stages` is the funnel depth the dashboard bars chart.
+    // Scale: the fact side is touched once per stage pre-filtered by
+    // type, and every join is user-keyed against a per-user aggregate.
+    RQ("e11_funnel", Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           v AS (SELECT user_id, min(us) AS v_us FROM e
+                 WHERE event_type = 'view' GROUP BY 1),
+           c AS (SELECT e.user_id AS user_id, min(e.us) AS c_us
+                 FROM e JOIN v ON v.user_id = e.user_id
+                 WHERE e.event_type = 'click' AND e.us > v.v_us
+                   AND e.us <= v.v_us + 86400000000 GROUP BY 1),
+           p AS (SELECT e.user_id AS user_id, min(e.us) AS p_us
+                 FROM e JOIN c ON c.user_id = e.user_id
+                 WHERE e.event_type = 'purchase' AND e.us > c.c_us
+                   AND e.us <= c.c_us + 86400000000 GROUP BY 1)
+      SELECT v.user_id, v.v_us, coalesce(c.c_us, -1) AS c_us,
+             coalesce(p.p_us, -1) AS p_us,
+             CAST(1 + (c.c_us IS NOT NULL)::INT + (p.p_us IS NOT NULL)::INT
+               AS BIGINT) AS stages
+      FROM v LEFT JOIN c ON c.user_id = v.user_id
+             LEFT JOIN p ON p.user_id = v.user_id
+      ORDER BY v.user_id"""))((s, dir) => {
+      val raw = evRaw(s, dir)
+      val e = raw.select(col("user_id"), col("event_type"),
+        tsToMicros(raw).as("us"))
+      val dayUs = 86400000000L
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") > col("v_us") &&
+          col("us") <= col("v_us") + dayUs)
+        .groupBy("user_id").agg(min("us").as("c_us"))
+      val pp = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") > col("c_us") &&
+          col("us") <= col("c_us") + dayUs)
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      v.join(c, Seq("user_id"), "left").join(pp, Seq("user_id"), "left")
+        .select(col("user_id"), col("v_us"),
+          coalesce(col("c_us"), lit(-1L)).as("c_us"),
+          coalesce(col("p_us"), lit(-1L)).as("p_us"),
+          (lit(1L) + when(col("c_us").isNotNull, 1L).otherwise(0L) +
+            when(col("p_us").isNotNull, 1L).otherwise(0L)).as("stages"))
+        .orderBy("user_id")
+    }),
+
     // J — WATERMARKED tumbling-window aggregation under the oracle gate:
     // the events table replayed time-ordered through a MemoryStream into
     // StreamingOps.hourlyCounts (groupBy(window(ts, 1h)) with a 2-hour

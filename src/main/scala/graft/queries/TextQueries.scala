@@ -637,6 +637,47 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // T34 — proportional epoch interleave: the deterministic global
+    // training order in which every source's documents appear evenly
+    // spread (source k's i-th doc at fractional position (2i+1)/2nₖ —
+    // the low-discrepancy interleave), with a per-source md5 shuffle
+    // first. This is the "data ordering" step after mixing (t32):
+    // training runs consume a SINGLE stable order, not per-source files.
+    // Position is one exact IEEE division (bit-identical both engines);
+    // the global rank comes from a range-partitioned RDD sort +
+    // zipWithIndex — t22's discipline, NEVER a single-partition window
+    // over the corpus.
+    RQ("t34_epoch_interleave", Some("""
+      WITH r AS (SELECT doc_id, source,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS i,
+                        count(*) OVER (PARTITION BY source) AS n_s
+                 FROM documents),
+           p AS (SELECT doc_id, source,
+                        (2*i + 1)::DOUBLE / (2*n_s)::DOUBLE AS pos FROM r)
+      SELECT row_number() OVER (ORDER BY pos, source, doc_id) - 1
+               AS epoch_pos,
+             doc_id, source
+      FROM p ORDER BY epoch_pos"""))((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))
+      val p = docs(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("i", row_number().over(w).cast("long") - 1L)
+        .withColumn("n_s",
+          count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("pos", (col("i") * 2 + 1).cast("double") /
+          (col("n_s") * 2).cast("double"))
+      p.select(col("pos"), col("source"), col("doc_id"))
+        .as[(Double, String, Long)].rdd
+        .sortBy(identity)
+        .zipWithIndex()
+        .map { case ((_, src, id), rk) => (rk, id, src) }
+        .toDF("epoch_pos", "doc_id", "source")
+        .orderBy("epoch_pos")
+    }),
+
     // T15 — corpus TF-IDF keyword extraction: per-doc term frequency ×
     // corpus-level inverse document frequency, top-3 terms per document.
     // The idf is the exact rational N/df (no float log — the score stays

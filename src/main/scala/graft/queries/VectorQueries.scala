@@ -406,6 +406,111 @@ object VectorQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // V13 — IVF-PQ: the production composition of the whole quantization
+    // family — IVF cell restriction (v3's coarse quantizer) prunes the
+    // candidate set to the query's cell, then PQ asymmetric distance
+    // (v12's broadcast table over v7's codes) ranks WITHIN the cell
+    // without touching a single corpus vector. At 100 TB this is the
+    // FAISS IVFPQ layout as a Spark plan: the index table is
+    // (cell, code0..3) — cell-partitioned for pruning, codes for
+    // compressed-domain ranking; scan cost per query is |cell|/N of the
+    // corpus and bytes-per-row is 4 codes.
+    RQ("v13_ivfpq_search", Some(s"""
+      WITH cells AS (SELECT vec_id AS cell_id, embedding AS cellv
+                     FROM embeddings WHERE vec_id < 8),
+           asg AS (SELECT n_id, cell_id FROM (
+             SELECT n.vec_id AS n_id, cells.cell_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${cosSql("n.embedding", "cells.cellv")} DESC,
+                               cells.cell_id) AS rn
+             FROM embeddings n, cells) WHERE rn = 1),
+           c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                 WHERE vec_id < 4),
+           sub AS (SELECT v.vec_id AS n_id, t.j, c.cid,
+                          ${l2sqSql("v.embedding[t.j*16+1 : t.j*16+16]",
+                                    "c.cv[t.j*16+1 : t.j*16+16]")} AS d2
+                   FROM embeddings v, c, unnest([0,1,2,3]) AS t(j)),
+           codes AS (SELECT n_id, j, cid FROM (
+                       SELECT *, row_number() OVER (PARTITION BY n_id, j
+                         ORDER BY d2, cid) AS rn FROM sub) WHERE rn = 1),
+           q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 5),
+           qa AS (SELECT q.q_id, q.qv, a.cell_id FROM q
+                  JOIN asg a ON a.n_id = q.q_id),
+           dtab AS (SELECT q.q_id, t.j, c.cid,
+                           ${l2sqSql("q.qv[t.j*16+1 : t.j*16+16]",
+                                     "c.cv[t.j*16+1 : t.j*16+16]")} AS d2
+                    FROM q, c, unnest([0,1,2,3]) AS t(j)),
+           cand AS (SELECT qa.q_id, a.n_id FROM qa
+                    JOIN asg a ON a.cell_id = qa.cell_id
+                    WHERE a.n_id <> qa.q_id),
+           per AS (SELECT cand.q_id, cand.n_id, codes.j, dtab.d2
+                   FROM cand JOIN codes ON codes.n_id = cand.n_id
+                   JOIN dtab ON dtab.q_id = cand.q_id
+                     AND dtab.j = codes.j AND dtab.cid = codes.cid),
+           acc AS (SELECT q_id, n_id,
+                          max(CASE WHEN j = 0 THEN d2 END) AS d0,
+                          max(CASE WHEN j = 1 THEN d2 END) AS d1,
+                          max(CASE WHEN j = 2 THEN d2 END) AS d2_,
+                          max(CASE WHEN j = 3 THEN d2 END) AS d3
+                   FROM per GROUP BY 1, 2),
+           a AS (SELECT q_id, n_id, ((d0 + d1) + d2_) + d3 AS adc FROM acc),
+           r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY adc, n_id) AS rnk FROM a)
+      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, adc
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))((s, dir) => {
+      val e = emb(s, dir)
+      val cells = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cellv"))
+      val asg = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .crossJoin(broadcast(cells))
+        .withColumn("rn", row_number().over(Window.partitionBy("n_id")
+          .orderBy(cosine(col("nv"), col("cellv")).desc, col("cell_id"))))
+        .filter(col("rn") === 1)
+        .select("n_id", "cell_id")
+      val pqCents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val codes = e.select(col("vec_id").as("n_id"), col("embedding"))
+        .crossJoin(broadcast(pqCents))
+        .select(col("n_id"), col("cid"),
+          explode(sequence(lit(0), lit(3))).as("j"),
+          col("embedding"), col("cv"))
+        .withColumn("d2", expr(l2sqExpr(
+          "slice(embedding, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("n_id", "j").orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select("n_id", "j", "cid")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val qa = q.join(asg.withColumnRenamed("n_id", "q_id"), "q_id")
+        .select("q_id", "cell_id")
+      val dtab = q.crossJoin(broadcast(pqCents))
+        .select(col("q_id"), col("cid"),
+          explode(sequence(lit(0), lit(3))).as("j"), col("qv"), col("cv"))
+        .withColumn("d2", expr(l2sqExpr(
+          "slice(qv, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
+        .select("q_id", "j", "cid", "d2")
+      val cand = qa.join(asg, "cell_id")
+        .filter(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id")
+      cand.join(codes, "n_id")
+        .join(broadcast(dtab), Seq("q_id", "j", "cid"))
+        .groupBy("q_id", "n_id")
+        .agg(max(when(col("j") === 0, col("d2"))).as("d0"),
+          max(when(col("j") === 1, col("d2"))).as("d1"),
+          max(when(col("j") === 2, col("d2"))).as("d2_"),
+          max(when(col("j") === 3, col("d2"))).as("d3"))
+        .withColumn("adc",
+          ((col("d0") + col("d1")) + col("d2_")) + col("d3"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("adc"), col("n_id")))
+          .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "n_id", "rnk", "adc")
+        .orderBy("q_id", "rnk")
+    }),
+
     // V9 — multiprobe IVF ANN: like v3, but the query searches its TWO
     // nearest cells (nprobe=2) instead of only its own — the standard
     // recall lever when a query lands near a cell boundary. Corpus

@@ -208,6 +208,9 @@ class PlanAuditSpec extends SparkSpec {
       // the same broadcast codebook cross twice: corpus-side code
       // assignment + the per-query distance-table build (4·4 rows/query)
       "v12_pq_adc_search" -> "broadcast codebook assignment + ADC table",
+      // IVF-PQ composes both sanctioned crosses: cell-centroid probe
+      // (v3's) + PQ codebook assignment/distance table (v12's)
+      "v13_ivfpq_search" -> "broadcast cell probe + codebook + ADC table",
       // partial-EC PREFIX match (startswith) against the EC hierarchy
       // dimension — non-equi by semantics, broadcast side is the dim
       "c9_prefix_expand" -> "broadcast EC-dim prefix join")

@@ -62,6 +62,13 @@ object DataFrameCC {
       .distinct()
       .localCheckpoint(true)
 
+    // Superseded rounds' checkpoint blocks are reclaimed by the
+    // ContextCleaner once the old Dataset is unreferenced (and by the
+    // mains' between-family CacheHygiene sweeps) — Dataset.unpersist
+    // would be a no-op here, since localCheckpoint blocks live outside
+    // the CacheManager. At most MaxRounds dimension-bounded edge
+    // snapshots exist transiently; a reliable-checkpoint deployment
+    // deletes each round's directory explicitly instead.
     var converged = false
     var rounds = 0
     var prev = checksum(e)
@@ -70,19 +77,20 @@ object DataFrameCC {
       val sum = checksum(next)
       converged = sum == prev
       prev = sum
-      e.unpersist(false)
       e = next
       rounds += 1
     }
+    // a silent non-fixpoint would return wrong components to ANY caller
+    // (only registered queries get the oracle gate) — fail loudly instead
+    require(converged,
+      s"DataFrameCC did not reach a star fixpoint within $MaxRounds rounds")
 
     // fixpoint stars: each non-root u points at its root v (min over the
     // star edges guards the theoretical no-op case of a duplicate u)
     val lab = e.groupBy(col("u").as("node")).agg(min("v").as("comp"))
-    val out = vertices.select(col("id").as("node"))
+    vertices.select(col("id").as("node"))
       .join(lab, Seq("node"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("component"))
-    e.unpersist(false)
-    out
   }
 
   /** Large-star: for each node u (both edge orientations), m = min of its

@@ -91,7 +91,8 @@ object EventQueries {
                     FROM r GROUP BY 1, 2),
            iv AS (SELECT user_id, event_type, valid_from_us, n_events,
                          coalesce(lead(valid_from_us) OVER (
-                           PARTITION BY user_id ORDER BY valid_from_us), -1)
+                           PARTITION BY user_id
+                           ORDER BY valid_from_us, run_id), -1)
                            AS valid_to_us
                   FROM runs)
       SELECT user_id, event_type, valid_from_us, valid_to_us, n_events,
@@ -287,7 +288,11 @@ object EventQueries {
         .groupBy("user_id", "run_id")
         .agg(min("event_type").as("event_type"),
           min("us").as("valid_from_us"), count(lit(1)).as("n_events"))
-      val wi = Window.partitionBy("user_id").orderBy("valid_from_us")
+      // run_id tiebreak: two consecutive runs CAN share a start
+      // timestamp (one-event run closed by a same-us later event_id) —
+      // valid_from_us alone would make lead() nondeterministic there
+      val wi = Window.partitionBy("user_id")
+        .orderBy("valid_from_us", "run_id")
       runs
         .withColumn("valid_to_us",
           coalesce(lead(col("valid_from_us"), 1).over(wi), lit(-1L)))
@@ -320,7 +325,10 @@ object EventQueries {
         graft.streaming.StreamingOps.scd2Intervals(ds)
           .toDF().writeStream.format("memory").queryName("j11_scd2")
           .outputMode("update").start())
-      s.table("j11_scd2").groupBy("user_id", "valid_from_us")
+      // resolution key includes run_key (the run-start event_id): two
+      // runs of one user can share valid_from_us under timestamp ties,
+      // and merging them would drop a row the batch rebuild keeps
+      s.table("j11_scd2").groupBy("user_id", "valid_from_us", "run_key")
         .agg(min("event_type").as("event_type"),
           max("valid_to_us").as("valid_to_us"),
           max("n_events").as("n_events"))

@@ -94,6 +94,110 @@ object VectorQueries {
                             x -> (x[1]::DOUBLE - x[2]::DOUBLE) *
                                  (x[1]::DOUBLE - x[2]::DOUBLE)))"""
 
+  // ----- the PQ index fragments, ONE definition each side --------------
+  // v7 (encode), v12 (ADC search), v13 (IVF-PQ) are one index family: the
+  // codebook, the per-(vector, subspace) nearest-codeword assignment, the
+  // per-query distance table, and the fixed-order ADC ranking each exist
+  // exactly once (same discipline as cosSql / sessionizeOracleSql) so a
+  // tiebreak or slice-bound change cannot drift the family apart.
+
+  /** PQ codebook (first 4 vectors) + nearest-codeword assignment CTEs:
+    * yields `c(cid, cv)` and `codes(n_id, j, cid)`.
+    */
+  private lazy val pqCodesSqlCtes: String = s"""
+      c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id < 4),
+      sub AS (SELECT v.vec_id AS n_id, t.j, c.cid,
+                     ${l2sqSql("v.embedding[t.j*16+1 : t.j*16+16]",
+                               "c.cv[t.j*16+1 : t.j*16+16]")} AS d2
+              FROM embeddings v, c, unnest([0,1,2,3]) AS t(j)),
+      codes AS (SELECT n_id, j, cid FROM (
+                  SELECT *, row_number() OVER (PARTITION BY n_id, j
+                    ORDER BY d2, cid) AS rn FROM sub) WHERE rn = 1)"""
+
+  /** Query set + per-query ADC distance-table CTEs: `q(q_id, qv)` and
+    * `dtab(q_id, j, cid, d2)`. Requires `c` from pqCodesSqlCtes.
+    */
+  private lazy val adcDtabSqlCtes: String = s"""
+      q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 5),
+      dtab AS (SELECT q.q_id, t.j, c.cid,
+                      ${l2sqSql("q.qv[t.j*16+1 : t.j*16+16]",
+                                "c.cv[t.j*16+1 : t.j*16+16]")} AS d2
+               FROM q, c, unnest([0,1,2,3]) AS t(j))"""
+
+  /** Fixed-order ADC sum (((d0+d1)+d2)+d3 — bit-identical across
+    * engines) + per-query top-3; closes a query whose last CTE is
+    * `per(q_id, n_id, j, d2)`.
+    */
+  private val adcRankSqlTail: String = """
+      acc AS (SELECT q_id, n_id,
+                     max(CASE WHEN j = 0 THEN d2 END) AS d0,
+                     max(CASE WHEN j = 1 THEN d2 END) AS d1,
+                     max(CASE WHEN j = 2 THEN d2 END) AS d2_,
+                     max(CASE WHEN j = 3 THEN d2 END) AS d3
+              FROM per GROUP BY 1, 2),
+      a AS (SELECT q_id, n_id, ((d0 + d1) + d2_) + d3 AS adc FROM acc),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY adc, n_id) AS rnk FROM a)
+      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, adc
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
+
+  /** The PQ codebook table: first 4 vectors, `(cid, cv)`, broadcast by
+    * every consumer.
+    */
+  private def pqCents(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
+  /** THE PQ encode: per (vector, subspace) nearest codeword by exact L2²
+    * fold, ties to the lower cid → `(n_id, j, cid)`.
+    */
+  private def pqCodes(e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("n_id"), col("embedding"))
+      .crossJoin(broadcast(pqCents(e)))
+      .select(col("n_id"), col("cid"),
+        explode(sequence(lit(0), lit(3))).as("j"),
+        col("embedding"), col("cv"))
+      .withColumn("d2", expr(l2sqExpr(
+        "slice(embedding, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("n_id", "j").orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select("n_id", "j", "cid")
+
+  /** The 5-query probe set `(q_id, qv)`. */
+  private def adcQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+
+  /** Per-query ADC distance table `(q_id, j, cid, d2)` — |q|·4·4 rows,
+    * broadcast by every consumer.
+    */
+  private def adcTable(e: DataFrame): DataFrame =
+    adcQueries(e).crossJoin(broadcast(pqCents(e)))
+      .select(col("q_id"), col("cid"),
+        explode(sequence(lit(0), lit(3))).as("j"), col("qv"), col("cv"))
+      .withColumn("d2", expr(l2sqExpr(
+        "slice(qv, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
+      .select("q_id", "j", "cid", "d2")
+
+  /** Fixed-order ADC sum + per-query top-3 over `per(q_id, n_id, j, d2)`. */
+  private def adcRank(per: DataFrame): DataFrame =
+    per.groupBy("q_id", "n_id")
+      .agg(max(when(col("j") === 0, col("d2"))).as("d0"),
+        max(when(col("j") === 1, col("d2"))).as("d1"),
+        max(when(col("j") === 2, col("d2"))).as("d2_"),
+        max(when(col("j") === 3, col("d2"))).as("d3"))
+      .withColumn("adc",
+        ((col("d0") + col("d1")) + col("d2_")) + col("d3"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc"), col("n_id")))
+        .cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "n_id", "rnk", "adc")
+      .orderBy("q_id", "rnk")
+
   val defs: Seq[RQ] = Seq(
 
     // V1 — brute-force cosine top-k ANN baseline: 10 query vectors vs all
@@ -290,41 +394,20 @@ object VectorQueries {
     // across engines (same contract as cosSql); the centroid table is
     // broadcast, so cost is one pass over the corpus.
     RQ("v7_pq_codes", Some(s"""
-      WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                 WHERE vec_id < 4),
-           sub AS (SELECT v.vec_id, t.j, c.cid,
-                          ${l2sqSql("v.embedding[t.j*16+1 : t.j*16+16]",
-                                    "c.cv[t.j*16+1 : t.j*16+16]")} AS d2
-                   FROM embeddings v, c, unnest([0,1,2,3]) AS t(j)),
-           r AS (SELECT vec_id, j, cid,
-                        row_number() OVER (PARTITION BY vec_id, j
-                          ORDER BY d2, cid) AS rn
-                 FROM sub)
-      SELECT vec_id,
+      WITH $pqCodesSqlCtes
+      SELECT n_id AS vec_id,
              CAST(max(CASE WHEN j = 0 THEN cid END) AS BIGINT) AS c0,
              CAST(max(CASE WHEN j = 1 THEN cid END) AS BIGINT) AS c1,
              CAST(max(CASE WHEN j = 2 THEN cid END) AS BIGINT) AS c2,
              CAST(max(CASE WHEN j = 3 THEN cid END) AS BIGINT) AS c3
-      FROM r WHERE rn = 1 GROUP BY 1 ORDER BY vec_id"""))((s, dir) => {
-      val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val subs = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          explode(sequence(lit(0), lit(3))).as("j"),
-          col("embedding"), col("cv"))
-        .withColumn("d2", expr(l2sqExpr(
-          "slice(embedding, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
-      val r = subs.withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("cid"))))
-        .filter(col("rn") === 1)
-      r.groupBy("vec_id").agg(
+      FROM codes GROUP BY 1 ORDER BY vec_id"""))((s, dir) =>
+      pqCodes(emb(s, dir))
+        .groupBy(col("n_id").as("vec_id")).agg(
           max(when(col("j") === 0, col("cid"))).as("c0"),
           max(when(col("j") === 1, col("cid"))).as("c1"),
           max(when(col("j") === 2, col("cid"))).as("c2"),
           max(when(col("j") === 3, col("cid"))).as("c3"))
-        .orderBy("vec_id")
-    }),
+        .orderBy("vec_id")),
 
     // V12 — PQ asymmetric-distance search (ADC): the query stays full
     // precision while the corpus is represented ONLY by its v7 PQ codes —
@@ -337,73 +420,17 @@ object VectorQueries {
     // code-keyed. The 4 per-subspace doubles are summed in FIXED order
     // (((d0+d1)+d2)+d3) so the ADC value is bit-identical across engines.
     RQ("v12_pq_adc_search", Some(s"""
-      WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                 WHERE vec_id < 4),
-           sub AS (SELECT v.vec_id AS n_id, t.j, c.cid,
-                          ${l2sqSql("v.embedding[t.j*16+1 : t.j*16+16]",
-                                    "c.cv[t.j*16+1 : t.j*16+16]")} AS d2
-                   FROM embeddings v, c, unnest([0,1,2,3]) AS t(j)),
-           codes AS (SELECT n_id, j, cid FROM (
-                       SELECT *, row_number() OVER (PARTITION BY n_id, j
-                         ORDER BY d2, cid) AS rn FROM sub) WHERE rn = 1),
-           q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-                 WHERE vec_id < 5),
-           dtab AS (SELECT q.q_id, t.j, c.cid,
-                           ${l2sqSql("q.qv[t.j*16+1 : t.j*16+16]",
-                                     "c.cv[t.j*16+1 : t.j*16+16]")} AS d2
-                    FROM q, c, unnest([0,1,2,3]) AS t(j)),
+      WITH $pqCodesSqlCtes,
+           $adcDtabSqlCtes,
            per AS (SELECT dtab.q_id, codes.n_id, dtab.j, dtab.d2
                    FROM codes JOIN dtab
                      ON dtab.j = codes.j AND dtab.cid = codes.cid
                    WHERE codes.n_id <> dtab.q_id),
-           acc AS (SELECT q_id, n_id,
-                          max(CASE WHEN j = 0 THEN d2 END) AS d0,
-                          max(CASE WHEN j = 1 THEN d2 END) AS d1,
-                          max(CASE WHEN j = 2 THEN d2 END) AS d2_,
-                          max(CASE WHEN j = 3 THEN d2 END) AS d3
-                   FROM per GROUP BY 1, 2),
-           a AS (SELECT q_id, n_id, ((d0 + d1) + d2_) + d3 AS adc FROM acc),
-           r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                   ORDER BY adc, n_id) AS rnk FROM a)
-      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, adc
-      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))((s, dir) => {
+           $adcRankSqlTail"""))((s, dir) => {
       val e = emb(s, dir)
-      val cents2 = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val codes = e.select(col("vec_id").as("n_id"), col("embedding"))
-        .crossJoin(broadcast(cents2))
-        .select(col("n_id"), col("cid"),
-          explode(sequence(lit(0), lit(3))).as("j"),
-          col("embedding"), col("cv"))
-        .withColumn("d2", expr(l2sqExpr(
-          "slice(embedding, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("n_id", "j").orderBy(col("d2"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select("n_id", "j", "cid")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val dtab = q.crossJoin(broadcast(cents2))
-        .select(col("q_id"), col("cid"),
-          explode(sequence(lit(0), lit(3))).as("j"), col("qv"), col("cv"))
-        .withColumn("d2", expr(l2sqExpr(
-          "slice(qv, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
-        .select("q_id", "j", "cid", "d2")
-      codes.join(broadcast(dtab), Seq("j", "cid"))
+      adcRank(pqCodes(e).join(broadcast(adcTable(e)), Seq("j", "cid"))
         .filter(col("n_id") =!= col("q_id"))
-        .groupBy("q_id", "n_id")
-        .agg(max(when(col("j") === 0, col("d2"))).as("d0"),
-          max(when(col("j") === 1, col("d2"))).as("d1"),
-          max(when(col("j") === 2, col("d2"))).as("d2_"),
-          max(when(col("j") === 3, col("d2"))).as("d3"))
-        .withColumn("adc",
-          ((col("d0") + col("d1")) + col("d2_")) + col("d3"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("adc"), col("n_id")))
-          .cast("long"))
-        .filter(col("rnk") <= 3)
-        .select("q_id", "n_id", "rnk", "adc")
-        .orderBy("q_id", "rnk")
+        .select("q_id", "n_id", "j", "d2"))
     }),
 
     // V13 — IVF-PQ: the production composition of the whole quantization
@@ -424,23 +451,10 @@ object VectorQueries {
                       ORDER BY ${cosSql("n.embedding", "cells.cellv")} DESC,
                                cells.cell_id) AS rn
              FROM embeddings n, cells) WHERE rn = 1),
-           c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                 WHERE vec_id < 4),
-           sub AS (SELECT v.vec_id AS n_id, t.j, c.cid,
-                          ${l2sqSql("v.embedding[t.j*16+1 : t.j*16+16]",
-                                    "c.cv[t.j*16+1 : t.j*16+16]")} AS d2
-                   FROM embeddings v, c, unnest([0,1,2,3]) AS t(j)),
-           codes AS (SELECT n_id, j, cid FROM (
-                       SELECT *, row_number() OVER (PARTITION BY n_id, j
-                         ORDER BY d2, cid) AS rn FROM sub) WHERE rn = 1),
-           q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-                 WHERE vec_id < 5),
-           qa AS (SELECT q.q_id, q.qv, a.cell_id FROM q
+           $pqCodesSqlCtes,
+           $adcDtabSqlCtes,
+           qa AS (SELECT q.q_id, a.cell_id FROM q
                   JOIN asg a ON a.n_id = q.q_id),
-           dtab AS (SELECT q.q_id, t.j, c.cid,
-                           ${l2sqSql("q.qv[t.j*16+1 : t.j*16+16]",
-                                     "c.cv[t.j*16+1 : t.j*16+16]")} AS d2
-                    FROM q, c, unnest([0,1,2,3]) AS t(j)),
            cand AS (SELECT qa.q_id, a.n_id FROM qa
                     JOIN asg a ON a.cell_id = qa.cell_id
                     WHERE a.n_id <> qa.q_id),
@@ -448,17 +462,7 @@ object VectorQueries {
                    FROM cand JOIN codes ON codes.n_id = cand.n_id
                    JOIN dtab ON dtab.q_id = cand.q_id
                      AND dtab.j = codes.j AND dtab.cid = codes.cid),
-           acc AS (SELECT q_id, n_id,
-                          max(CASE WHEN j = 0 THEN d2 END) AS d0,
-                          max(CASE WHEN j = 1 THEN d2 END) AS d1,
-                          max(CASE WHEN j = 2 THEN d2 END) AS d2_,
-                          max(CASE WHEN j = 3 THEN d2 END) AS d3
-                   FROM per GROUP BY 1, 2),
-           a AS (SELECT q_id, n_id, ((d0 + d1) + d2_) + d3 AS adc FROM acc),
-           r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                   ORDER BY adc, n_id) AS rnk FROM a)
-      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, adc
-      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))((s, dir) => {
+           $adcRankSqlTail"""))((s, dir) => {
       val e = emb(s, dir)
       val cells = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cell_id"), col("embedding").as("cellv"))
@@ -468,47 +472,15 @@ object VectorQueries {
           .orderBy(cosine(col("nv"), col("cellv")).desc, col("cell_id"))))
         .filter(col("rn") === 1)
         .select("n_id", "cell_id")
-      val pqCents = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val codes = e.select(col("vec_id").as("n_id"), col("embedding"))
-        .crossJoin(broadcast(pqCents))
-        .select(col("n_id"), col("cid"),
-          explode(sequence(lit(0), lit(3))).as("j"),
-          col("embedding"), col("cv"))
-        .withColumn("d2", expr(l2sqExpr(
-          "slice(embedding, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("n_id", "j").orderBy(col("d2"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select("n_id", "j", "cid")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val qa = q.join(asg.withColumnRenamed("n_id", "q_id"), "q_id")
+      val qa = adcQueries(e)
+        .join(asg.withColumnRenamed("n_id", "q_id"), "q_id")
         .select("q_id", "cell_id")
-      val dtab = q.crossJoin(broadcast(pqCents))
-        .select(col("q_id"), col("cid"),
-          explode(sequence(lit(0), lit(3))).as("j"), col("qv"), col("cv"))
-        .withColumn("d2", expr(l2sqExpr(
-          "slice(qv, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
-        .select("q_id", "j", "cid", "d2")
       val cand = qa.join(asg, "cell_id")
         .filter(col("n_id") =!= col("q_id"))
         .select("q_id", "n_id")
-      cand.join(codes, "n_id")
-        .join(broadcast(dtab), Seq("q_id", "j", "cid"))
-        .groupBy("q_id", "n_id")
-        .agg(max(when(col("j") === 0, col("d2"))).as("d0"),
-          max(when(col("j") === 1, col("d2"))).as("d1"),
-          max(when(col("j") === 2, col("d2"))).as("d2_"),
-          max(when(col("j") === 3, col("d2"))).as("d3"))
-        .withColumn("adc",
-          ((col("d0") + col("d1")) + col("d2_")) + col("d3"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("adc"), col("n_id")))
-          .cast("long"))
-        .filter(col("rnk") <= 3)
-        .select("q_id", "n_id", "rnk", "adc")
-        .orderBy("q_id", "rnk")
+      adcRank(cand.join(pqCodes(e), "n_id")
+        .join(broadcast(adcTable(e)), Seq("q_id", "j", "cid"))
+        .select("q_id", "n_id", "j", "d2"))
     }),
 
     // V9 — multiprobe IVF ANN: like v3, but the query searches its TWO

@@ -92,10 +92,17 @@ object StreamingOps {
     * the last processed (us, event_id) high-water mark for late-drop.
     */
   final case class Scd2State(curType: String, validFrom: Long,
-                             nEvents: Long, lastUs: Long, lastId: Long)
+                             startId: Long, nEvents: Long,
+                             lastUs: Long, lastId: Long)
+  /** `run_key` is the run-opening row's event_id — the unique-per-run
+    * key that keeps two runs of one user with the SAME start timestamp
+    * distinct in the sink resolution (valid_from_us alone is not a run
+    * identifier under timestamp ties).
+    */
   final case class Scd2Row(user_id: Long, event_type: String,
-                           valid_from_us: Long, valid_to_us: Long,
-                           n_events: Long, is_current: Long)
+                           valid_from_us: Long, run_key: Long,
+                           valid_to_us: Long, n_events: Long,
+                           is_current: Long)
 
   /** Streaming SCD2 interval build — the stateful form of the
     * e10_scd2_intervals batch query: per user, consecutive same-type
@@ -136,20 +143,20 @@ object StreamingOps {
             fresh.foreach { case (_, us, id, typ) =>
               stOpt match {
                 case None =>
-                  stOpt = Some(Scd2State(typ, us, 1L, us, id))
+                  stOpt = Some(Scd2State(typ, us, id, 1L, us, id))
                 case Some(st) if st.curType == typ =>
                   stOpt = Some(st.copy(nEvents = st.nEvents + 1L,
                     lastUs = us, lastId = id))
                 case Some(st) =>
-                  out += Scd2Row(user, st.curType, st.validFrom, us,
-                    st.nEvents, 0L)
-                  stOpt = Some(Scd2State(typ, us, 1L, us, id))
+                  out += Scd2Row(user, st.curType, st.validFrom,
+                    st.startId, us, st.nEvents, 0L)
+                  stOpt = Some(Scd2State(typ, us, id, 1L, us, id))
               }
             }
             val st = stOpt.get
             state.update(st)
-            out += Scd2Row(user, st.curType, st.validFrom, -1L,
-              st.nEvents, 1L)
+            out += Scd2Row(user, st.curType, st.validFrom, st.startId,
+              -1L, st.nEvents, 1L)
             out.result().iterator
           }
       }

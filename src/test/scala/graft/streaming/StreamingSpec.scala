@@ -77,22 +77,29 @@ class StreamingSpec extends SparkSpec {
       (1L, 100L, 1L, "A"), (1L, 200L, 2L, "A"), (1L, 300L, 3L, "B"),
       (1L, 400L, 4L, "A"), (2L, 150L, 5L, "C"))
 
-    def runScd2(chunks: Int, name: String) = {
+    def runScd2(chunks: Int, name: String,
+                data: Seq[(Long, Long, Long, String)] = scd2Data) = {
       implicit val sqlCtx = spark.sqlContext
       val mem = MemoryStream[(Long, Long, Long, String)]
       val q = StreamingOps.scd2Intervals(mem.toDS())
         .writeStream.format("memory").queryName(name)
         .outputMode("update").start()
       try {
-        scd2Data.grouped(scd2Data.length / chunks + 1).foreach { c =>
+        // ceil sizing so chunks == data.length really replays ONE event
+        // per micro-batch (len/chunks + 1 gave batches of 2)
+        val sz = math.max(1, math.ceil(data.length.toDouble / chunks).toInt)
+        data.grouped(sz).foreach { c =>
           mem.addData(c: _*); q.processAllAvailable()
         }
       } finally q.stop()
-      spark.table(name).groupBy("user_id", "valid_from_us")
+      spark.table(name)
+        .groupBy("user_id", "valid_from_us", "run_key")
         .agg(min("event_type").as("event_type"),
           max("valid_to_us").as("valid_to_us"),
           max("n_events").as("n_events"))
-        .orderBy("user_id", "valid_from_us")
+        .orderBy("user_id", "valid_from_us", "run_key")
+        .select("user_id", "valid_from_us", "event_type", "valid_to_us",
+          "n_events")
         .as[(Long, Long, String, Long, Long)].collect().toSeq
     }
 
@@ -104,7 +111,19 @@ class StreamingSpec extends SparkSpec {
     }
 
     it("is batching-invariant: per-event micro-batches give the same table") {
-      assert(runScd2(5, "scd2_many") === runScd2(1, "scd2_again"))
+      assert(runScd2(scd2Data.length, "scd2_many") ===
+        runScd2(1, "scd2_again"))
+    }
+
+    it("keeps two runs distinct when their starts share a timestamp") {
+      // one-event run A at us=100 closed by a same-us B (higher id):
+      // valid_from_us ties, so only run_key keeps the rows apart
+      val tied = Seq((1L, 100L, 1L, "A"), (1L, 100L, 2L, "B"))
+      for (chunks <- Seq(1, 2)) {
+        val got = runScd2(chunks, s"scd2_tied_$chunks", tied)
+        assert(got === Seq(
+          (1L, 100L, "A", 100L, 1L), (1L, 100L, "B", -1L, 1L)))
+      }
     }
 
     it("drops late rows behind the per-user high-water mark") {

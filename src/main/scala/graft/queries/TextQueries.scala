@@ -25,6 +25,78 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  // ----- the Count-Min sketch, ONE definition each side ----------------
+  // t25 (batch build) and j12 (stream-maintained) are the same 4×64
+  // sketch: bucket hash, token-bucket table, probe, and oracle exist
+  // exactly once so the two can never diverge.
+
+  /** CMS bucket = nibble1 * 4 + nibble2 % 4 — a genuine 64-way uniform
+    * hash from the first two hex digits of md5(r|tok) (an
+    * ascii-arithmetic variant previously collapsed to 16 effective
+    * buckets). Spark extracts the nibble with conv(); the oracle uses
+    * strpos over the hex alphabet — different functions, same number.
+    */
+  private def cmsBucket(r: Column, tok: Column): Column = {
+    val dg = md5(concat(r.cast("string"), lit("|"), tok).cast("binary"))
+    def nib(p: Int): Column =
+      conv(substring(dg, p, 1), 16, 10).cast("long")
+    nib(1) * 4 + nib(2) % 4
+  }
+
+  /** Exact token counts crossed with the 4 sketch rows and bucketed:
+    * `(tok, cnt, r, b)` — the sketch-build AND probe input. The
+    * vocabulary-sized exact table is persisted so the corpus is
+    * tokenized once per call (cache lifecycle: LRU-evictable blocks,
+    * same note as Ann).
+    */
+  private def cmsTokenBuckets(s: SparkSession, dir: String): DataFrame = {
+    val exact = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist()
+    exact
+      .select(col("tok"), col("cnt"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("b", cmsBucket(col("r"), col("tok")))
+  }
+
+  /** Heavy-hitter probe: every token with exact count ≥ 40 looked up in
+    * the sketch cells `sk(r, b, c)`; estimate = min over the 4 rows,
+    * always ≥ exact.
+    */
+  private def cmsProbe(bk: DataFrame, sk: DataFrame): DataFrame =
+    bk.filter(col("cnt") >= 40)
+      .join(sk, Seq("r", "b"))
+      .groupBy("tok", "cnt").agg(min("c").as("est"))
+      .select(col("tok"), col("cnt").as("exact_cnt"),
+        col("est").as("cms_est"))
+      .orderBy("tok")
+
+  /** The CMS heavy-hitters oracle — shared verbatim by t25 (batch) and
+    * j12 (streamed sketch): cell counts are sums, hence
+    * batching-invariant, so one SQL mirror checks both.
+    */
+  private val countMinOracleSql: String = """
+      WITH e AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+           exact AS (SELECT tok, count(*) AS cnt FROM e GROUP BY 1),
+           rows_ AS (SELECT unnest(range(0, 4)) AS r),
+           bk AS (SELECT tok, cnt, r,
+                         (strpos('0123456789abcdef',
+                            substr(md5(r::VARCHAR || '|' || tok), 1, 1)) - 1)
+                           * 4
+                         + (strpos('0123456789abcdef',
+                              substr(md5(r::VARCHAR || '|' || tok), 2, 1)) - 1)
+                             % 4 AS b
+                  FROM exact CROSS JOIN rows_),
+           sk AS (SELECT r, b, sum(cnt) AS c FROM bk GROUP BY 1, 2),
+           q AS (SELECT tok, cnt, r, b FROM bk WHERE cnt >= 40),
+           est AS (SELECT q.tok, q.cnt, min(sk.c) AS est
+                   FROM q JOIN sk ON sk.r = q.r AND sk.b = q.b
+                   GROUP BY 1, 2)
+      SELECT tok, CAST(cnt AS BIGINT) AS exact_cnt,
+             CAST(est AS BIGINT) AS cms_est
+      FROM est ORDER BY tok"""
+
   /** Stopword-ish marker list shared by the quality and lang-id queries. */
   private val enMarkers = Seq("the", "a", "of", "and")
   /** The SAME list as a DuckDB array literal — every oracle that names the
@@ -1129,56 +1201,41 @@ object TextQueries {
     // (sum per (row, bucket) — 256 cells cross the shuffle per partition),
     // and the build here folds the exact-count table rather than
     // re-exploding occurrences, so the corpus is scanned once.
-    RQ("t25_countmin", Some("""
-      WITH e AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
-           exact AS (SELECT tok, count(*) AS cnt FROM e GROUP BY 1),
-           rows_ AS (SELECT unnest(range(0, 4)) AS r),
-           bk AS (SELECT tok, cnt, r,
-                         (strpos('0123456789abcdef',
-                            substr(md5(r::VARCHAR || '|' || tok), 1, 1)) - 1)
-                           * 4
-                         + (strpos('0123456789abcdef',
-                              substr(md5(r::VARCHAR || '|' || tok), 2, 1)) - 1)
-                             % 4 AS b
-                  FROM exact CROSS JOIN rows_),
-           sk AS (SELECT r, b, sum(cnt) AS c FROM bk GROUP BY 1, 2),
-           q AS (SELECT tok, cnt, r, b FROM bk WHERE cnt >= 40),
-           est AS (SELECT q.tok, q.cnt, min(sk.c) AS est
-                   FROM q JOIN sk ON sk.r = q.r AND sk.b = q.b
-                   GROUP BY 1, 2)
-      SELECT tok, CAST(cnt AS BIGINT) AS exact_cnt,
-             CAST(est AS BIGINT) AS cms_est
-      FROM est ORDER BY tok"""))((s, dir) => {
-      // bucket = nibble1 * 4 + nibble2 % 4 — a genuine 64-way uniform
-      // hash from the first two hex digits (an ascii-arithmetic variant
-      // previously collapsed to 16 effective buckets: ascii*256 ≡ 0 mod
-      // 64 and hex-char codes span only 16 values). Spark extracts the
-      // nibble with conv(); the oracle uses strpos over the hex alphabet
-      // — different functions, same number, same t8-simhash pattern.
-      def bucket(r: Column, tok: Column): Column = {
-        val dg = md5(concat(r.cast("string"), lit("|"), tok).cast("binary"))
-        def nib(p: Int): Column =
-          conv(substring(dg, p, 1), 16, 10).cast("long")
-        nib(1) * 4 + nib(2) % 4
-      }
-      val exact = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        // vocabulary-sized, consumed by both the sketch build and the
-        // probe side — persist so the corpus is tokenized exactly once
-        // (cache lifecycle: LRU-evictable blocks, same note as Ann)
-        .persist()
-      val bk = exact
-        .select(col("tok"), col("cnt"),
-          explode(sequence(lit(0), lit(3))).as("r"))
-        .withColumn("b", bucket(col("r"), col("tok")))
+    RQ("t25_countmin", Some(countMinOracleSql))((s, dir) => {
+      val bk = cmsTokenBuckets(s, dir)
       val sk = bk.groupBy("r", "b").agg(sum("cnt").as("c"))
-      bk.filter(col("cnt") >= 40)
-        .join(sk, Seq("r", "b"))
-        .groupBy("tok", "cnt").agg(min("c").as("est"))
-        .select(col("tok"), col("cnt").as("exact_cnt"),
-          col("est").as("cms_est"))
-        .orderBy("tok")
+      cmsProbe(bk, sk)
+    }),
+
+    // J12 — the SAME Count-Min sketch maintained AT INGESTION:
+    // documents replayed through a MemoryStream; each batch's tokens
+    // explode to (row, bucket, +1) contributions and
+    // StreamingOps.countMinCells folds them into ONE counter per
+    // (row, bucket) — state is the sketch geometry (256 cells),
+    // constant-size on an unbounded stream. Cell counts are sums, so the
+    // final streamed sketch equals the batch-built sketch exactly and
+    // j12 shares t25's oracle verbatim (the t6/j6/e10/j11 discipline).
+    // The heavy-hitter probe runs at query time against the streamed
+    // cells — sketch online, analysis offline, the production split.
+    RQ("j12_stream_countmin", Some(countMinOracleSql))((s, dir) => {
+      import s.implicits._
+      val data = docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect()
+      Replay.chunked(s, data.toSeq, 4, statePartitions = Some(8))(ds =>
+        graft.streaming.StreamingOps.countMinCells(
+          ds.toDF("doc_id", "text")
+            .select(explode(split(col("text"), " ")).as("tok"))
+            .select(col("tok"),
+              explode(sequence(lit(0), lit(3))).as("r"))
+            .select(col("r"), cmsBucket(col("r"), col("tok")).as("b"),
+              lit(1L).as("cnt"))
+            .as[(Long, Long, Long)])
+          .toDF().writeStream.format("memory").queryName("j12_cms")
+          .outputMode("update").start())
+      // update-mode sink: counts are monotone per cell, so max = final
+      val cells = s.table("j12_cms").groupBy("r", "b")
+        .agg(max("c").as("c"))
+      cmsProbe(cmsTokenBuckets(s, dir), cells)
     }),
 
     // T26 — BPE merge-selection step: the most frequent adjacent

@@ -162,6 +162,36 @@ object StreamingOps {
       }
   }
 
+  /** One Count-Min cell: sketch row, bucket, running count. */
+  final case class CmsCell(r: Long, b: Long, c: Long)
+
+  /** Streaming Count-Min sketch maintenance — the t25 batch sketch kept
+    * current AT INGESTION: input rows are pre-bucketed (r, b, delta)
+    * token contributions; state is ONE counter per (row, bucket) — the
+    * key space is the sketch geometry (4×64 = 256 cells), so state is
+    * CONSTANT-size regardless of stream length or vocabulary, which is
+    * the entire point of a CMS on an unbounded token stream. Cell counts
+    * are sums, so the final sketch is batching-invariant by construction
+    * and equals the batch-built sketch exactly (j12 shares t25's oracle).
+    * Emitted in Update mode; counts are monotone, so the latest row per
+    * cell is the max.
+    */
+  def countMinCells(contribs: Dataset[(Long, Long, Long)])
+      : Dataset[CmsCell] = {
+    import contribs.sparkSession.implicits._
+    contribs.groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[Long, CmsCell](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (cell: (Long, Long), rows: Iterator[(Long, Long, Long)],
+         state: GroupState[Long]) =>
+          var add = 0L
+          rows.foreach(add += _._3)
+          val tot = state.getOption.getOrElse(0L) + add
+          state.update(tot)
+          Iterator(CmsCell(cell._1, cell._2, tot))
+      }
+  }
+
   /** An admitted (source, doc) row from quotaAdmit. */
   final case class Admitted(source: String, doc_id: Long)
 

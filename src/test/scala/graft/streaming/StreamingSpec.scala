@@ -149,6 +149,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("countMinCells (flatMapGroupsWithState)") {
+    it("accumulates per-cell sums batching-invariantly") {
+      // contributions (r, b, delta): cell (0,1) gets 3+2 across batches,
+      // (1,5) gets 4 — state must be one counter per cell
+      val data = Seq((0L, 1L, 3L), (1L, 5L, 4L), (0L, 1L, 2L))
+      def run(name: String, chunkSize: Int) = {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[(Long, Long, Long)]
+        val q = StreamingOps.countMinCells(mem.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try data.grouped(chunkSize).foreach { c =>
+          mem.addData(c: _*); q.processAllAvailable()
+        } finally q.stop()
+        spark.table(name).groupBy("r", "b").agg(max("c").as("c"))
+          .orderBy("r", "b")
+          .as[(Long, Long, Long)].collect().toSeq
+      }
+      val expected = Seq((0L, 1L, 5L), (1L, 5L, 4L))
+      assert(run("cms_one", data.length) === expected)
+      assert(run("cms_each", 1) === expected)
+    }
+  }
+
   describe("newPairsAgainstCache") {
     it("anti-joins the cache exactly like the reference's to-calculate split") {
       val cache = Seq("a|x", "b|y").toDF("pair_key")

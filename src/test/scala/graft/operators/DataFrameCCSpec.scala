@@ -58,6 +58,29 @@ class DataFrameCCSpec extends SparkSpec {
       assert(df.nonEmpty)
     }
 
+    it("matches a union-find oracle on seeded random graphs") {
+      val rnd = new scala.util.Random(42)
+      for (trial <- 1 to 5) {
+        val n = 20 + rnd.nextInt(30)
+        val vs = (1L to n.toLong)
+        val es = Seq.fill(n)((1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        // driver-side union-find with min-id roots as the oracle
+        val parent = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
+        def find(v: Long): Long = {
+          var r = v
+          while (parent(r) != r) r = parent(r)
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // path-compress to min-id labels
+        val expected = vs.map(v => v -> find(v)).toMap
+        assert(cc(vs, es) == expected, s"trial $trial (n=$n) diverged")
+      }
+    }
+
     it("round primitives preserve the bigger-points-smaller invariant") {
       val e = Seq((7L, 3L), (9L, 3L), (9L, 5L), (5L, 2L)).toDF("u", "v")
       for (out <- Seq(DataFrameCC.largeStar(e), DataFrameCC.smallStar(e))) {

@@ -19,9 +19,13 @@ object TextFunctions {
     * runs as separate tokens (the pre-tokenizer split BPE vocabularies
     * assume). Pattern kept to ASCII classes so every regex engine agrees.
     */
-  // [^...\\s]: excluding ONLY the literal space would emit tab/newline/CR
-  // runs as punctuation "tokens" — no BPE pre-tokenizer does that
-  val bpeTokenPattern: String = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+  // the ASCII whitespace set is spelled out instead of \s: excluding
+  // ONLY the literal space would emit tab/newline/CR runs as punctuation
+  // "tokens" (no BPE pre-tokenizer does that), and \s itself diverges
+  // between engines — Java includes vertical tab \x0B, RE2 (DuckDB)
+  // does not, so a \x0B between punctuation split the token in one
+  // engine but not the other
+  val bpeTokenPattern: String = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\t\\n\\x0B\\f\\r ]+"
 
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpeTokenPattern), lit(0))

@@ -243,12 +243,15 @@ object TextQueries {
 
     // T1b — BPE-ish regex token counting (letter/digit/punct runs — the
     // pre-tokenizer boundary a BPE vocabulary assumes)
-    RQ("t1b_bpe_tokens", Some("""
+    // the pattern is INTERPOLATED from TextFunctions.bpeTokenPattern —
+    // one definition both engines (backslash escapes pass through the
+    // SQL literal verbatim; RE2 and Java agree on \t \n \x0B \f \r)
+    RQ("t1b_bpe_tokens", Some(s"""
       SELECT doc_id,
-             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+             CAST(len(regexp_extract_all(text, '$bpeTokenPattern'))
                   AS BIGINT) AS n_bpe_tokens,
              CAST(len(list_distinct(
-               regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')))
+               regexp_extract_all(text, '$bpeTokenPattern')))
                   AS BIGINT) AS n_unique
       FROM documents ORDER BY doc_id"""))((s, dir) =>
       docs(s, dir).select(col("doc_id"),

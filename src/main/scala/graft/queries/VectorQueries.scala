@@ -143,6 +143,25 @@ object VectorQueries {
       SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, adc
       FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
 
+  /** The IVF coarse-quantizer table: first 8 vectors, `(c_id, cv)`. */
+  private def ivfCents(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+
+  /** THE IVF cell assignment: each `(n_id, nv)` row to its nearest
+    * centroid by cosine, ties to the lower c_id → `(n_id, nv, c_id)`.
+    * ONE definition shared by v3/v9/v13 and the stream-maintained j10
+    * index (which persists exactly these rows partitioned by cell) — a
+    * tiebreak or centroid-count change cannot drift them apart or away
+    * from ivfAnnSql's `asg` CTE.
+    */
+  private def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(Window.partitionBy("n_id")
+        .orderBy(cosine(col("nv"), col("cv")).desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("n_id"), col("nv"), col("c_id"))
+
   /** The PQ codebook table: first 4 vectors, `(cid, cv)`, broadcast by
     * every consumer.
     */
@@ -255,15 +274,10 @@ object VectorQueries {
     // data-adaptive and the assignment is one broadcast pass.
     RQ("v3_ivf_ann", Some(ivfAnnSql))((s, dir) => {
       val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-      val asg = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cell_cos", cosine(col("nv"), col("cv")))
-        .withColumn("rn", row_number().over(Window.partitionBy("n_id")
-          .orderBy(col("cell_cos").desc, col("c_id"))))
-        .filter(col("rn") === 1)
-        .select(col("n_id"), col("c_id"))
+      val asg = ivfAssign(
+          e.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+          ivfCents(e))
+        .select("n_id", "c_id")
         // consumed by both the query-assignment and candidate branches;
         // cache lifecycle note: see operators/Ann (LRU-evictable blocks)
         .persist()
@@ -464,18 +478,14 @@ object VectorQueries {
                      AND dtab.j = codes.j AND dtab.cid = codes.cid),
            $adcRankSqlTail"""))((s, dir) => {
       val e = emb(s, dir)
-      val cells = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cell_id"), col("embedding").as("cellv"))
-      val asg = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
-        .crossJoin(broadcast(cells))
-        .withColumn("rn", row_number().over(Window.partitionBy("n_id")
-          .orderBy(cosine(col("nv"), col("cellv")).desc, col("cell_id"))))
-        .filter(col("rn") === 1)
-        .select("n_id", "cell_id")
+      val asg = ivfAssign(
+          e.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+          ivfCents(e))
+        .select("n_id", "c_id")
       val qa = adcQueries(e)
         .join(asg.withColumnRenamed("n_id", "q_id"), "q_id")
-        .select("q_id", "cell_id")
-      val cand = qa.join(asg, "cell_id")
+        .select("q_id", "c_id")
+      val cand = qa.join(asg, "c_id")
         .filter(col("n_id") =!= col("q_id"))
         .select("q_id", "n_id")
       adcRank(cand.join(pqCodes(e), "n_id")
@@ -518,13 +528,10 @@ object VectorQueries {
       SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
       FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))((s, dir) => {
       val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-      val asg = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("rn", row_number().over(Window.partitionBy("n_id")
-          .orderBy(cosine(col("nv"), col("cv")).desc, col("c_id"))))
-        .filter(col("rn") === 1)
+      val cents = ivfCents(e)
+      val asg = ivfAssign(
+          e.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+          cents)
         .select("n_id", "c_id")
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
@@ -698,12 +705,15 @@ object VectorQueries {
       val root = s"/tmp/graft_fixtures/j10_idx_" +
         s"${ProcessHandle.current.pid}_${System.nanoTime}"
       val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val cents = ivfCents(e)
       val data = e.select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].collect()
       // at-least-once guard (same convention as IncrementalMinHashIndex):
-      // a re-delivered batch must not double-append its cell rows
+      // a re-delivered batch must not double-append its cell rows; the
+      // mark advances only AFTER the append succeeds, so a mid-write
+      // failure is retried on redelivery instead of leaving the batch's
+      // vectors permanently missing from the index (mark-first made any
+      // post-mark failure a silent hole)
       var lastBatchId = -1L
       Replay.chunked(s, data.toSeq, 3, statePartitions = Some(8))(ds =>
         ds.toDF("vec_id", "embedding")
@@ -711,16 +721,11 @@ object VectorQueries {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
              batchId: Long) =>
               if (batchId > lastBatchId) {
-              lastBatchId = batchId
-              batch
-                .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
-                .crossJoin(broadcast(cents))
-                .withColumn("rn", row_number().over(
-                  Window.partitionBy("n_id")
-                    .orderBy(cosine(col("nv"), col("cv")).desc, col("c_id"))))
-                .filter(col("rn") === 1)
-                .select(col("n_id"), col("nv"), col("c_id"))
+              ivfAssign(
+                batch.select(col("vec_id").as("n_id"),
+                  col("embedding").as("nv")), cents)
                 .write.mode("append").partitionBy("c_id").parquet(root)
+              lastBatchId = batchId
               }
           }.start())
       val idx = s.read.parquet(root)

@@ -71,15 +71,18 @@ final class IncrementalMinHashIndex(
     * bands/shingles, inflating per-doc shingle counts and corrupting
     * every later Jaccard against those docs. Callers pass foreachBatch's
     * `batchId`; a batch at or below the high-water mark is skipped
-    * entirely. (A crash BETWEEN this object's appends still leaves a
-    * partial batch on disk — healing that needs atomically-committed
-    * multi-file writes, i.e. the table-format seam the compaction
-    * scaladoc already names; the batchId guard makes the common
-    * re-delivery path exact.)
+    * entirely, and the mark advances only AFTER the last append
+    * succeeds — so a mid-batch failure is retried on redelivery rather
+    * than permanently skipped (mark-first made any post-mark failure a
+    * silent, permanent hole in the index). The retry of a half-appended
+    * batch can still double-append the files that did land — healing
+    * that needs atomically-committed multi-file writes, i.e. the
+    * table-format seam the compaction scaladoc already names; guard +
+    * mark-last makes the clean-redelivery path exact and the failure
+    * path recoverable instead of lossy.
     */
   def ingest(batch: DataFrame, batchId: Long = -1L): Unit = {
     if (batchId >= 0 && batchId <= lastBatchId) return
-    lastBatchId = math.max(lastBatchId, batchId)
     val shNew = MinHashDedup.shingleRows(batch, "doc_id", "text")
       .localCheckpoint(true)
     val bandNew = MinHashDedup.bandRows(shNew).localCheckpoint(true)
@@ -103,6 +106,15 @@ final class IncrementalMinHashIndex(
     } finally shAll.unpersist()
     bandNew.write.mode("append").parquet(bandsDir)
     shNew.write.mode("append").parquet(shDir)
+    // the high-water mark advances only AFTER the last append succeeds:
+    // marking first would make a mid-batch failure permanently skip the
+    // batch on foreachBatch's redelivery — the bands/shingles would be
+    // missing forever and every later Jaccard against those docs a
+    // silent false negative (the exact corruption this guard exists to
+    // prevent). Marking last means a redelivered half-written batch
+    // re-appends (dupDir rows are distinct-on-read; the band/shingle
+    // double-append is the documented table-format seam).
+    lastBatchId = math.max(lastBatchId, batchId)
     batches += 1
     if (batches % compactEvery == 0) compact()
   }

@@ -118,20 +118,36 @@ def parity_score(smiles_a: str, smiles_b: str):
         if not mcs.smartsString:
             return 0.0, ""
         patt = Chem.MolFromSmarts(mcs.smartsString)
-        match_a = mol_a.GetSubstructMatch(patt)
-        match_b = mol_b.GetSubstructMatch(patt)
+        # ALL embeddings on both sides, and the element-agreement count
+        # is the MAX over embedding pairs — the PARITY definition scores
+        # the best atom mapping, not whichever single embedding RDKit
+        # happens to return first (one arbitrary GetSubstructMatch
+        # undercounts symmetric/ring systems where embeddings differ in
+        # how many mapped pairs share an element, and is nondeterministic
+        # across RDKit versions/atom orderings). uniquify=False because
+        # symmetry-distinct embeddings map the same atom SET differently
+        # — exactly the variation being maximized over; the embedding
+        # count is bounded by maxMatches for pathological symmetry.
+        matches_a = mol_a.GetSubstructMatches(
+            patt, uniquify=False, maxMatches=256)
+        matches_b = mol_b.GetSubstructMatches(
+            patt, uniquify=False, maxMatches=256)
         # empty-match = the SMARTS failed to re-match a molecule (possible
         # with timeout-truncated query SMARTS): a computation FAILURE, so
         # keep the (0.0, "") convention — a non-empty mcs_smarts must
         # always mean "computed", never "failed" (the engine's C11
         # cache-probe distinguishes the two)
-        if not match_a or not match_b:
+        if not matches_a or not matches_b:
             return 0.0, ""
-        matching = sum(
-            1
-            for ia, ib in zip(match_a, match_b)
-            if mol_a.GetAtomWithIdx(ia).GetAtomicNum()
-            == mol_b.GetAtomWithIdx(ib).GetAtomicNum()
+        matching = max(
+            sum(
+                1
+                for ia, ib in zip(match_a, match_b)
+                if mol_a.GetAtomWithIdx(ia).GetAtomicNum()
+                == mol_b.GetAtomWithIdx(ib).GetAtomicNum()
+            )
+            for match_a in matches_a
+            for match_b in matches_b
         )
         denom = mol_a.GetNumAtoms() + mol_b.GetNumAtoms() - matching
         if denom <= 0:

@@ -58,6 +58,11 @@ class DataFrameCCSpec extends SparkSpec {
       assert(df.nonEmpty)
     }
 
+    it("labels an edgeless vertex set entirely by self") {
+      val got = cc(Seq(3L, 7L, 11L), Seq.empty)
+      assert(got == Map(3L -> 3L, 7L -> 7L, 11L -> 11L))
+    }
+
     it("matches a union-find oracle on seeded random graphs") {
       val rnd = new scala.util.Random(42)
       for (trial <- 1 to 5) {

@@ -36,6 +36,32 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // M5 — modality-alignment coverage audit: per source, how many
+    // documents have a paired embedding row (vec_id = doc_id) — the
+    // gate a multimodal training run checks BEFORE mixing ("is every
+    // shard's text actually paired with its image/audio vector, and
+    // which sources are under-embedded"). A left join against the
+    // (smaller) embedding table + per-source counts; coverage is one
+    // exact integer division. At sf0.1 embeddings cover 40% of docs, so
+    // the audit is nontrivial where it's benched.
+    RQ("m5_embedding_coverage", Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(e.vec_id) AS BIGINT) AS n_with_vec,
+             count(e.vec_id)::DOUBLE / count(*)::DOUBLE AS coverage
+      FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+      GROUP BY source ORDER BY source"""))((s, dir) =>
+      Tables(s, dir, "documents")
+        .join(Tables(s, dir, "embeddings")
+            .select(col("vec_id")),
+          col("vec_id") === col("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("vec_id")).as("n_with_vec"))
+        .select(col("source"), col("n_docs"), col("n_with_vec"),
+          col("n_with_vec").cast("double") / col("n_docs").cast("double")
+            as "coverage")
+        .orderBy("source")),
+
     // M2 — frame sampling: windowed byte frames exploded per payload,
     // then an exact-dedup count over frames (the video-dedup shape)
     RQ("m2_frame_sample_dedup", Some("""

@@ -207,6 +207,7 @@ object Bench {
       prevFamily = fam
       val ev0 = telemetry.evicted
       val bev0 = telemetry.baselineEvicted
+      val tm0 = telemetry.taskSnapshot
       val t0 = System.nanoTime()
       val ok =
         try { rq.build(spark, sfDir).queryExecution.toRdd.count(); true }
@@ -215,18 +216,22 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // untimed drain (sec is already sampled): task-end events post
+      // async, so without it the finished query's metrics would smear
+      // into the next query's delta
+      GraftCacheBridge.drainListenerBus(spark)
       (rq.name, sec, ok, telemetry.evicted - ev0,
-        telemetry.baselineEvicted - bev0)
+        telemetry.baselineEvicted - bev0, telemetry.taskSnapshot - tm0)
     }
 
     // ---- output ---------------------------------------------------------
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.collect { case (k, v, true, _, _) => k -> f(v) })
-    val failed = results.collect { case (k, _, false, _, _) => k }
+    val qs = jmap(results.collect { case (k, v, true, _, _, _) => k -> f(v) })
+    val failed = results.collect { case (k, _, false, _, _, _) => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
     val mb = 1024.0 * 1024.0
     // compact telemetry object: repeated verbatim on BOTH lines, so the
     // tail-window consumer always sees it next to the headline number
@@ -240,7 +245,13 @@ object Bench {
       "storage_hw_mb" -> f(telemetry.highWaterBytes / mb),
       "storage_final_mb" -> f(telemetry.currentBytes / mb),
       "evicted_blocks" -> telemetry.evicted.toString,
-      "baseline_evicted_blocks" -> telemetry.baselineEvicted.toString))
+      "baseline_evicted_blocks" -> telemetry.baselineEvicted.toString,
+      // gzip-codec-path visibility (VERDICT r8 item 1): false means the
+      // zlib.compress.level conf key is a no-op and gzip sinks go through
+      // FastGzipCodec's JDK-Deflater BEST_SPEED branch
+      "native_zlib" -> org.apache.hadoop.io.compress.zlib.ZlibFactory
+        .isNativeZlibLoaded(spark.sparkContext.hadoopConfiguration)
+        .toString))
     val warmupFailedJson =
       warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sweepsJson = jmap(sweepSecs.toSeq.map { case (k, v) => k -> f(v) })
@@ -249,22 +260,36 @@ object Bench {
     // artifact lacked (sweep-driven drops are excluded: sweeps run
     // between queries, outside these deltas)
     val evJson = jmap(results.collect {
-      case (k, _, _, ev, _) if ev > 0 => k -> ev.toString })
+      case (k, _, _, ev, _, _) if ev > 0 => k -> ev.toString })
     val bevJson = jmap(results.collect {
-      case (k, _, _, _, bev) if bev > 0 => k -> bev.toString })
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"telemetry":$telem,"warmup_failed":$warmupFailedJson,"sweeps":$sweepsJson,"evictions":$evJson,"baseline_evictions":$bevJson,"sf":"$sfDir"}""")
+      case (k, _, _, _, bev, _) if bev > 0 => k -> bev.toString })
+    // per-query executor profile for the tail (VERDICT r8 item 2: a
+    // >3×-the-builder-band query must be attributable from the artifact
+    // alone). run_ms ≈ wall × cores ⇒ real compute; run_ms ≪ wall × cores
+    // ⇒ the host stalled under the query (I/O wait, scheduler preemption),
+    // not a plan defect. gc_ms and spill_mb separate the memory story.
+    val execJson = jmap(results.collect { case (k, v, true, _, _, tm) => (k, v, tm) }
+      .sortBy(-_._2).take(12)
+      .map { case (k, _, tm) => k -> jmap(Seq(
+        "run_ms" -> tm.runMs.toString,
+        "cpu_ms" -> tm.cpuMs.toString,
+        "gc_ms" -> tm.gcMs.toString,
+        "shuf_rd_mb" -> f(tm.shufReadBytes / mb),
+        "shuf_wr_mb" -> f(tm.shufWriteBytes / mb),
+        "spill_mb" -> f(tm.spillBytes / mb))) })
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"telemetry":$telem,"warmup_failed":$warmupFailedJson,"sweeps":$sweepsJson,"evictions":$evJson,"baseline_evictions":$bevJson,"exec":$execJson,"sf":"$sfDir"}""")
     // the full line above exceeds a ~2k-char log-tail window at 144
     // queries (round 5's BENCH capture shows a mid-line truncation →
     // parsed: null). Repeat the same-schema line with only the slowest
     // queries so a tail-window parser always sees one complete JSON line;
     // a full-stdout parser sees the full map first.
-    val slow = jmap(results.collect { case (k, v, true, _, _) => (k, v) }
+    val slow = jmap(results.collect { case (k, v, true, _, _, _) => (k, v) }
       .sortBy(-_._2).take(12)
       .map { case (k, v) => k -> f(v) })
     // "total_tail" (NOT "total") + "note"/"queries_total" mark this as
     // the 12-slowest SUBSET repeat: a line-oriented consumer summing or
     // grepping metric=total sees exactly one canonical line per run
-    println(s"""{"metric":"total_tail","value":${f(total)},"unit":"sec","note":"tail_summary_of_line_above","queries_total":${results.count(_._3)},"queries":$slow,"failed":$failedJson,"telemetry":$telem,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_tail","value":${f(total)},"unit":"sec","note":"tail_summary_of_line_above","queries_total":${results.count(_._3)},"queries":$slow,"failed":$failedJson,"telemetry":$telem,"exec":$execJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -3,8 +3,24 @@ package graft
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd}
 import org.apache.spark.storage.{BlockId, RDDBlockId}
+
+/** Monotonic task-metric totals sampled before/after a measured region;
+  * subtract two snapshots for that region's executor-side profile. The
+  * r8 verdict's gap: per-query wall alone cannot distinguish "slow host
+  * moment" from "real recompute" — executorRunTime ≈ wall × cores means
+  * the engine genuinely computed that long; runTime ≪ wall × cores with
+  * low shuffle bytes means the host stalled under the query.
+  */
+final case class TaskMetricsSnapshot(
+    runMs: Long, cpuMs: Long, gcMs: Long,
+    shufReadBytes: Long, shufWriteBytes: Long, spillBytes: Long) {
+  def -(o: TaskMetricsSnapshot): TaskMetricsSnapshot = TaskMetricsSnapshot(
+    runMs - o.runMs, cpuMs - o.cpuMs, gcMs - o.gcMs,
+    shufReadBytes - o.shufReadBytes, shufWriteBytes - o.shufWriteBytes,
+    spillBytes - o.spillBytes)
+}
 
 /** Storage-memory telemetry for the bench (VERDICT r7 "the bench cannot
   * explain its own number"): a SparkListener over block updates tracking
@@ -75,4 +91,33 @@ final class StorageTelemetry extends SparkListener {
   def highWaterBytes: Long = high.get()
   def evicted: Long = evictedCnt.get()
   def baselineEvicted: Long = baselineEvictedCnt.get()
+
+  // ---- per-query executor metrics (VERDICT r8 item 2) -------------------
+  // Accumulated across ALL task ends; the bench samples a snapshot before
+  // and after each query (with a listener-bus drain in between, so the
+  // async events of the finished query have landed) and emits the deltas
+  // for the tail queries. executorCpuTime is nanoseconds in TaskMetrics —
+  // normalized to ms here so every duration field shares one unit.
+  private val runMs = new AtomicLong(0L)
+  private val cpuMs = new AtomicLong(0L)
+  private val gcMs = new AtomicLong(0L)
+  private val shufRead = new AtomicLong(0L)
+  private val shufWrite = new AtomicLong(0L)
+  private val spill = new AtomicLong(0L)
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      runMs.addAndGet(m.executorRunTime)
+      cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+      gcMs.addAndGet(m.jvmGCTime)
+      shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spill.addAndGet(m.diskBytesSpilled)
+    }
+  }
+
+  def taskSnapshot: TaskMetricsSnapshot = TaskMetricsSnapshot(
+    runMs.get(), cpuMs.get(), gcMs.get(),
+    shufRead.get(), shufWrite.get(), spill.get())
 }

@@ -90,6 +90,7 @@ object EventQueries {
                            CAST(count(*) AS BIGINT) AS n_events
                     FROM r GROUP BY 1, 2),
            iv AS (SELECT user_id, event_type, valid_from_us, n_events,
+                         run_id,
                          coalesce(lead(valid_from_us) OVER (
                            PARTITION BY user_id
                            ORDER BY valid_from_us, run_id), -1)
@@ -98,7 +99,7 @@ object EventQueries {
       SELECT user_id, event_type, valid_from_us, valid_to_us, n_events,
              CAST(CASE WHEN valid_to_us = -1 THEN 1 ELSE 0 END AS BIGINT)
                AS is_current
-      FROM iv ORDER BY user_id, valid_from_us"""
+      FROM iv ORDER BY user_id, valid_from_us, run_id"""
 
   /** The stream-stream join's range condition — ONE definition shared by
     * j8 (inner), j9 (left outer), and the batch-parity spec: a width or
@@ -299,8 +300,13 @@ object EventQueries {
         .select(col("user_id"), col("event_type"), col("valid_from_us"),
           col("valid_to_us"), col("n_events"),
           when(col("valid_to_us") === -1L, 1L).otherwise(0L)
-            .as("is_current"))
-        .orderBy("user_id", "valid_from_us")
+            .as("is_current"), col("run_id"))
+        // run_id in the FINAL sort too: two runs of one user can share
+        // valid_from_us (the tie the run machinery exists for), and the
+        // driver's hash compare is order-sensitive — (user, from) alone
+        // is not a total order on tied data
+        .orderBy("user_id", "valid_from_us", "run_id")
+        .drop("run_id")
     }),
 
     // J11 — the SAME SCD2 dimension-history table maintained AT INGESTION:
@@ -335,8 +341,13 @@ object EventQueries {
         .select(col("user_id"), col("event_type"), col("valid_from_us"),
           col("valid_to_us"), col("n_events"),
           when(col("valid_to_us") === -1L, 1L).otherwise(0L)
-            .as("is_current"))
-        .orderBy("user_id", "valid_from_us")
+            .as("is_current"), col("run_key"))
+        // final-sort tiebreak mirrors e10's run_id: within a (user,
+        // valid_from_us) tie a later run's opening event_id (= run_key)
+        // is strictly larger, so (from, run_key) orders runs exactly as
+        // the oracle's (from, run_id) does
+        .orderBy("user_id", "valid_from_us", "run_key")
+        .drop("run_key")
     }),
 
     // E11 — conversion funnel: first view → first qualifying click within

@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.io.OutputStream
+import java.util.zip.{Deflater, GZIPOutputStream}
+
+import org.apache.hadoop.io.compress.{CompressionOutputStream, GzipCodec}
+import org.apache.hadoop.io.compress.zlib.ZlibCompressor.CompressionLevel
+import org.apache.hadoop.io.compress.zlib.ZlibFactory
+
+/** A `GzipCodec` that pins deflate to BEST_SPEED on BOTH codec paths.
+  *
+  * Hadoop's stock `GzipCodec` has two implementations behind
+  * `createOutputStream`:
+  *
+  *   - native zlib (when `NativeCodeLoader.isNativeCodeLoaded`): the
+  *     compressor level comes from the conf key `zlib.compress.level`;
+  *   - the JDK fallback: a plain `java.util.zip.GZIPOutputStream` at
+  *     `Deflater.DEFAULT_COMPRESSION`, which IGNORES the conf key
+  *     entirely.
+  *
+  * Setting only the conf key (the previous `Sinks.ensureFastDeflate`
+  * approach) is therefore a silent no-op on any host without native
+  * Hadoop libs — exactly the sandbox sbt runs in, where the round-7/8
+  * bench records measured the Neo4j export inventory (65 gzip sinks) at
+  * ~74 s unchanged across the "fix". This codec covers both paths: the
+  * native branch gets the level via `ZlibFactory.setCompressionLevel`,
+  * and the fallback branch gets a `GZIPOutputStream` whose `Deflater` is
+  * explicitly set to BEST_SPEED. Output stays standard gzip (`.gz`
+  * extension inherited from `GzipCodec`), so the neo4j-admin import
+  * contract is untouched.
+  *
+  * Used via `.option("compression", classOf[FastGzipCodec].getName)` —
+  * Spark's `CompressionCodecs.getCodecClassName` accepts a fully
+  * qualified codec class name, and per-write codec selection beats the
+  * session-global conf mutation (no cross-thread Configuration races).
+  */
+class FastGzipCodec extends GzipCodec {
+
+  override def createOutputStream(out: OutputStream): CompressionOutputStream = {
+    val conf = getConf
+    if (conf != null && ZlibFactory.isNativeZlibLoaded(conf)) {
+      // Native path: the pooled compressor is configured from the conf at
+      // checkout; Spark hands each codec instance a per-job Configuration
+      // clone, so mutating it here is thread-confined.
+      ZlibFactory.setCompressionLevel(conf, CompressionLevel.BEST_SPEED)
+      super.createOutputStream(out)
+    } else {
+      new FastGzipCodec.JdkBestSpeedGzipStream(out)
+    }
+  }
+}
+
+object FastGzipCodec {
+
+  /** JDK-Deflater gzip at BEST_SPEED. `GZIPOutputStream` exposes no level
+    * knob, but its inherited `Deflater` field (`def`, a Java keyword —
+    * hence the backticks) is protected, so an anonymous subclass can set
+    * the level before the first byte is deflated (the constructor only
+    * writes the fixed gzip header).
+    */
+  private final class JdkBestSpeedGzipStream(raw: OutputStream)
+      extends CompressionOutputStream(raw) {
+    private val gz = new GZIPOutputStream(raw, 64 * 1024) {
+      `def`.setLevel(Deflater.BEST_SPEED)
+    }
+    override def write(b: Int): Unit = gz.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      gz.write(b, off, len)
+    override def flush(): Unit = gz.flush()
+    override def finish(): Unit = gz.finish()
+    // File-sink writers open one stream per file and never reuse it; the
+    // reset contract exists for SequenceFile-style block codecs only.
+    override def resetState(): Unit =
+      throw new UnsupportedOperationException(
+        "FastGzipCodec streams are single-use file sinks")
+    // GZIPOutputStream.close() finishes the trailer and closes `raw`,
+    // idempotently — the default CompressionOutputStream.close() would
+    // bypass the gzip trailer entirely.
+    override def close(): Unit = gz.close()
+  }
+
+  /** The `.option("compression", _)` value for DataFrame writers. */
+  val name: String = classOf[FastGzipCodec].getName
+}

@@ -30,13 +30,18 @@ object Sinks {
     * inventory the most CPU/IO-bound query in the bench (etl3 73.9 s on
     * the round-7 driver record). Level 1 keeps the .gz import contract
     * (neo4j-admin only needs a valid gzip stream) at a fraction of the
-    * compression CPU. SESSION-SCOPED and idempotent: the setting lives
-    * on the shared `hadoopConfiguration`, so every later Hadoop-codec
-    * deflate write in the session inherits it — call it from a
-    * single-threaded setup point (ExportStage.run does, before its write
-    * pool starts; the single-write callers do inline), never from
-    * concurrent sink threads: per-job Configuration cloning races with a
-    * mid-flight mutation.
+    * compression CPU.
+    *
+    * Two mechanisms, because Hadoop's GzipCodec has two codec paths:
+    * the conf key below configures the NATIVE zlib compressor (when
+    * `NativeCodeLoader.isNativeCodeLoaded`), and [[FastGzipCodec]] —
+    * which `neo4jTsv` now passes as the writer's compression codec —
+    * pins BEST_SPEED on the JDK `GZIPOutputStream` fallback too, where
+    * the conf key is silently ignored (the round-7/8 driver records
+    * measured etl3 at ~74 s unchanged because of exactly that gap).
+    * SESSION-SCOPED and idempotent; call from a single-threaded setup
+    * point, never from concurrent sink threads: per-job Configuration
+    * cloning races with a mid-flight mutation.
     */
   def ensureFastDeflate(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.hadoopConfiguration
@@ -61,7 +66,10 @@ object Sinks {
     df.select(cols: _*)
       .write.mode("overwrite")
       .option("sep", "\t").option("header", "false")
-      .option("compression", "gzip")
+      // FastGzipCodec, not "gzip": BEST_SPEED on both the native-zlib and
+      // JDK-Deflater codec paths (plain GzipCodec ignores the level conf
+      // on hosts without native Hadoop libs — see FastGzipCodec.scala)
+      .option("compression", FastGzipCodec.name)
       .option("emptyValue", "")
       .csv(s"$path/data")
     // header goes through the HADOOP filesystem of the output path, not

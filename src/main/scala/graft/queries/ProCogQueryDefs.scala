@@ -50,6 +50,20 @@ object ProCogQueryDefs {
                           THEN 'Y' ELSE 'N' END AS best
               FROM cand)"""
 
+  /** DuckDB mirror of java.net.URLEncoder (= Spark's `url_encode` = the
+    * reference's apoc.text.urlencode) for the viewer payloads' restricted
+    * alphabet — DuckDB has no urlencode, so the oracle pins the exact
+    * byte mapping: '%' first (so later replacements' escapes survive),
+    * the JSON/payload punctuation, space→'+' last. Every character the
+    * payloads can contain outside [A-Za-z0-9._] is covered; URLEncoder
+    * leaves '.' and '_' unchanged.
+    */
+  private def urlencSql(e: String): String =
+    s"""replace(replace(replace(replace(replace(replace(replace(replace(
+       replace(replace($e,
+       '%','%25'),'{','%7B'),'}','%7D'),'"','%22'),':','%3A'),
+       ',','%2C'),'#','%23'),'[','%5B'),']','%5D'),' ','+')"""
+
   val defs: Seq[RQ] = Seq(
 
     RQ("p1_summary_stats", Some(s"""$G
@@ -303,6 +317,81 @@ object ProCogQueryDefs {
         // aggregate's extra shuffle-side dedup pass
         .agg(count(col("o_orderkey")).as("n_entries"))
         .orderBy("r_name", "n_name")
-    })
+    }),
+
+    // Parity-viewer iframe payload (neodash_queries.yaml:78): the Ligand
+    // Similarity table WITH the urlencoded JSON viewer link — the exact
+    // payload schema the reference's parity_viewer.html consumes
+    // (apoc.convert.toJson + apoc.text.urlencode → to_json + url_encode)
+    RQ("p18_parity_viewer_payload", Some(s"""$G,
+      pay AS (SELECT b.hetCode, upper(trim(p.p_name)) AS cognateLigand,
+                     s.score AS parityScore, s.best,
+                     to_json(struct_pack(
+                       bl_name := upper(trim(p.p_name)),
+                       bl_smiles := upper(trim(p.p_name)),
+                       parity := printf('%.3f', s.score),
+                       parity_smarts := p.p_brand || ':' ||
+                                        CAST(p.p_size // 10 AS VARCHAR),
+                       parity_pdb := CAST(bp.p_size AS VARCHAR),
+                       parity_bl := CAST(p.p_size AS VARCHAR),
+                       be_name := b.hetCode,
+                       be_smiles := upper(trim(bp.p_name))))::VARCHAR AS j
+              FROM be b JOIN sim s ON s.pk = b.pk
+                   JOIN part p ON p.p_partkey = s.cog
+                   JOIN part bp ON bp.p_partkey = b.pk
+              WHERE b.ok <= 20 AND s.score >= 0.9 AND s.best = 'Y')
+      SELECT hetCode, cognateLigand, parityScore, best,
+             'http://localhost:8080/procogdash/web/parity_viewer.html?data='
+               || ${urlencSql("j")} AS iframe_url,
+             'Parity Score: ' || hetCode || ' - ' || cognateLigand
+               AS iframe_header
+      FROM pay
+      ORDER BY hetCode, cognateLigand, parityScore, iframe_url"""))((s, dir) =>
+      ProCogQueries.parityViewerPayload(GraphTables.cached(s, dir), 20L, 0.9,
+          Best)
+        .orderBy("hetCode", "cognateLigand", "parityScore", "iframe_url")),
+
+    // Molstar-viewer iframe payload (neodash_queries.yaml:70): the Domain
+    // Interactions table WITH the urlencoded structure-viewer JSON —
+    // residue-list analogs are real per-contact line numbers from the
+    // fact table (this domain's interface + the all-domain union)
+    RQ("p19_molstar_viewer_payload", Some(s"""$G,
+      ifc AS (SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk,
+                     list_sort(list(CAST(l_linenumber AS BIGINT))) AS iface
+              FROM lineitem WHERE l_orderkey <= 20 GROUP BY 1, 2, 3),
+      ai AS (SELECT ok, pk, list_sort(list(ln)) AS all_iface
+             FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk,
+                          CAST(l_linenumber AS BIGINT) AS ln
+                   FROM lineitem WHERE l_orderkey <= 20) GROUP BY 1, 2),
+      pay AS (SELECT d.acc AS chainDomain, b.disp AS pdbLigand,
+                     upper(substr(i.mode, 1, 1)) || substr(i.mode, 2)
+                       AS interactionMode,
+                     i.perc * 100 AS domainContactPct,
+                     CAST(len(f.iface) AS BIGINT) AS interfaceCount,
+                     to_json(struct_pack(
+                       pdb_id := 'pdb' || i.ok,
+                       bl_chain := b.disp,
+                       bl_residues := a.all_iface,
+                       all_interface := a.all_iface,
+                       interface_chain := CAST(i.ok AS VARCHAR) || ':' ||
+                                          CAST(sp.s_nationkey AS VARCHAR),
+                       interface := f.iface))::VARCHAR AS j
+              FROM iam i
+              JOIN ifc f ON f.ok = i.ok AND f.pk = i.pk AND f.sk = i.sk
+              JOIN ai a ON a.ok = i.ok AND a.pk = i.pk
+              JOIN dom d ON d.sk = i.sk
+              JOIN supplier sp ON sp.s_suppkey = i.sk
+              JOIN be b ON b.ok = i.ok AND b.pk = i.pk
+              WHERE i.ok <= 20)
+      SELECT chainDomain, pdbLigand, interactionMode, domainContactPct,
+             interfaceCount,
+             'http://www.localhost:8080/procogdash/web/pdbe_molstar_viewer.html?data='
+               || ${urlencSql("j")} AS iframe_url,
+             'Interface: ' || chainDomain || ' - ' || pdbLigand
+               AS iframe_header
+      FROM pay ORDER BY chainDomain, pdbLigand, iframe_url"""))((s, dir) =>
+      ProCogQueries.molstarViewerPayload(GraphTables.cached(s, dir),
+          graft.Tables(s, dir, "lineitem"), 20L)
+        .orderBy("chainDomain", "pdbLigand", "iframe_url"))
   )
 }

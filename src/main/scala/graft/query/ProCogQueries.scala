@@ -262,4 +262,105 @@ object ProCogQueries {
       .filter(col("hetCode").contains(substr))
       .orderBy(length(col("hetCode")), col("hetCode"))
       .limit(k)
+
+  /** Parity-viewer iframe payload (neodash_queries.yaml:78, the "Ligand
+    * Similarity" table): each dashboard row carries the urlencoded JSON
+    * the parity_viewer.html iframe consumes —
+    * `apoc.text.urlencode(apoc.convert.toJson({...}))` re-expressed as
+    * `url_encode(to_json(struct(...)))`, both native codegen'd functions.
+    *
+    * Payload keys are the reference's EXACTLY, in its order: bl_name,
+    * bl_smiles, parity, parity_smarts, parity_pdb, parity_bl, be_name,
+    * be_smiles. Values flow through the ChemToolkit seam: FixtureChem
+    * collapses display name and canonical SMILES into one normalisation
+    * (so bl_name = bl_smiles until a real toolkit lands), the
+    * DESCRIBED_BY boundDescriptor is the ligand structure's own part row
+    * (ligand ids ARE part keys in the registry derivation), and the
+    * matched-atom evidence (parity_smarts / parity_pdb / parity_bl) is
+    * the pair's blocking signature + size witnesses — the same columns a
+    * real PARITY kernel would populate with SMARTS + atom lists.
+    * `parity` is pinned to "%.3f" (the reference's round(score, 3)): a
+    * STRING in the JSON, so both engines print identical bytes.
+    */
+  def parityViewerPayload(g: GraphTables, maxEntryKey: Long, cutoff: Double,
+                          mode: CognateMode): DataFrame = {
+    val simsDf = sims(g, cutoff, mode)
+    val beDesc = g.cognates.select(col("cogId").as("ligandUniqueID"),
+      col("cogName").as("beSmiles"), col("csize").as("beSize"))
+    val payload = to_json(struct(
+      col("cogName").as("bl_name"),
+      col("cogName").as("bl_smiles"),
+      format_string("%.3f", col("parityScore")).as("parity"),
+      concat(col("brand"), lit(":"), expr("csize div 10"))
+        .as("parity_smarts"),
+      col("beSize").cast("string").as("parity_pdb"),
+      col("csize").cast("string").as("parity_bl"),
+      col("hetCode").as("be_name"),
+      col("beSmiles").as("be_smiles")))
+    g.boundEntities.filter(col("ok") <= maxEntryKey)
+      .join(simsDf, "ligandUniqueID")
+      .join(beDesc, "ligandUniqueID")
+      .join(g.cognates, "cogId")
+      .select(col("hetCode"), col("cogName").as("cognateLigand"),
+        col("parityScore"), col("bestCognate").as("best"),
+        concat(
+          lit("http://localhost:8080/procogdash/web/parity_viewer.html?data="),
+          url_encode(payload)).as("iframe_url"),
+        concat(lit("Parity Score: "), col("hetCode"), lit(" - "),
+          col("cogName")).as("iframe_header"))
+  }
+
+  /** Molstar-viewer iframe payload (neodash_queries.yaml:70, the "Domain
+    * Interactions" table): per (entry, domain, bound entity) interaction,
+    * the dashboard row plus the urlencoded JSON pdbe_molstar_viewer.html
+    * consumes. Payload keys exactly the reference's: pdb_id, bl_chain,
+    * bl_residues, all_interface, interface_chain, interface. The residue
+    * lists are real per-contact evidence from the fact table — this
+    * domain's contributing line numbers (`interface`) and the distinct
+    * union across all domains of the ligand (`all_interface`; the
+    * fixture model equates the ligand's own residue list with that
+    * union). `li` is the raw lineitem fact — the registry's interaction
+    * table aggregates the lists away, and re-deriving them here filters
+    * the fact by entry key FIRST, so the collect_list grain stays
+    * per-(entry, ligand[, domain]), never global.
+    */
+  def molstarViewerPayload(g: GraphTables, li: DataFrame,
+                           maxEntryKey: Long): DataFrame = {
+    val fact = li.filter(col("l_orderkey") <= maxEntryKey)
+    val perDomain = fact
+      .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        col("l_suppkey").as("suppkey"))
+      .agg(sort_array(collect_list(col("l_linenumber").cast("long")))
+        .as("iface"))
+    val allIface = fact
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        col("l_linenumber").cast("long").as("ln")).distinct()
+      .groupBy("ok", "pk")
+      .agg(sort_array(collect_list(col("ln"))).as("all_iface"))
+    val payload = to_json(struct(
+      concat(lit("pdb"), col("ok")).as("pdb_id"),
+      col("displayID").as("bl_chain"),
+      col("all_iface").as("bl_residues"),
+      col("all_iface").as("all_interface"),
+      concat(col("ok"), lit(":"), col("nk")).as("interface_chain"),
+      col("iface").as("interface")))
+    g.interacts.filter(col("ok") <= maxEntryKey)
+      .join(perDomain, Seq("ok", "pk", "suppkey"))
+      .join(allIface, Seq("ok", "pk"))
+      .join(broadcast(g.domains
+        .select("suppkey", "domainAccession", "nk")), "suppkey")
+      .join(g.boundEntities.select(col("ok"), col("ligandUniqueID").as("pk"),
+        col("displayID")), Seq("ok", "pk"))
+      .select(col("domainAccession").as("chainDomain"),
+        col("displayID").as("pdbLigand"),
+        concat(upper(substring(col("interactionMode"), 1, 1)),
+          expr("substring(interactionMode, 2)")).as("interactionMode"),
+        (col("perc") * 100).as("domainContactPct"),
+        size(col("iface")).cast("long").as("interfaceCount"),
+        concat(
+          lit("http://www.localhost:8080/procogdash/web/pdbe_molstar_viewer.html?data="),
+          url_encode(payload)).as("iframe_url"),
+        concat(lit("Interface: "), col("domainAccession"), lit(" - "),
+          col("displayID")).as("iframe_header"))
+  }
 }

@@ -1,0 +1,105 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.security.MessageDigest
+
+import javax.imageio.ImageIO
+
+/** Real PNG/JPEG image codec on `javax.imageio` — zero external
+  * dependencies, pure JVM (VERDICT r8 item 4: the decode stub's container
+  * constraint doesn't apply to these two formats). `Multimodal.decodeStub`
+  * remains only for formats the JVM genuinely cannot decode (video,
+  * audio).
+  *
+  * Design for oracle-checkability: the engine ENCODES deterministic
+  * grayscale images from raw table bytes (pixel k = byte k of the text,
+  * row-major), ships them as opaque binary payloads, then DECODES and
+  * extracts features. Width/height come from the real decoder parsing
+  * the real container header (PNG IHDR / JPEG SOF), and for lossless PNG
+  * the recovered pixel bytes are digest-compared — so a DuckDB oracle
+  * with no image codec can still pin every output analytically (it knows
+  * which bytes were encoded). JPEG is lossy: its pixel digest is null by
+  * contract; its width/height remain decoder-true assertions.
+  *
+  * Everything here runs inside `mapPartitions` (the engine's sanctioned
+  * per-partition kernel tier, same as ParityScorer): one codec instance
+  * pipeline per task, no driver involvement, scales with partitions.
+  */
+object ImageCodec {
+
+  /** 8-bit grayscale PNG of the first w*h bytes of `data` (row-major). */
+  def encodePng(data: Array[Byte], w: Int, h: Int): Array[Byte] =
+    encode(data, w, h, "png")
+
+  /** 8-bit grayscale JPEG (default quality) of the same raster. */
+  def encodeJpeg(data: Array[Byte], w: Int, h: Int): Array[Byte] =
+    encode(data, w, h, "jpg")
+
+  private def encode(data: Array[Byte], w: Int, h: Int,
+                     format: String): Array[Byte] = {
+    require(data.length >= w * h,
+      s"payload ${data.length} B too short for ${w}x$h raster")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, data(i) & 0xff)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    val ok = ImageIO.write(img, format, bos)
+    require(ok, s"no ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  /** Decoded image features: container-sniffed mime, header-true
+    * dimensions, and (lossless formats only) the md5 of the recovered
+    * gray pixel bytes in row-major order.
+    */
+  final case class Decoded(mime: String, width: Int, height: Int,
+                           pixMd5: String)
+
+  /** Magic-byte mime sniff — the payload is opaque binary; its mime is a
+    * property of the bytes, not of trusted metadata.
+    */
+  def sniffMime(payload: Array[Byte]): String =
+    if (payload.length >= 8 &&
+        (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+        payload(2) == 'N' && payload(3) == 'G') "image/png"
+    else if (payload.length >= 3 &&
+        (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+        (payload(2) & 0xff) == 0xff) "image/jpeg"
+    else "application/octet-stream"
+
+  /** Decode a payload. Returns None when no JVM reader accepts the bytes
+    * (the caller decides whether that's a data error or a stub-tier
+    * format). pixMd5 is null for lossy formats — JPEG pixels are not
+    * bit-recoverable and a digest over them would be decoder-version-
+    * dependent.
+    */
+  def decode(payload: Array[Byte]): Option[Decoded] = {
+    val mime = sniffMime(payload)
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val md5 =
+        if (mime == "image/png") {
+          val w = img.getWidth; val h = img.getHeight
+          val bytes = new Array[Byte](w * h)
+          val raster = img.getRaster
+          var i = 0
+          while (i < w * h) {
+            bytes(i) = raster.getSample(i % w, i / w, 0).toByte
+            i += 1
+          }
+          hexMd5(bytes)
+        } else null
+      Some(Decoded(mime, img.getWidth, img.getHeight, md5))
+    }
+  }
+
+  private def hexMd5(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+}

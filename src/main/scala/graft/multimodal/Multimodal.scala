@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample run per-partition over
   * Arrow-sized batches (the Scala analogue of `mapInPandas`).
   *
-  * The decode step is a STUB: this container has no image/audio codecs, so
-  * `decodeStub` derives deterministic fake features from the raw bytes.
-  * The Spark-side contract — schema, partitioning, batch shape, feature
-  * columns — is real and oracle-tested; swapping in a JNI/ffmpeg decoder
-  * changes only the function body marked below.
+  * PNG/JPEG decode is REAL — `ImageCodec` on `javax.imageio`, pure JVM,
+  * exercised end-to-end by the oracle-gated m6 query. `decodeStub` below
+  * remains only for formats the JVM cannot decode (video/audio — the
+  * container ships no ffmpeg): it derives deterministic fake features
+  * from the raw bytes so the Spark-side contract — schema, partitioning,
+  * batch shape, feature columns — stays real and oracle-tested; swapping
+  * in a JNI/ffmpeg decoder changes only the function body marked below.
   */
 object Multimodal {
 

@@ -147,6 +147,57 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_assets"), sum("nb").as("shard_bytes"),
           min("media_id").as("first_id"), max("media_id").as("last_id"))
         .orderBy("source", "shard_id")
+    }),
+
+    // M6 — REAL image decode via javax.imageio (no external codecs): the
+    // engine ENCODES each document's bytes as a genuine grayscale PNG
+    // (even ids) or JPEG (odd ids) with data-dependent dimensions, ships
+    // the images as opaque binary payloads, then DECODES them and
+    // extracts features. width/height come from the real decoder parsing
+    // the real container header (PNG IHDR / JPEG SOF), mime from magic
+    // bytes, and for lossless PNG the recovered pixels are digested — so
+    // the codec-less DuckDB oracle can still pin every column
+    // analytically (it knows which bytes went in; the decode must get
+    // them back out). JPEG is lossy: pix_md5 is null by contract, its
+    // header dims remain decoder-true. Both codec passes run inside
+    // mapPartitions (the ParityScorer kernel tier) — per-partition, no
+    // driver involvement. decodeStub now covers ONLY codec-less formats
+    // (video/audio).
+    RQ("m6_image_decode", Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                  ELSE 'image/jpeg' END AS mime,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(4 + doc_id % 7 AS INT) AS height,
+             CASE WHEN doc_id % 2 = 0
+                  THEN md5(substr(text, 1,
+                         CAST((4 + doc_id % 13) * (4 + doc_id % 7) AS INT)))
+                  ELSE NULL END AS pix_md5
+      FROM documents
+      WHERE octet_length(encode(text)) >=
+            (4 + doc_id % 13) * (4 + doc_id % 7)
+      ORDER BY media_id"""))((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.ImageCodec
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          col("text").cast("binary").as("data"),
+          (lit(4) + col("doc_id") % 13).cast("int").as("w"),
+          (lit(4) + col("doc_id") % 7).cast("int").as("h"))
+        .filter(octet_length(col("data")) >= col("w") * col("h"))
+        .as[(Long, Array[Byte], Int, Int)]
+      val media = src.mapPartitions(_.map { case (id, data, w, h) =>
+        val payload =
+          if (id % 2 == 0) ImageCodec.encodePng(data, w, h)
+          else ImageCodec.encodeJpeg(data, w, h)
+        (id, payload)
+      }).toDF("media_id", "payload")
+      media.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, p) =>
+        val d = ImageCodec.decode(p).getOrElse(
+          sys.error(s"undecodable payload for media $id"))
+        (id, d.mime, d.width, d.height, d.pixMd5)
+      }).toDF("media_id", "mime", "width", "height", "pix_md5")
+        .orderBy("media_id")
     })
   )
 }

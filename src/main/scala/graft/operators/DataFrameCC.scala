@@ -30,11 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object DataFrameCC {
 
-  /** Rounds cap — a safety rail, not a tuning knob. Convergence needs
-    * ~log²(n) rounds; 50 covers any graph that fits in an exabyte. The
-    * loop exits on the fixpoint checksum long before this.
+  /** Rounds cap — a safety rail, not a tuning knob. The PROVEN bound for
+    * alternating large-star/small-star is O(log² n) ROUNDS — for
+    * n ≈ 2^60 that is thousands, not tens — while empirically-typical
+    * behavior is O(log n) (the published experiments converge in <10
+    * rounds on billion-edge graphs). 400 covers the proven bound for any
+    * n ≤ 2^20 and ~100× the empirical need at any realistic scale; a
+    * pathological adversarial graph beyond it still fails LOUDLY via the
+    * require below rather than emitting wrong labels. The loop exits on
+    * the fixpoint checksum long before this in practice.
     */
-  private val MaxRounds = 50
+  private val MaxRounds = 400
 
   /** Label every vertex with the min id of its connected component.
     *

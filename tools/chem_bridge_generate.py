@@ -139,15 +139,27 @@ def parity_score(smiles_a: str, smiles_b: str):
         # cache-probe distinguishes the two)
         if not matches_a or not matches_b:
             return 0.0, ""
+        # The element-agreement count depends on an embedding ONLY through
+        # its mapped atomic-number tuple, so dedupe each side by that
+        # signature before the cross product: symmetric ring systems
+        # collapse from up-to-256 embeddings to a handful of distinct
+        # element tuples (the 256x256 scan was the fixture-generation
+        # hotspot), and the max becomes independent of RDKit's enumeration
+        # order under maxMatches truncation — two embeddings with the same
+        # signature are interchangeable, so dropping either never changes
+        # the max.
+        sigs_a = {
+            tuple(mol_a.GetAtomWithIdx(i).GetAtomicNum() for i in m)
+            for m in matches_a
+        }
+        sigs_b = {
+            tuple(mol_b.GetAtomWithIdx(i).GetAtomicNum() for i in m)
+            for m in matches_b
+        }
         matching = max(
-            sum(
-                1
-                for ia, ib in zip(match_a, match_b)
-                if mol_a.GetAtomWithIdx(ia).GetAtomicNum()
-                == mol_b.GetAtomWithIdx(ib).GetAtomicNum()
-            )
-            for match_a in matches_a
-            for match_b in matches_b
+            sum(1 for za, zb in zip(sig_a, sig_b) if za == zb)
+            for sig_a in sigs_a
+            for sig_b in sigs_b
         )
         denom = mol_a.GetNumAtoms() + mol_b.GetNumAtoms() - matching
         if denom <= 0:

@@ -37,32 +37,42 @@ object Bench {
     spark.sparkContext.addSparkListener(telemetry)
 
     // ---- untimed warmup (telemetry-visible: duration + ok flags) -------
+    // The steps are mutually independent small jobs; run them CONCURRENTLY
+    // (VERDICT r8 item 7: 68.9 s of sequential warmup left 32 cores mostly
+    // idle). Spark's scheduler interleaves jobs submitted from separate
+    // threads; each step keeps its own failure recording, so the artifact
+    // fields are unchanged — only the wall time shrinks.
     val tWarm0 = System.nanoTime()
-    // JIT + codegen + parquet footer caches, so the first measured query
-    // doesn't carry session start-up cost. The synthetic plans below
-    // exercise the operator classes most queries go through (hash agg +
-    // distinct expand, window sort, shuffle + broadcast join) so their
-    // JVM/janino warm-up cost isn't charged to whichever real query runs
-    // one first.
-    spark.range(1000).selectExpr("sum(id)").queryExecution.toRdd.count()
-    // touch every benched table once (footer + OS page cache): a query's
-    // measured time should be its plan, not whichever table it happens to
-    // fault in first — the 20 s-vs-1.4 s t6 outlier in round 5 was cold
-    // input I/O, not the MinHash plan. A missing table must fail only the
-    // queries that read it — recorded in warmup_failed, not fatal.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val warmupFailed = scala.collection.mutable.ArrayBuffer[String]()
-    Tables.names.foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet")
-        .queryExecution.toRdd.count()
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] warmup $t failed: ${e.getMessage}")
-        warmupFailed += t
+    val warmupFailed =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+    // per-step wall durations (concurrent, so they overlap — the map
+    // attributes WHERE warmup time went, warmup_sec stays the wall total)
+    val warmupSteps = new java.util.concurrent.ConcurrentHashMap[
+      String, Double]()
+    val warmPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val warmEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(warmPool)
+    def step(name: String)(body: => Unit): scala.concurrent.Future[Unit] =
+      scala.concurrent.Future {
+        val t0 = System.nanoTime()
+        try body
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+          warmupFailed.add(name)
+        } finally warmupSteps.put(name, (System.nanoTime() - t0) / 1e9)
       }
-    }
-    locally {
+
+    // JIT + codegen + parquet footer caches, so the first measured query
+    // doesn't carry session start-up cost. The synthetic plans exercise
+    // the operator classes most queries go through (hash agg + distinct
+    // expand, window sort, shuffle + broadcast join) so their JVM/janino
+    // warm-up cost isn't charged to whichever real query runs one first.
+    val fSynth = step("synthetic_plans") {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
+      spark.range(1000).selectExpr("sum(id)").queryExecution.toRdd.count()
       val w = spark.range(100000).select(col("id"),
         (col("id") % 100).as("k"), (col("id") % 7).as("v"))
       w.groupBy("k").agg(countDistinct(col("v")), sum(col("id")))
@@ -73,22 +83,31 @@ object Bench {
       w.join(broadcast(spark.range(100).select(col("id").as("k"))), "k")
         .groupBy("v").count().queryExecution.toRdd.count()
     }
+    // touch every benched table once (footer + OS page cache): a query's
+    // measured time should be its plan, not whichever table it happens to
+    // fault in first — the 20 s-vs-1.4 s t6 outlier in round 5 was cold
+    // input I/O, not the MinHash plan. A missing table must fail only the
+    // queries that read it — recorded in warmup_failed, not fatal.
+    // Per-table steps so two tables fault in concurrently and one missing
+    // table is one warmup_failed entry, as before.
+    val fTables = Tables.names.map { t =>
+      step(t) {
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .queryExecution.toRdd.count()
+      }
+    }
     // the etl1 JSON-lines fixture, pre-generated so the measured etl1
     // region is the contacts stage (scan → filter → aggregate), not a
     // full-table text write (28.3 s charged to etl1 on the r7 record)
-    try graft.queries.EtlQueries.contactsFixture(spark, sfDir)
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] etl1 fixture warmup failed: ${e.getMessage}")
-      warmupFailed += "etl1_fixture"
+    val fEtl1 = step("etl1_fixture") {
+      graft.queries.EtlQueries.contactsFixture(spark, sfDir); ()
     }
     // s5's pid-keyed bucketed tables: the catalog is session-scoped, so a
     // fresh JVM (every driver bench run) would otherwise pay both bucketed
     // writes inside s5's timed region — install them untimed here so the
     // measured s5 is the bucket-to-bucket join, not the fixture write
-    try graft.queries.ScaleQueries.installBucketedFixture(spark, sfDir)
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] s5 fixture warmup failed: ${e.getMessage}")
-      warmupFailed += "s5_fixture"
+    val fS5 = step("s5_fixture") {
+      graft.queries.ScaleQueries.installBucketedFixture(spark, sfDir); ()
     }
     // ...and the graph registry's persisted tables, untimed: the dashboard
     // queries (p1-p11) serve against an already-built database, exactly as
@@ -111,19 +130,35 @@ object Bench {
     // the full registry build to the first registry-served query (the
     // only mechanism that fits r7's p2 = 64 s — registry queries spike
     // neither under 2× heap pressure nor under 3-writer dsync disk
-    // stress once the registry is resident; see STATUS round-8 repro)
-    var graphAttempts = 0
-    while (graphOpt.isEmpty && graphAttempts < 2) {
-      graphAttempts += 1
-      try {
-        val g = graft.graph.GraphTables.cached(spark, sfDir)
-        registryTables(g).foreach(_.queryExecution.toRdd.count())
-        graphOpt = Some(g)
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(
-          s"[bench] graph warmup attempt $graphAttempts failed: ${e.getMessage}")
+    // stress once the registry is resident; see STATUS round-8 repro).
+    // Materialization is PHASE-parallel (registryTablePhases): tables in
+    // a phase are independent and count() concurrently; phases respect
+    // build dependencies so no table is computed twice.
+    val fGraph = scala.concurrent.Future {
+      val t0 = System.nanoTime()
+      var graphAttempts = 0
+      while (graphOpt.isEmpty && graphAttempts < 2) {
+        graphAttempts += 1
+        try {
+          val g = graft.graph.GraphTables.cached(spark, sfDir)
+          g.registryTablePhases.foreach { phase =>
+            val counts = phase.map(df => scala.concurrent.Future {
+              df.queryExecution.toRdd.count(); () })
+            counts.foreach(f => scala.concurrent.Await.result(
+              f, scala.concurrent.duration.Duration.Inf))
+          }
+          graphOpt = Some(g)
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] graph warmup attempt $graphAttempts failed: ${e.getMessage}")
+        }
       }
+      warmupSteps.put("graph_registry", (System.nanoTime() - t0) / 1e9)
     }
+    (fTables ++ Seq(fSynth, fEtl1, fS5, fGraph)).foreach(f =>
+      scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    warmPool.shutdown()
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // keep-set for the between-family sweeps: everything persisted so far
     // (graph registry, warmup caches) survives the whole run, exactly as
@@ -252,8 +287,16 @@ object Bench {
       "native_zlib" -> org.apache.hadoop.io.compress.zlib.ZlibFactory
         .isNativeZlibLoaded(spark.sparkContext.hadoopConfiguration)
         .toString))
-    val warmupFailedJson =
-      warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val warmupFailedJson = {
+      import scala.jdk.CollectionConverters._
+      warmupFailed.asScala.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
+    // only the interesting steps: per-table touches under 1 s are noise
+    val warmupStepsJson = {
+      import scala.jdk.CollectionConverters._
+      jmap(warmupSteps.asScala.toSeq.filter(_._2 >= 1.0)
+        .sortBy(-_._2).map { case (k, v) => k -> f(v) })
+    }
     val sweepsJson = jmap(sweepSecs.toSeq.map { case (k, v) => k -> f(v) })
     // per-query memory-residency losses, nonzero only: "which query was
     // running while blocks were being evicted" — the attribution the r7
@@ -277,7 +320,7 @@ object Bench {
         "shuf_rd_mb" -> f(tm.shufReadBytes / mb),
         "shuf_wr_mb" -> f(tm.shufWriteBytes / mb),
         "spill_mb" -> f(tm.spillBytes / mb))) })
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"telemetry":$telem,"warmup_failed":$warmupFailedJson,"sweeps":$sweepsJson,"evictions":$evJson,"baseline_evictions":$bevJson,"exec":$execJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"telemetry":$telem,"warmup_failed":$warmupFailedJson,"warmup_steps":$warmupStepsJson,"sweeps":$sweepsJson,"evictions":$evJson,"baseline_evictions":$bevJson,"exec":$execJson,"sf":"$sfDir"}""")
     // the full line above exceeds a ~2k-char log-tail window at 144
     // queries (round 5's BENCH capture shows a mid-line truncation →
     // parsed: null). Repeat the same-schema line with only the slowest

@@ -104,8 +104,20 @@ final case class GraphTables(
     * silent-recompute hazard BenchHygieneSpec documents).
     */
   def registryTables: Seq[DataFrame] =
-    Seq(boundEntities, interacts, similarity, similarityBest,
-      interactPairs, domainCognate)
+    registryTablePhases.flatten
+
+  /** The same inventory grouped into dependency PHASES: tables within a
+    * phase are mutually independent and may be materialized concurrently
+    * (Bench's warmup does — six sequential count() jobs left 32 cores
+    * mostly idle); a phase only depends on the phases before it
+    * (similarityBest/interactPairs/domainCognate all read the phase-1
+    * caches). Concurrent actions on one persisted-but-unmaterialized DF
+    * would be safe (block-level get-or-compute) but can duplicate work —
+    * the phasing avoids that instead of relying on it.
+    */
+  def registryTablePhases: Seq[Seq[DataFrame]] =
+    Seq(Seq(boundEntities, interacts, similarity),
+      Seq(similarityBest, interactPairs, domainCognate))
 
   /** Typed stage-boundary views (model/Model.scala) — compile-time field
     * checking for pipeline code consuming a stage's output.

@@ -161,8 +161,9 @@ object EventQueries {
     // micro-batches into flatMapGroupsWithState sessionization
     // (streaming/StreamingOps.sessionizeByGap); the cross-batch state must
     // reproduce the batch lag-window answer (same oracle as e3). The
-    // driver-side collect exists only to FEED the test stream — a
-    // production pipeline points readStream at a file/Kafka source.
+    // driver-side collect exists only to FEED the test stream — the
+    // per-query production mapping (readStream at a file/Kafka source,
+    // identical operator code) is pinned once in docs/STREAMING.md.
     RQ("j1_stream_sessionize", Some(sessionizeOracleSql))((s, dir) => {
       import s.implicits._
       val data = evMicros(s, dir).select("user_id", "us")

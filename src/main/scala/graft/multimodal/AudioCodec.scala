@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream,
+  AudioSystem}
+
+/** Real WAV/PCM audio codec on `javax.sound.sampled` — like `ImageCodec`,
+  * pure JVM with zero external dependencies (WAV container parsing and
+  * PCM need no codec plugins and no audio device; `AudioSystem`'s file
+  * I/O works headless). This upgrades the audio half of the multimodal
+  * decode seam from `Multimodal.decodeStub` to a real decoder; the stub
+  * now covers only compressed video/audio formats (mp4/mp3 — the
+  * container genuinely ships no ffmpeg).
+  *
+  * Oracle-checkability follows the m6 design: the engine ENCODES a
+  * deterministic mono 8-bit unsigned PCM WAV whose samples are the raw
+  * table bytes, ships it as an opaque binary payload, then DECODES it.
+  * Sample rate / channels / bit depth / frame count come from the real
+  * parser reading the real RIFF/fmt chunks, and — PCM being lossless —
+  * the recovered sample bytes are digest-compared, so a codec-less
+  * DuckDB oracle pins every output analytically.
+  *
+  * All codec calls run inside `mapPartitions` (the per-partition kernel
+  * tier): no driver involvement, scales with partitions.
+  */
+object AudioCodec {
+
+  /** Mono 8-bit unsigned PCM WAV of the first n bytes of `data` at the
+    * given sample rate. 8-bit WAV PCM is stored unsigned, one byte per
+    * frame — the container payload carries the input bytes verbatim, so
+    * the decode side can digest-verify exact recovery.
+    */
+  def encodeWav(data: Array[Byte], n: Int, sampleRate: Int): Array[Byte] = {
+    require(n > 0 && n <= data.length,
+      s"encodeWav needs 0 < n <= ${data.length}, got $n")
+    require(sampleRate > 0, s"encodeWav needs a positive rate, got $sampleRate")
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data, 0, n), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded audio features — every field decoder-true: format fields
+    * from the parsed fmt chunk, nFrames from the data chunk length, and
+    * pcmMd5 over the recovered sample bytes (lossless PCM contract).
+    */
+  final case class DecodedAudio(mime: String, sampleRate: Int,
+                                channels: Int, bits: Int, nFrames: Long,
+                                pcmMd5: String)
+
+  /** Magic-byte mime sniff: RIFF....WAVE. Payloads are opaque binary;
+    * mime is a property of the bytes, not of trusted metadata.
+    */
+  def sniffMime(payload: Array[Byte]): String =
+    if (payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E') "audio/wav"
+    else "application/octet-stream"
+
+  /** Decode a WAV payload. None when the bytes aren't a parseable WAV. */
+  def decodeWav(payload: Array[Byte]): Option[DecodedAudio] = {
+    val mime = sniffMime(payload)
+    if (mime != "audio/wav") None
+    else {
+      val ais = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val nFrames = ais.getFrameLength
+        val frameBytes = fmt.getFrameSize
+        val bytes = new Array[Byte]((nFrames * frameBytes).toInt)
+        var off = 0
+        var read = 0
+        while (off < bytes.length && read >= 0) {
+          read = ais.read(bytes, off, bytes.length - off)
+          if (read > 0) off += read
+        }
+        require(off == bytes.length,
+          s"WAV data chunk truncated: read $off of ${bytes.length} B")
+        Some(DecodedAudio(mime, fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, nFrames, ImageCodec.hexMd5(bytes)))
+      } finally ais.close()
+    }
+  }
+}

@@ -99,7 +99,54 @@ object ImageCodec {
     }
   }
 
-  private def hexMd5(bytes: Array[Byte]): String =
+  /** Lossless pixel recovery for PNG payloads: (width, height, row-major
+    * gray bytes). None when the bytes aren't a decodable PNG — lossy
+    * formats are deliberately excluded (their pixels are not
+    * bit-recoverable, so any downstream digest/resize over them would be
+    * decoder-version-dependent).
+    */
+  def decodePixelsPng(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    if (sniffMime(payload) != "image/png") None
+    else Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val bytes = new Array[Byte](w * h)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        bytes(i) = raster.getSample(i % w, i / w, 0).toByte
+        i += 1
+      }
+      (w, h, bytes)
+    }
+
+  /** Nearest-neighbor resize of a row-major gray raster: target pixel
+    * (tx, ty) samples source (tx*w/tw, ty*h/th) — exact integer floor
+    * arithmetic (works for both up- and down-scaling), so the output is
+    * a pure byte SELECTION from the source raster that a codec-less
+    * oracle can reproduce analytically. No interpolation by design:
+    * averaged pixels would be float-rounding-dependent.
+    */
+  def resizeNearest(px: Array[Byte], w: Int, h: Int,
+                    tw: Int, th: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && tw > 0 && th > 0,
+      s"resizeNearest needs positive dims, got ${w}x$h -> ${tw}x$th")
+    require(px.length >= w * h, s"raster ${px.length} B too short for ${w}x$h")
+    val out = new Array[Byte](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * h / th
+      var tx = 0
+      while (tx < tw) {
+        out(ty * tw + tx) = px(sy * w + tx * w / tw)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Row-major md5 hex digest — shared by decode() and the resize path. */
+  def hexMd5(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"${b & 0xff}%02x").mkString
 }

@@ -198,6 +198,94 @@ object MultimodalQueries {
         (id, d.mime, d.width, d.height, d.pixMd5)
       }).toDF("media_id", "mime", "width", "height", "pix_md5")
         .orderBy("media_id")
+    }),
+
+    // M7 — REAL thumbnail resize: encode PNG, decode it, nearest-neighbor
+    // resize the recovered raster to a fixed 8x6 thumb, digest the thumb
+    // pixels. NN resize is exact integer floor arithmetic — target (tx,
+    // ty) samples source (tx*w/8, ty*h/6) — so the codec-less oracle
+    // reproduces the very same 48-byte selection with substr + integer
+    // division and pins the digest. PNG (even ids) only: lossless is the
+    // contract that makes pixel-level assertions engine-independent.
+    // width/height in the output are DECODER-true (parsed back out of the
+    // produced container), not echoed inputs.
+    RQ("m7_thumbnail_resize", Some("""
+      WITH src AS (
+        SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
+               CAST(4 + doc_id % 7 AS INT) AS h, text
+        FROM documents
+        WHERE doc_id % 2 = 0
+          AND octet_length(encode(text)) >= (4 + doc_id % 13) * (4 + doc_id % 7)),
+      px AS (
+        SELECT doc_id, w, h, ty, tx,
+               substr(text,
+                      CAST((ty * h // 6) * w + (tx * w // 8) + 1 AS INT),
+                      1) AS ch
+        FROM src, unnest(range(0, 6)) AS a(ty), unnest(range(0, 8)) AS b(tx))
+      SELECT doc_id AS media_id, w AS width, h AS height,
+             md5(string_agg(ch, '' ORDER BY ty, tx)) AS thumb_md5
+      FROM px GROUP BY doc_id, w, h ORDER BY media_id"""))((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.ImageCodec
+      val src = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          col("text").cast("binary").as("data"),
+          (lit(4) + col("doc_id") % 13).cast("int").as("w"),
+          (lit(4) + col("doc_id") % 7).cast("int").as("h"))
+        .filter(octet_length(col("data")) >= col("w") * col("h"))
+        .as[(Long, Array[Byte], Int, Int)]
+      src.mapPartitions(_.map { case (id, data, w, h) =>
+        val png = ImageCodec.encodePng(data, w, h)
+        val (dw, dh, px) = ImageCodec.decodePixelsPng(png).getOrElse(
+          sys.error(s"undecodable PNG for media $id"))
+        val thumb = ImageCodec.resizeNearest(px, dw, dh, 8, 6)
+        (id, dw, dh, ImageCodec.hexMd5(thumb))
+      }).toDF("media_id", "width", "height", "thumb_md5")
+        .orderBy("media_id")
+    }),
+
+    // M8 — REAL audio decode via javax.sound.sampled (pure JVM, like
+    // m6's ImageIO): the engine encodes each document's first <=200
+    // bytes as a mono 8-bit unsigned PCM WAV at a data-dependent sample
+    // rate, ships it opaque, then decodes. sample_rate/channels/bits
+    // come from the real parser reading the real RIFF fmt chunk,
+    // n_frames from the data chunk, and — PCM being lossless — pcm_md5
+    // digests the recovered samples; duration_ms is integer-exact. The
+    // oracle knows which bytes and rate went in; the decoder must get
+    // them back out of the container it never saw constructed.
+    RQ("m8_audio_decode", Some("""
+      SELECT doc_id AS media_id,
+             CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+             1 AS channels, 8 AS bits,
+             CAST(least(octet_length(encode(text)), 200) AS BIGINT)
+               AS n_frames,
+             md5(substr(text, 1,
+                 CAST(least(octet_length(encode(text)), 200) AS INT)))
+               AS pcm_md5,
+             CAST(least(octet_length(encode(text)), 200) * 1000
+                  // (8000 + (doc_id % 5) * 1000) AS BIGINT) AS duration_ms
+      FROM documents
+      WHERE octet_length(encode(text)) >= 1
+      ORDER BY media_id"""))((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.AudioCodec
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          col("text").cast("binary").as("data"),
+          (lit(8000) + (col("doc_id") % 5) * 1000).cast("int").as("rate"))
+        .filter(octet_length(col("data")) >= 1)
+        .as[(Long, Array[Byte], Int)]
+      src.mapPartitions(_.map { case (id, data, rate) =>
+        val n = math.min(data.length, 200)
+        val wav = AudioCodec.encodeWav(data, n, rate)
+        val d = AudioCodec.decodeWav(wav).getOrElse(
+          sys.error(s"undecodable WAV for media $id"))
+        (id, d.sampleRate, d.channels, d.bits, d.nFrames, d.pcmMd5,
+          d.nFrames * 1000L / d.sampleRate)
+      }).toDF("media_id", "sample_rate", "channels", "bits", "n_frames",
+          "pcm_md5", "duration_ms")
+        .orderBy("media_id")
     })
   )
 }

@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import org.scalatest.funspec.AnyFunSpec
+
+/** AudioCodec is the audio half of the real-codec tier (m8): the
+  * invariants here are what the m8 oracle relies on — lossless PCM
+  * sample roundtrip through a real WAV container, fmt-chunk-true format
+  * fields, and magic-byte mime sniffing.
+  */
+class AudioCodecSpec extends AnyFunSpec {
+
+  private val data: Array[Byte] =
+    (0 until 256).map(i => ((i * 7) % 256).toByte).toArray
+
+  describe("AudioCodec") {
+
+    it("WAV roundtrips samples exactly (lossless PCM contract)") {
+      val wav = AudioCodec.encodeWav(data, 200, 11000)
+      assert(AudioCodec.sniffMime(wav) === "audio/wav")
+      val d = AudioCodec.decodeWav(wav).get
+      assert(d.mime === "audio/wav")
+      assert(d.sampleRate === 11000)
+      assert(d.channels === 1)
+      assert(d.bits === 8)
+      assert(d.nFrames === 200L)
+      // decoded-sample digest equals the digest of the source bytes —
+      // the identity the m8 oracle checks from DuckDB's side
+      assert(d.pcmMd5 === ImageCodec.hexMd5(data.take(200)))
+    }
+
+    it("a one-frame payload is valid (the n >= 1 filter boundary)") {
+      val wav = AudioCodec.encodeWav(data, 1, 8000)
+      val d = AudioCodec.decodeWav(wav).get
+      assert(d.nFrames === 1L)
+      assert(d.pcmMd5 === ImageCodec.hexMd5(data.take(1)))
+    }
+
+    it("rejects empty payloads and non-positive rates") {
+      assertThrows[IllegalArgumentException] {
+        AudioCodec.encodeWav(data, 0, 8000)
+      }
+      assertThrows[IllegalArgumentException] {
+        AudioCodec.encodeWav(data, 10, 0)
+      }
+    }
+
+    it("returns None for undecodable bytes; sniff falls back to octet-stream") {
+      val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)
+      assert(AudioCodec.sniffMime(junk) === "application/octet-stream")
+      assert(AudioCodec.decodeWav(junk).isEmpty)
+    }
+
+    it("encode is deterministic (same bytes in, same container bytes out)") {
+      val a = AudioCodec.encodeWav(data, 128, 9000)
+      val b = AudioCodec.encodeWav(data, 128, 9000)
+      assert(java.util.Arrays.equals(a, b))
+    }
+  }
+}

@@ -52,6 +52,41 @@ class ImageCodecSpec extends AnyFunSpec {
       assert(ImageCodec.decode(junk).isEmpty)
     }
 
+    it("decodePixelsPng recovers the raster; rejects non-PNG") {
+      val png = ImageCodec.encodePng(data, 12, 7)
+      val (w, h, px) = ImageCodec.decodePixelsPng(png).get
+      assert((w, h) === (12, 7))
+      assert(java.util.Arrays.equals(px, data.take(12 * 7)))
+      val jpg = ImageCodec.encodeJpeg(data, 12, 7)
+      assert(ImageCodec.decodePixelsPng(jpg).isEmpty,
+        "lossy formats are excluded from pixel recovery by contract")
+    }
+
+    it("resizeNearest selects source pixels by exact floor arithmetic") {
+      // 4x2 raster downscaled to 2x1: (tx,ty)=(0,0) -> src (0*4/2, 0*2/1)
+      // = (0,0); (1,0) -> (1*4/2, 0) = (2,0)
+      val src = Array[Byte](10, 11, 12, 13, 20, 21, 22, 23)
+      assert(ImageCodec.resizeNearest(src, 4, 2, 2, 1).toSeq ===
+        Seq[Byte](10, 12))
+      // upscale 2x1 -> 4x2: each target samples (tx*2/4, ty*1/2)
+      val small = Array[Byte](5, 9)
+      assert(ImageCodec.resizeNearest(small, 2, 1, 4, 2).toSeq ===
+        Seq[Byte](5, 5, 9, 9, 5, 5, 9, 9))
+      // identity resize is the identity
+      assert(ImageCodec.resizeNearest(src, 4, 2, 4, 2).toSeq === src.toSeq)
+    }
+
+    it("resizeNearest composed with the PNG roundtrip matches direct " +
+       "selection from the source bytes (the m7 oracle identity)") {
+      val w = 13; val h = 9; val tw = 8; val th = 6
+      val png = ImageCodec.encodePng(data, w, h)
+      val (dw, dh, px) = ImageCodec.decodePixelsPng(png).get
+      val thumb = ImageCodec.resizeNearest(px, dw, dh, tw, th)
+      val expect = for (ty <- 0 until th; tx <- 0 until tw)
+        yield data((ty * h / th) * w + tx * w / tw)
+      assert(thumb.toSeq === expect)
+    }
+
     it("encode is deterministic (same bytes in, same container bytes out)") {
       val a = ImageCodec.encodePng(data, 8, 8)
       val b = ImageCodec.encodePng(data, 8, 8)

@@ -213,6 +213,58 @@ object EtlQueries {
       val path = contactsFixture(s, dir)
       ContactsStage.aggregate(ContactsStage.readContacts(s, path))
         .orderBy("pdb_id", "entity_chain", "domain_chain")
+    }),
+
+    // ETL4 — snapshot CDC diff: classify every key of two keyed snapshots
+    // as insert / update / delete via ONE full-outer join — the
+    // change-data-capture delta that feeds MERGE INTO in a lakehouse
+    // pipeline (and the batch twin of a Debezium-style stream). The
+    // "next" snapshot is derived deterministically from the base
+    // (deletes: k%17, updates: k%5 nation bump, inserts: k%13 shifted
+    // keys), so the oracle reconstructs both snapshots and the exact
+    // delta analytically. Unchanged rows are filtered OUT — CDC output
+    // size is the churn, not the table. At scale: key-unique equi full
+    // outer join — one shuffle per side on the join key, no skew by
+    // construction (keys are unique in each snapshot), AQE coalesces;
+    // the plan is identical at 100 TB with the snapshots as parquet
+    // scans.
+    RQ("etl4_cdc_diff", Some("""
+      WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                           CAST(c_nationkey AS BIGINT) AS nation
+                    FROM customer),
+      nxt AS (SELECT k, CASE WHEN k % 5 = 0 THEN (nation + 1) % 25
+                             ELSE nation END AS nation
+              FROM base WHERE k % 17 <> 0
+              UNION ALL
+              SELECT k + 100000000 AS k, nation FROM base WHERE k % 13 = 0),
+      j AS (SELECT coalesce(b.k, n.k) AS c_custkey,
+                   b.nation AS old_nation, n.nation AS new_nation,
+                   CASE WHEN b.k IS NULL THEN 'I'
+                        WHEN n.k IS NULL THEN 'D'
+                        WHEN b.nation <> n.nation THEN 'U' END AS op
+            FROM base b FULL OUTER JOIN nxt n ON n.k = b.k)
+      SELECT op, c_custkey, old_nation, new_nation
+      FROM j WHERE op IS NOT NULL
+      ORDER BY op, c_custkey"""))((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("long").as("nation"))
+      val next = base.filter(col("k") % 17 =!= 0)
+        .select(col("k"),
+          when(col("k") % 5 === 0, (col("nation") + 1) % 25)
+            .otherwise(col("nation")).as("nation"))
+        .unionByName(base.filter(col("k") % 13 === 0)
+          .select((col("k") + 100000000L).as("k"), col("nation")))
+      base.as("b").join(next.as("n"), col("b.k") === col("n.k"), "full_outer")
+        .select(
+          when(col("b.k").isNull, "I")
+            .when(col("n.k").isNull, "D")
+            .when(col("b.nation") =!= col("n.nation"), "U").as("op"),
+          coalesce(col("b.k"), col("n.k")).as("c_custkey"),
+          col("b.nation").as("old_nation"),
+          col("n.nation").as("new_nation"))
+        .filter(col("op").isNotNull)
+        .orderBy("op", "c_custkey")
     })
   )
 }

@@ -220,28 +220,37 @@ object GraphAnalytics {
     */
   private[graft] def pagerankIntOn(nodesDf: DataFrame, canonEdges: DataFrame,
                                    iters: Int): DataFrame = {
+    // Degree is a property of the static edge set — join it into the
+    // edge table ONCE, not inside the loop (the in-loop form cost one
+    // extra shuffle join per iteration).
     val ed = canonEdges.select(col("ea").as("a"), col("eb").as("b"))
       .unionByName(canonEdges.select(col("eb").as("a"), col("ea").as("b")))
-      .persist()
     val deg = ed.groupBy(col("a").as("dsrc")).agg(count(lit(1)).as("deg"))
-      .persist()
+    val edDeg = ed.join(deg, col("a") === col("dsrc"))
+      .select(col("a"), col("b"), col("deg")).persist()
     val nodes = nodesDf.persist()
     try {
       var pr = nodes.select(col("sk"), lit(1000000L).as("r"))
       (1 to iters).foreach { _ =>
-        val contrib = pr.select(col("sk").as("src"), col("r"))
-          .join(ed, col("src") === col("a"))
-          .join(deg, col("src") === col("dsrc"))
+        // The rank vector is VERTEX-dimension-sized — here the supplier
+        // dimension, the same bound every dim broadcast in this engine
+        // relies on — so broadcasting it turns the contribution join into
+        // a map-side probe of the one persisted edge table: the loop's
+        // only shuffle per iteration is the contribution aggregation.
+        // (A fact-sized vertex set is the OTHER graph regime — that path
+        // is GraphX pagerank / DataFrameCC, not this kernel.)
+        val contrib = broadcast(pr.select(col("sk").as("src"), col("r")))
+          .join(edDeg, col("src") === col("a"))
           .select(col("b").as("sk"), expr("r div deg").as("c"))
           .groupBy("sk").agg(sum("c").as("contribs"))
-        pr = nodes.join(contrib, Seq("sk"), "left")
+        pr = nodes.join(broadcast(contrib), Seq("sk"), "left")
           .select(col("sk"),
             expr("CAST(150000 + 85 * coalesce(contribs, 0) div 100 AS BIGINT)")
               .as("r"))
       }
       pr.localCheckpoint(true)
     } finally {
-      ed.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
+      edDeg.unpersist(false); nodes.unpersist(false)
     }
   }
 

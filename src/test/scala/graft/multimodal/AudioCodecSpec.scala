@@ -55,5 +55,17 @@ class AudioCodecSpec extends AnyFunSpec {
       val b = AudioCodec.encodeWav(data, 128, 9000)
       assert(java.util.Arrays.equals(a, b))
     }
+
+    it("roundtrips under random n/rate (20 seeded cases)") {
+      val rnd = new scala.util.Random(7)
+      (1 to 20).foreach { _ =>
+        val n = 1 + rnd.nextInt(data.length)
+        val rate = 4000 + rnd.nextInt(44100)
+        val d = AudioCodec.decodeWav(AudioCodec.encodeWav(data, n, rate)).get
+        assert(d.sampleRate === rate)
+        assert(d.nFrames === n.toLong)
+        assert(d.pcmMd5 === ImageCodec.hexMd5(data.take(n)), s"n=$n rate=$rate")
+      }
+    }
   }
 }

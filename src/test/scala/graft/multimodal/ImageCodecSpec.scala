@@ -87,6 +87,19 @@ class ImageCodecSpec extends AnyFunSpec {
       assert(thumb.toSeq === expect)
     }
 
+    it("resizeNearest selection law holds under random dims (20 seeded cases)") {
+      val rnd = new scala.util.Random(11)
+      (1 to 20).foreach { _ =>
+        val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(12)
+        val tw = 1 + rnd.nextInt(20); val th = 1 + rnd.nextInt(12)
+        val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+        val out = ImageCodec.resizeNearest(px, w, h, tw, th)
+        for (ty <- 0 until th; tx <- 0 until tw)
+          assert(out(ty * tw + tx) === px((ty * h / th) * w + tx * w / tw),
+            s"${w}x$h -> ${tw}x$th at ($tx,$ty)")
+      }
+    }
+
     it("encode is deterministic (same bytes in, same container bytes out)") {
       val a = ImageCodec.encodePng(data, 8, 8)
       val b = ImageCodec.encodePng(data, 8, 8)

@@ -6,14 +6,16 @@ import graft.{RQ, Tables}
 import graft.multimodal.Multimodal
 
 /** Multimodal-column operators under the oracle gate. Payloads are real
-  * `binary` columns built from document text (this container ships no
-  * codecs — see Multimodal.decodeStub). n_bytes is byte-true on both
-  * engines (octet_length over encode()); the digest/thumb/frame slicing
-  * oracles use VARCHAR substr, which equals byte slicing ONLY on a
+  * `binary` columns built from document text; PNG/JPEG (m6/m7) and
+  * WAV/PCM (m8) go through REAL JVM codecs, while decodeStub covers only
+  * formats the container cannot decode (mp4/mp3). n_bytes is byte-true
+  * on both engines (octet_length over encode()); the digest/thumb/frame
+  * slicing oracles — including m6/m7's pixel selections and m8's PCM
+  * digest — use VARCHAR substr, which equals byte slicing ONLY on a
   * single-byte corpus — this DuckDB build has no BLOB substring/md5.
   * The fixture corpus is all-ASCII today; if regeneration ever introduces
-  * multi-byte text, the char-vs-byte substr in the thumb/frame oracles
-  * diverges from Spark's byte slicing and the hash compare fails loudly.
+  * multi-byte text, the char-vs-byte substr in these oracles diverges
+  * from Spark's byte slicing and the hash compare fails loudly.
   */
 object MultimodalQueries {
 

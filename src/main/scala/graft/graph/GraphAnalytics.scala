@@ -254,6 +254,63 @@ object GraphAnalytics {
     }
   }
 
+  /** X7 — synchronous label propagation (community detection) on the
+    * top-k co-binding graph: every node starts labeled with its own id;
+    * each of `iters` rounds it adopts the most frequent label among its
+    * NEIGHBORS' previous-round labels (most votes wins, ties by minimum
+    * label; a node with no neighbors keeps its label). Communities are
+    * label-valued, so the result is integer-exact — no float order
+    * dependence — and a fixed small iteration budget unrolls identically
+    * in the SQL oracle (recursive aggregation is illegal in recursive
+    * CTEs, and bounded sweeps are how production LPA runs anyway).
+    * Distinct from connected components (x1/x6): CC merges everything
+    * reachable; LPA finds densely-voting regions inside one component.
+    */
+  def labelPropagation(s: SparkSession, dir: String, k: Int = 3,
+                       iters: Int = 3): DataFrame = {
+    val e = topKCanonEdges(s, dir, k)
+    val nodes = coBindingPairs(s, dir).select(col("sk")).distinct()
+    labelPropagationOn(nodes, e, iters)
+      .select(col("sk").as("suppkey"), col("lab").as("community"))
+      .orderBy("suppkey")
+  }
+
+  /** The fixed-sweep kernel behind labelPropagation — separated (like
+    * pagerankIntOn) so a hand-computed graph can pin the vote/tie
+    * arithmetic. Same loop shape and cache lifecycle as the pagerank
+    * kernel: the label vector is vertex-dimension-sized, so it
+    * broadcasts; per round the only shuffle is the vote aggregation.
+    * The (votes, label) argmax is one `max(struct(c, -lab))` partial
+    * aggregate — most votes first, then smallest label (largest -lab) —
+    * never a row_number window over the full message stream.
+    */
+  private[graft] def labelPropagationOn(nodesDf: DataFrame,
+                                        canonEdges: DataFrame,
+                                        iters: Int): DataFrame = {
+    val ed = canonEdges.select(col("ea").as("a"), col("eb").as("b"))
+      .unionByName(canonEdges.select(col("eb").as("a"), col("ea").as("b")))
+      .persist()
+    val nodes = nodesDf.persist()
+    try {
+      var lp = nodes.select(col("sk"), col("sk").as("lab"))
+      (1 to iters).foreach { _ =>
+        val votes = broadcast(lp.select(col("sk").as("src"), col("lab")))
+          .join(ed, col("src") === col("a"))
+          .groupBy(col("b").as("dst"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+        val pick = votes
+          .groupBy(col("dst"))
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("dst"), (-col("m.nl")).as("plab"))
+        lp = lp.join(broadcast(pick), col("sk") === col("dst"), "left")
+          .select(col("sk"), coalesce(col("plab"), col("lab")).as("lab"))
+      }
+      lp.localCheckpoint(true)
+    } finally {
+      ed.unpersist(false); nodes.unpersist(false)
+    }
+  }
+
   /** Per-vertex GraphX triangle counts. `verticesDf` is one `id:long`
     * column; `edgesDf` is canonical (`ea < eb`) distinct `long` pairs —
     * canonical + distinct is what makes TriangleCount's answer exact.

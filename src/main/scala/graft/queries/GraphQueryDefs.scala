@@ -151,6 +151,32 @@ object GraphQueryDefs {
       $iters
       SELECT sk AS suppkey, CAST(r AS BIGINT) AS rank_ppm
       FROM pr5 ORDER BY suppkey"""
-    })((s, dir) => GraphAnalytics.pagerankInt(s, dir))
+    })((s, dir) => GraphAnalytics.pagerankInt(s, dir)),
+
+    // X7 — synchronous label propagation (3 sweeps) on the same top-3
+    // kNN graph: communities inside the components x1/x6 merge whole.
+    // Votes are counts and labels are ids, so the result is integer-
+    // exact; the tie-break (most votes, then minimum label) unrolls in
+    // SQL as a row_number pick — the Spark side computes the identical
+    // argmax as one max(struct(c, -lab)) partial aggregate (see
+    // GraphAnalytics.labelPropagationOn).
+    RQ("x7_label_propagation", Some {
+      val sweeps = (1 to 3).map { i =>
+        s"""v$i AS (SELECT ed.b AS sk, p.lab, count(*) AS c
+                 FROM lp${i - 1} p JOIN ed ON ed.a = p.sk GROUP BY 1, 2),
+           k$i AS (SELECT sk, lab FROM (
+                 SELECT sk, lab, row_number() OVER (PARTITION BY sk
+                   ORDER BY c DESC, lab) AS rn FROM v$i) WHERE rn = 1),
+           lp$i AS (SELECT p.sk, coalesce(k$i.lab, p.lab) AS lab
+                 FROM lp${i - 1} p LEFT JOIN k$i ON k$i.sk = p.sk)"""
+      }.mkString(",\n")
+      s"""
+      WITH $top3CanonSqlCtes,
+      ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      lp0 AS (SELECT sk, sk AS lab FROM nodes),
+      $sweeps
+      SELECT sk AS suppkey, CAST(lab AS BIGINT) AS community
+      FROM lp3 ORDER BY suppkey"""
+    })((s, dir) => GraphAnalytics.labelPropagation(s, dir))
   )
 }

@@ -237,6 +237,35 @@ class SketchSamplingSpec extends SparkSpec {
     }
   }
 
+  describe("x7 label propagation kernel") {
+    it("votes and min-label ties match the hand computation on a 4-cycle") {
+      import spark.implicits._
+      // cycle 1-2-4-3-1 (edges (1,2),(1,3),(4,2),(4,3)); all round-1
+      // votes are 1-1 ties, so every node takes its MIN neighbor label:
+      //   1 -> min(2,3) = 2;  2 -> min(1,4) = 1;  3 -> 1;  4 -> 2.
+      // isolated node 5 has no votes and keeps its own label.
+      val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("sk")
+      val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L))
+        .toDF("ea", "eb")
+      val got = graft.graph.GraphAnalytics
+        .labelPropagationOn(nodes, edges, iters = 1)
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 5L))
+    }
+    it("a majority beats the min-label tie-break on a star after 2 sweeps") {
+      import spark.implicits._
+      // star 1-{2,3,4}: sweep 1 labels the hub min(2,3,4)=2 and every
+      // leaf 1; sweep 2 the hub sees THREE votes for label 1 (majority,
+      // not a tie) while each leaf sees the hub's label 2
+      val nodes = Seq(1L, 2L, 3L, 4L).toDF("sk")
+      val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("ea", "eb")
+      val got = graft.graph.GraphAnalytics
+        .labelPropagationOn(nodes, edges, iters = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    }
+  }
+
   describe("co-binding pair fanout cap") {
     // sf0.01, not the suite default: raw suppliers-per-part there is
     // 13-41, so the cap genuinely binds — at sf0.001 (8-10 per part) the

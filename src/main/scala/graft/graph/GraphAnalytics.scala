@@ -53,25 +53,46 @@ object GraphAnalytics {
     * input to every pair self-join below. floor().cast matches the
     * oracle's CAST(floor(..) AS BIGINT) truncation exactly.
     */
-  private[graft] def cappedIncidence(s: SparkSession, dir: String): DataFrame = {
-    val inc = Tables(s, dir, "lineitem")
+  private[graft] def cappedIncidence(s: SparkSession, dir: String): DataFrame =
+    cappedIncidenceFrom(Tables(s, dir, "lineitem")
       .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .agg(sum(floor(col("l_quantity")).cast("long")).as("q"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("q")))
+
+  /** The cap window over ANY (pk, sk, q) incidence frame — one definition
+    * whether strength comes from raw lineitem (the spec path above) or
+    * from the registry's already-aggregated interaction table
+    * (GraphTables.coBindCounts sums contactCount over entries — the same
+    * totals, since contactCount is the per-entry slice of this sum and
+    * the quantities are positive so cast/floor agree).
+    */
+  private[graft] def cappedIncidenceFrom(inc: DataFrame): DataFrame = {
     val w = Window.partitionBy("pk").orderBy(col("q").desc, col("sk"))
     inc.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= CoBindCap)
       .select("pk", "sk")
   }
 
-  /** Supplier pairs sharing at least one part, bounded at CoBindCap² rows
-    * per part: (pk, s1, s2), s1 ≠ s2.
+  /** Co-binding partner COUNTS from a capped incidence frame:
+    * (s1, s2, n) in both orientations, s1 ≠ s2, n = number of shared
+    * parts — the materialized relationship store of the supplier
+    * similarity graph (what the reference's Neo4j import writes as
+    * edges). Every x-family graph query derives its edge set from this
+    * one table (via GraphTables.coBindCounts, built once per registry):
+    * x1/x6 take the distinct canonical pairs, x3/x4/x5/x7 take the
+    * top-k window — none of them re-pays the pair self-join.
     */
-  private def coBindingPartners(s: SparkSession, dir: String): DataFrame = {
-    val pairs = cappedIncidence(s, dir)
-    pairs.select(col("pk"), col("sk").as("s1"))
-      .join(pairs.select(col("pk"), col("sk").as("s2")), "pk")
+  private[graft] def coBindCountsFrom(capped: DataFrame): DataFrame =
+    capped.select(col("pk"), col("sk").as("s1"))
+      .join(capped.select(col("pk"), col("sk").as("s2")), "pk")
       .filter(col("s1") =!= col("s2"))
-  }
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n"))
+
+  /** Supplier pairs sharing at least one part — served from the
+    * registry's materialized counts (weights dropped where only the
+    * relation matters).
+    */
+  private def coBindingPartners(s: SparkSession, dir: String): DataFrame =
+    GraphTables.cached(s, dir).coBindCounts.select("s1", "s2")
 
   /** Connected components of the supplier co-binding graph: suppliers are
     * linked when they supply the same part (≈ domains co-binding the same
@@ -137,8 +158,7 @@ object GraphAnalytics {
     */
   private[graft] def topKCanonEdges(s: SparkSession, dir: String,
                              k: Int): DataFrame = {
-    val shared = coBindingPartners(s, dir)
-      .groupBy("s1", "s2").agg(count(lit(1)).as("n"))
+    val shared = GraphTables.cached(s, dir).coBindCounts
     val w = Window.partitionBy("s1").orderBy(col("n").desc, col("s2"))
     shared.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -94,6 +94,26 @@ final case class GraphTables(
           .as("maxBestScore"))
       .persist()
 
+  /** Co-binding partner counts of the supplier similarity graph,
+    * cached: (s1, s2, n) both orientations, each part capped to its
+    * top-CoBindCap contributors before the pair join (GraphAnalytics
+    * owns the cap + pair definitions; the incidence strengths here sum
+    * `contactCount` over entries, which equals the lineitem-direct
+    * aggregation because contactCount is that sum's per-entry slice).
+    * This is the materialized relationship store every x-family graph
+    * query starts from — components take the canonical distinct pairs,
+    * the kNN analytics (x3/x4/x5/x7) take the top-k window — so the
+    * capped pair self-join is paid once per registry, not once per
+    * query, exactly as the reference's Neo4j import writes the edges
+    * once and every dashboard/analytics query traverses them.
+    */
+  lazy val coBindCounts: DataFrame = {
+    val inc = interacts.groupBy(col("pk"), col("suppkey").as("sk"))
+      .agg(sum(col("contactCount")).as("q"))
+    GraphAnalytics.coBindCountsFrom(GraphAnalytics.cappedIncidenceFrom(inc))
+      .persist()
+  }
+
   /** Every persisted table of the registry, in build-dependency order —
     * the ONE definition of "what a registry warmup must materialize".
     * Bench and Verify both eagerly build these BEFORE their cache-hygiene
@@ -117,7 +137,7 @@ final case class GraphTables(
     */
   def registryTablePhases: Seq[Seq[DataFrame]] =
     Seq(Seq(boundEntities, interacts, similarity),
-      Seq(similarityBest, interactPairs, domainCognate))
+      Seq(similarityBest, interactPairs, domainCognate, coBindCounts))
 
   /** Typed stage-boundary views (model/Model.scala) — compile-time field
     * checking for pipeline code consuming a stage's output.

@@ -54,6 +54,15 @@ object Bench {
     val warmPool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val warmEc: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(warmPool)
+    // the graph step blocks in Await on its inner per-phase futures — it
+    // gets a DEDICATED pool so those inner futures can never be starved
+    // by (or starve) the warmPool's other steps (ADVICE r9: the previous
+    // same-pool nesting was deadlock-free only while fGraph was the
+    // single blocking task)
+    val graphPool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val graphEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(graphPool)
+    @volatile var deflateMbps = 0.0
     def step(name: String)(body: => Unit): scala.concurrent.Future[Unit] =
       scala.concurrent.Future {
         val t0 = System.nanoTime()
@@ -109,6 +118,34 @@ object Bench {
     val fS5 = step("s5_fixture") {
       graft.queries.ScaleQueries.installBucketedFixture(spark, sfDir); ()
     }
+    // ~10 MB in-process BEST_SPEED deflate throughput probe (VERDICT r9
+    // item 2): the r9 driver record charged etl3 ≈79 s of executor CPU
+    // where the builder host measures 294 s CPU for the same HEAD on the
+    // same JDK-Deflater BEST_SPEED path. This probe plus FastGzipCodec's
+    // stream/byte counters decompose any future etl3 number into
+    // raw_bytes ÷ (deflate_mbps × pool slots): a slow-deflate host shows
+    // a proportionally low MB/s here, a codec-option-not-landing bug
+    // shows jdk_streams = 0 instead. TSV-like input (the export files'
+    // actual content class — deflate throughput is content-dependent).
+    val fDeflate = step("deflate_probe") {
+      val rnd = new java.util.Random(42)
+      val sb = new java.lang.StringBuilder(11 << 20)
+      while (sb.length < (10 << 20)) {
+        sb.append(rnd.nextInt(1000000)).append('\t')
+          .append("pdb").append(rnd.nextInt(100000)).append('\t')
+          .append("HET").append(rnd.nextInt(10000)).append('\t')
+          .append(rnd.nextDouble()).append('\n')
+      }
+      val in = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      val buf = new Array[Byte](1 << 16)
+      val t0 = System.nanoTime()
+      d.setInput(in); d.finish()
+      while (!d.finished()) d.deflate(buf)
+      d.end()
+      deflateMbps = in.length / (1024.0 * 1024.0) /
+        ((System.nanoTime() - t0) / 1e9)
+    }
     // ...and the graph registry's persisted tables, untimed: the dashboard
     // queries (p1-p11) serve against an already-built database, exactly as
     // the reference's Neo4j is bulk-imported BEFORE any dashboard query is
@@ -143,7 +180,7 @@ object Bench {
           val g = graft.graph.GraphTables.cached(spark, sfDir)
           g.registryTablePhases.foreach { phase =>
             val counts = phase.map(df => scala.concurrent.Future {
-              df.queryExecution.toRdd.count(); () })
+              df.queryExecution.toRdd.count(); () }(graphEc))
             counts.foreach(f => scala.concurrent.Await.result(
               f, scala.concurrent.duration.Duration.Inf))
           }
@@ -155,10 +192,11 @@ object Bench {
       }
       warmupSteps.put("graph_registry", (System.nanoTime() - t0) / 1e9)
     }
-    (fTables ++ Seq(fSynth, fEtl1, fS5, fGraph)).foreach(f =>
+    (fTables ++ Seq(fSynth, fEtl1, fS5, fDeflate, fGraph)).foreach(f =>
       scala.concurrent.Await.result(f,
         scala.concurrent.duration.Duration.Inf))
     warmPool.shutdown()
+    graphPool.shutdown()
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // keep-set for the between-family sweeps: everything persisted so far
     // (graph registry, warmup caches) survives the whole run, exactly as
@@ -244,8 +282,33 @@ object Bench {
       val bev0 = telemetry.baselineEvicted
       val tm0 = telemetry.taskSnapshot
       val t0 = System.nanoTime()
+      // per-query driver-side cost split (VERDICT r9 item 3: the r9
+      // record had a p-family cluster at wall ≫ run_ms with no artifact
+      // field to say WHERE the driver time went):
+      //   build_ms — the rq.build call: DataFrame construction incl.
+      //     every intermediate Dataset's eager ANALYSIS. For the etl/
+      //     source queries whose build intentionally performs sink writes
+      //     (etl2/etl3/a10 — the write IS the measured operator), the
+      //     write jobs land here too, so build_ms ≈ wall for those is
+      //     expected, not a planning pathology;
+      //   plan_ms — the final QueryExecution's optimization + planning
+      //     tracker phases (analysis already happened inside build).
+      // wall − build_ms − plan_ms − run_ms/cores ≈ scheduling + result
+      // handling — the residual the r9 driver host showed 4–5 s of.
+      var buildMs = 0L
+      var planMs = 0L
       val ok =
-        try { rq.build(spark, sfDir).queryExecution.toRdd.count(); true }
+        try {
+          val df = rq.build(spark, sfDir)
+          buildMs = (System.nanoTime() - t0) / 1000000L
+          val qe = df.queryExecution
+          qe.toRdd.count()
+          planMs = qe.tracker.phases.collect {
+            case (k, p) if k == "optimization" || k == "planning" =>
+              p.durationMs
+          }.sum
+          true
+        }
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] ${rq.name} failed: ${e.getMessage}")
           false
@@ -256,17 +319,18 @@ object Bench {
       // into the next query's delta
       GraftCacheBridge.drainListenerBus(spark)
       (rq.name, sec, ok, telemetry.evicted - ev0,
-        telemetry.baselineEvicted - bev0, telemetry.taskSnapshot - tm0)
+        telemetry.baselineEvicted - bev0, telemetry.taskSnapshot - tm0,
+        (buildMs, planMs))
     }
 
     // ---- output ---------------------------------------------------------
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.collect { case (k, v, true, _, _, _) => k -> f(v) })
-    val failed = results.collect { case (k, _, false, _, _, _) => k }
+    val qs = jmap(results.collect { case (k, v, true, _, _, _, _) => k -> f(v) })
+    val failed = results.collect { case (k, _, false, _, _, _, _) => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _, _, _) => v }.sum
     val mb = 1024.0 * 1024.0
     // compact telemetry object: repeated verbatim on BOTH lines, so the
     // tail-window consumer always sees it next to the headline number
@@ -286,7 +350,26 @@ object Bench {
       // FastGzipCodec's JDK-Deflater BEST_SPEED branch
       "native_zlib" -> org.apache.hadoop.io.compress.zlib.ZlibFactory
         .isNativeZlibLoaded(spark.sparkContext.hadoopConfiguration)
-        .toString))
+        .toString,
+      // host deflate throughput (untimed warmup probe) + what the gzip
+      // sinks ACTUALLY did this run (VERDICT r9 item 2): expected gzip
+      // deflate wall ≈ gzip_raw_mb ÷ (deflate_mbps × concurrent sink
+      // slots). jdk_streams = 0 with native_zlib:false would mean the
+      // per-write codec option is not landing — the exact ambiguity the
+      // r9 record could not resolve. Counters are in-JVM (local-mode
+      // exact; on a cluster they'd be per-executor).
+      "deflate_mbps" -> f(deflateMbps),
+      "gzip_jdk_streams" ->
+        graft.sources.FastGzipCodec.jdkStreams.get.toString,
+      "gzip_native_streams" ->
+        graft.sources.FastGzipCodec.nativeStreams.get.toString,
+      "gzip_raw_mb" ->
+        f(graft.sources.FastGzipCodec.jdkRawBytes.get / mb),
+      // total driver-side build+plan cost across all queries (per-query
+      // top offenders in the "planning" map / exec "build_ms"/"plan_ms")
+      "plan_sec_total" ->
+        f(results.collect { case (_, _, true, _, _, _, (b, p)) => b + p }
+          .sum / 1e3)))
     val warmupFailedJson = {
       import scala.jdk.CollectionConverters._
       warmupFailed.asScala.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -303,36 +386,55 @@ object Bench {
     // artifact lacked (sweep-driven drops are excluded: sweeps run
     // between queries, outside these deltas)
     val evJson = jmap(results.collect {
-      case (k, _, _, ev, _, _) if ev > 0 => k -> ev.toString })
+      case (k, _, _, ev, _, _, _) if ev > 0 => k -> ev.toString })
     val bevJson = jmap(results.collect {
-      case (k, _, _, _, bev, _) if bev > 0 => k -> bev.toString })
+      case (k, _, _, _, bev, _, _) if bev > 0 => k -> bev.toString })
+    // per-query driver build+plan cost, top offenders (VERDICT r9
+    // item 3): the r9 p7/p6/p15/p8/p9 cluster was attributed to
+    // driver-side planning only by subtraction — this map states it
+    // directly (value = build_ms + plan_ms; the split is in exec)
+    val planJson = jmap(results.collect {
+      case (k, _, true, _, _, _, (b, p)) => (k, b + p) }
+      .sortBy(-_._2).take(8).map { case (k, p) => k -> p.toString })
     // per-query executor profile for the tail (VERDICT r8 item 2: a
     // >3×-the-builder-band query must be attributable from the artifact
     // alone). run_ms ≈ wall × cores ⇒ real compute; run_ms ≪ wall × cores
     // ⇒ the host stalled under the query (I/O wait, scheduler preemption),
     // not a plan defect. gc_ms and spill_mb separate the memory story.
-    val execJson = jmap(results.collect { case (k, v, true, _, _, tm) => (k, v, tm) }
+    val execJson = jmap(results.collect { case (k, v, true, _, _, tm, p) => (k, v, tm, p) }
       .sortBy(-_._2).take(12)
-      .map { case (k, _, tm) => k -> jmap(Seq(
+      .map { case (k, _, tm, bp) => k -> jmap(Seq(
         "run_ms" -> tm.runMs.toString,
         "cpu_ms" -> tm.cpuMs.toString,
         "gc_ms" -> tm.gcMs.toString,
+        "build_ms" -> bp._1.toString,
+        "plan_ms" -> bp._2.toString,
         "shuf_rd_mb" -> f(tm.shufReadBytes / mb),
         "shuf_wr_mb" -> f(tm.shufWriteBytes / mb),
         "spill_mb" -> f(tm.spillBytes / mb))) })
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"telemetry":$telem,"warmup_failed":$warmupFailedJson,"warmup_steps":$warmupStepsJson,"sweeps":$sweepsJson,"evictions":$evJson,"baseline_evictions":$bevJson,"exec":$execJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"telemetry":$telem,"warmup_failed":$warmupFailedJson,"warmup_steps":$warmupStepsJson,"sweeps":$sweepsJson,"evictions":$evJson,"baseline_evictions":$bevJson,"planning":$planJson,"exec":$execJson,"sf":"$sfDir"}""")
     // the full line above exceeds a ~2k-char log-tail window at 144
     // queries (round 5's BENCH capture shows a mid-line truncation →
     // parsed: null). Repeat the same-schema line with only the slowest
     // queries so a tail-window parser always sees one complete JSON line;
-    // a full-stdout parser sees the full map first.
-    val slow = jmap(results.collect { case (k, v, true, _, _, _) => (k, v) }
+    // a full-stdout parser sees the full map first. NO exec block here —
+    // r9's exec addition grew THIS line past the 2000-char tail window
+    // and truncated the round's headline number out of the artifact.
+    val slow = jmap(results.collect { case (k, v, true, _, _, _, _) => (k, v) }
       .sortBy(-_._2).take(12)
       .map { case (k, v) => k -> f(v) })
     // "total_tail" (NOT "total") + "note"/"queries_total" mark this as
     // the 12-slowest SUBSET repeat: a line-oriented consumer summing or
     // grepping metric=total sees exactly one canonical line per run
-    println(s"""{"metric":"total_tail","value":${f(total)},"unit":"sec","note":"tail_summary_of_line_above","queries_total":${results.count(_._3)},"queries":$slow,"failed":$failedJson,"telemetry":$telem,"exec":$execJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_tail","value":${f(total)},"unit":"sec","note":"tail_summary_of_line_above","queries_total":${results.count(_._3)},"queries":$slow,"failed":$failedJson,"telemetry":$telem,"planning":$planJson,"sf":"$sfDir"}""")
+    // LAST line, fixed-size (≤ ~200 chars): the headline number must
+    // survive ANY tail-window capture (VERDICT r9 item 1 — the r9 record
+    // had to be reconstructed from the sbt wall clock because both lines
+    // above outgrew the 2000-char tail). Failed names are capped at 3;
+    // the full list is on the lines above.
+    val failedHead = failed.take(3).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total_final","total_sec":${f(total)},"n":${results.count(_._3)},"failed_n":${failed.size},"failed_head":$failedHead,"warmup_sec":${f(warmupSec)},"plan_sec":${f(results.collect { case (_, _, true, _, _, _, (b, p)) => b + p }.sum / 1e3)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -232,9 +232,10 @@ object GraphAnalytics {
     * which truncates the returned frame's lineage off the caches so the
     * unpersist is safe. The checkpoint blocks themselves are freed by the
     * ContextCleaner once the returned frame is unreferenced — nothing
-    * outlives the call's consumers. (localCheckpoint trades lineage for
-    * speed; on a cluster where executor loss must be survivable, swap for
-    * reliable checkpointing to a checkpoint dir.) Note nodesDf is
+    * outlives the call's consumers. (Checkpoints.truncate: localCheckpoint
+    * by default — lineage traded for speed — and RELIABLE checkpointing
+    * when `spark.graft.checkpoint.dir` is set, the cluster mode where
+    * executor loss must be survivable.) Note nodesDf is
     * persisted AND unpersisted here — a caller holding its own cache of
     * the same plan should pass a fresh frame.
     */
@@ -268,7 +269,7 @@ object GraphAnalytics {
             expr("CAST(150000 + 85 * coalesce(contribs, 0) div 100 AS BIGINT)")
               .as("r"))
       }
-      pr.localCheckpoint(true)
+      graft.operators.Checkpoints.truncate(pr)
     } finally {
       edDeg.unpersist(false); nodes.unpersist(false)
     }
@@ -325,7 +326,7 @@ object GraphAnalytics {
         lp = lp.join(broadcast(pick), col("sk") === col("dst"), "left")
           .select(col("sk"), coalesce(col("plab"), col("lab")).as("lab"))
       }
-      lp.localCheckpoint(true)
+      graft.operators.Checkpoints.truncate(lp)
     } finally {
       ed.unpersist(false); nodes.unpersist(false)
     }

@@ -62,11 +62,17 @@ object AudioCodec {
         payload(10) == 'V' && payload(11) == 'E') "audio/wav"
     else "application/octet-stream"
 
-  /** Decode a WAV payload. None when the bytes aren't a parseable WAV. */
+  /** Decode a WAV payload. None when the bytes aren't a parseable WAV —
+    * including payloads that PASS the RIFF/WAVE magic sniff but have a
+    * corrupt or truncated body: getAudioInputStream/read throw
+    * (UnsupportedAudioFileException, EOF/IOException) for those, so the
+    * whole decode is exception-fenced to keep the Option contract
+    * (ADVICE r9; mirrors ImageCodec.decode's null-handling).
+    */
   def decodeWav(payload: Array[Byte]): Option[DecodedAudio] = {
     val mime = sniffMime(payload)
     if (mime != "audio/wav") None
-    else {
+    else scala.util.Try {
       val ais = AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(payload))
       try {
@@ -82,9 +88,9 @@ object AudioCodec {
         }
         require(off == bytes.length,
           s"WAV data chunk truncated: read $off of ${bytes.length} B")
-        Some(DecodedAudio(mime, fmt.getSampleRate.toInt, fmt.getChannels,
-          fmt.getSampleSizeInBits, nFrames, ImageCodec.hexMd5(bytes)))
+        DecodedAudio(mime, fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, nFrames, ImageCodec.hexMd5(bytes))
       } finally ais.close()
-    }
+    }.toOption
   }
 }

@@ -52,10 +52,11 @@ object DataFrameCC {
     *
     * Each round is two shuffle stages (large-star: groupBy-u + join-back;
     * small-star: groupBy-u + join-back) over an edge set that only
-    * shrinks toward one row per non-root node. `localCheckpoint` between
-    * rounds truncates the join lineage (on a cluster where executor loss
-    * must be survivable, swap for reliable checkpointing to a
-    * checkpoint dir — same contract as GraphAnalytics.pagerankIntOn).
+    * shrinks toward one row per non-root node. Lineage is truncated
+    * between rounds via [[Checkpoints.truncate]]: localCheckpoint by
+    * default, reliable checkpointing when `spark.graft.checkpoint.dir`
+    * is set (the cluster deployment mode — same contract as
+    * GraphAnalytics.pagerankIntOn).
     */
   def components(spark: SparkSession, vertices: DataFrame,
                  edges: DataFrame): DataFrame = {
@@ -66,7 +67,7 @@ object DataFrameCC {
         least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+    e = Checkpoints.truncate(e)
 
     // Superseded rounds' checkpoint blocks are reclaimed by the
     // ContextCleaner once the old Dataset is unreferenced (and by the
@@ -79,7 +80,7 @@ object DataFrameCC {
     var rounds = 0
     var prev = checksum(e)
     while (!converged && rounds < MaxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = Checkpoints.truncate(smallStar(largeStar(e)))
       val sum = checksum(next)
       converged = sum == prev
       prev = sum

@@ -392,6 +392,78 @@ object ProCogQueryDefs {
       FROM pay ORDER BY chainDomain, pdbLigand, iframe_url"""))((s, dir) =>
       ProCogQueries.molstarViewerPayload(GraphTables.cached(s, dir),
           graft.Tables(s, dir, "lineitem"), 20L)
-        .orderBy("chainDomain", "pdbLigand", "iframe_url"))
+        .orderBy("chainDomain", "pdbLigand", "iframe_url")),
+
+    // Remaining high-traffic neodash parameter-grid points under the
+    // oracle gate (VERDICT r9 item 6; neodash_queries.yaml:40-81 — the
+    // EC-page cutoff slider and the domain-type dropdown's SCOP/Pfam
+    // positions mirroring p16's CATH, plus the search page in Any mode):
+
+    // EC-page cognate listing at a NON-default parity cutoff (p14 is the
+    // 0.9 default; the dashboard slider's tighter 0.95 stop)
+    RQ("p20_ec_page_cutoff", Some(s"""$G
+      SELECT DISTINCT 'pdb' || i.ok AS pdbEntry, 'HET' || i.pk AS hetCode,
+             upper(trim(p.p_name)) AS cognateLigand, s.score AS parityScore
+      FROM (SELECT DISTINCT ok, pk, sk FROM ia0) i
+      JOIN supplier sp ON sp.s_suppkey = i.sk AND sp.s_nationkey = 3
+      JOIN sim s ON s.pk = i.pk AND s.score >= 0.95 AND s.best = 'Y'
+      JOIN part p ON p.p_partkey = s.cog
+      ORDER BY pdbEntry, hetCode, cognateLigand, parityScore"""))((s, dir) =>
+      ProCogQueries.ecPage(GraphTables.cached(s, dir), 3L, 0.95)),
+
+    // interaction table restricted to the SCOP partition (the dropdown's
+    // second position; p16 covers CATH)
+    RQ("p21_interactions_scop", Some(s"""$G
+      SELECT 'pdb' || i.ok AS pdbID, d.acc AS chainDomain,
+             b.disp AS pdbLigand,
+             upper(substr(i.mode, 1, 1)) || substr(i.mode, 2)
+               AS interactionMode,
+             i.cc AS contactCount, i.perc
+      FROM iam i JOIN dom d ON d.sk = i.sk JOIN be b ON b.uid = i.uid
+      WHERE i.ok <= 20 AND d.dtype = 'SCOP'
+      ORDER BY pdbID, chainDomain, pdbLigand, interactionMode,
+               contactCount, perc"""))((s, dir) =>
+      ProCogQueries.domainInteractions(GraphTables.cached(s, dir), 20L,
+          Some("SCOP"))
+        .orderBy("pdbID", "chainDomain", "pdbLigand", "interactionMode",
+          "contactCount", "perc")),
+
+    // ...and the Pfam partition (third dropdown position)
+    RQ("p22_interactions_pfam", Some(s"""$G
+      SELECT 'pdb' || i.ok AS pdbID, d.acc AS chainDomain,
+             b.disp AS pdbLigand,
+             upper(substr(i.mode, 1, 1)) || substr(i.mode, 2)
+               AS interactionMode,
+             i.cc AS contactCount, i.perc
+      FROM iam i JOIN dom d ON d.sk = i.sk JOIN be b ON b.uid = i.uid
+      WHERE i.ok <= 20 AND d.dtype = 'Pfam'
+      ORDER BY pdbID, chainDomain, pdbLigand, interactionMode,
+               contactCount, perc"""))((s, dir) =>
+      ProCogQueries.domainInteractions(GraphTables.cached(s, dir), 20L,
+          Some("Pfam"))
+        .orderBy("pdbID", "chainDomain", "pdbLigand", "interactionMode",
+          "contactCount", "perc")),
+
+    // PDB search with the cognate-mode toggle at Any and the cutoff
+    // slider at 0.95 (p2 is the Best@0.9 default): the cognate count per
+    // entry counts EVERY candidate above the cutoff, not just each
+    // ligand's best match
+    RQ("p23_search_any", Some(s"""$G
+      SELECT e.pdbEntry,
+             CAST(coalesce(bc.be_count, 0) AS BIGINT) AS be_count,
+             CAST(coalesce(cc.cog_count, 0) AS BIGINT) AS cog_count
+      FROM (SELECT 'pdb' || o_orderkey AS pdbEntry, o_orderkey AS ok
+            FROM orders) e
+      LEFT JOIN (SELECT ok, count(DISTINCT uid) AS be_count FROM be
+                 GROUP BY 1) bc USING (ok)
+      LEFT JOIN (SELECT b.ok, count(DISTINCT s.cog) AS cog_count
+                 FROM be b JOIN sim s ON s.pk = b.pk
+                 WHERE s.score >= 0.95 GROUP BY 1) cc
+        USING (ok)
+      WHERE upper(e.pdbEntry) LIKE '%42%'
+      ORDER BY pdbEntry"""))((s, dir) =>
+      ProCogQueries.searchEntries(GraphTables.cached(s, dir), "42", 0.95,
+          AnyCognate)
+        .orderBy("pdbEntry"))
   )
 }

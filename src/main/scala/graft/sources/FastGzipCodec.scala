@@ -36,21 +36,48 @@ import org.apache.hadoop.io.compress.zlib.ZlibFactory
   */
 class FastGzipCodec extends GzipCodec {
 
+  /** The framework hands `setConf` the job's shared Hadoop Configuration
+    * (on executors a broadcast object reused across tasks and codecs) —
+    * clone it so the BEST_SPEED mutation in `createOutputStream` is
+    * confined to THIS codec instance and can never leak the level to an
+    * unrelated gzip/zlib writer using the same conf (ADVICE r9; the
+    * previous in-place mutation was benign only because it was
+    * idempotent). One codec instance per opened sink file → the copy
+    * cost is per-file, not per-row.
+    */
+  override def setConf(conf: org.apache.hadoop.conf.Configuration): Unit =
+    super.setConf(
+      if (conf == null) null
+      else new org.apache.hadoop.conf.Configuration(conf))
+
   override def createOutputStream(out: OutputStream): CompressionOutputStream = {
     val conf = getConf
     if (conf != null && ZlibFactory.isNativeZlibLoaded(conf)) {
-      // Native path: the pooled compressor is configured from the conf at
-      // checkout; Spark hands each codec instance a per-job Configuration
-      // clone, so mutating it here is thread-confined.
+      // Native path: the conf is this instance's private clone (setConf
+      // above), so setting the level here is instance-confined.
       ZlibFactory.setCompressionLevel(conf, CompressionLevel.BEST_SPEED)
+      FastGzipCodec.nativeStreams.incrementAndGet()
       super.createOutputStream(out)
     } else {
+      FastGzipCodec.jdkStreams.incrementAndGet()
       new FastGzipCodec.JdkBestSpeedGzipStream(out)
     }
   }
 }
 
 object FastGzipCodec {
+
+  /** Codec-path and volume counters for bench telemetry (VERDICT r9
+    * item 2: "is the codec option in effect, and how many raw bytes went
+    * through deflate?" must be answerable from the artifact). In-JVM
+    * statics — exact under local[N]; on a multi-executor cluster each
+    * executor counts its own streams (telemetry would need an
+    * accumulator, noted in Bench).
+    */
+  val jdkStreams = new java.util.concurrent.atomic.AtomicLong
+  val nativeStreams = new java.util.concurrent.atomic.AtomicLong
+  /** Uncompressed bytes written through the JDK BEST_SPEED streams. */
+  val jdkRawBytes = new java.util.concurrent.atomic.AtomicLong
 
   /** JDK-Deflater gzip at BEST_SPEED. `GZIPOutputStream` exposes no level
     * knob, but its inherited `Deflater` field (`def`, a Java keyword —
@@ -63,9 +90,12 @@ object FastGzipCodec {
     private val gz = new GZIPOutputStream(raw, 64 * 1024) {
       `def`.setLevel(Deflater.BEST_SPEED)
     }
-    override def write(b: Int): Unit = gz.write(b)
-    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+    override def write(b: Int): Unit = { gz.write(b); jdkRawBytes.incrementAndGet(); () }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
       gz.write(b, off, len)
+      jdkRawBytes.addAndGet(len.toLong)
+      ()
+    }
     override def flush(): Unit = gz.flush()
     override def finish(): Unit = gz.finish()
     // File-sink writers open one stream per file and never reuse it; the

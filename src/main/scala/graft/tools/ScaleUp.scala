@@ -103,6 +103,14 @@ object ScaleUp {
     // rewrites ~every shingle of every copy, so cross-copy MinHash /
     // SimHash collisions vanish and bucket COUNT scales, not depth.
     val rotAlpha = "etaoinshrd"
+    // a rotation distance of 0 mod 10 is the IDENTITY map — copy 10 would
+    // silently duplicate copy 0's text verbatim and reintroduce exactly
+    // the cross-copy MinHash collision blowup this transform exists to
+    // prevent (ADVICE r9). The documented use is 10×; fail loudly beyond.
+    require(n <= rotAlpha.length,
+      s"ScaleUp supports at most ${rotAlpha.length} copies: copy i uses " +
+        s"rotation i of a ${rotAlpha.length}-char alphabet, so i >= " +
+        s"${rotAlpha.length} would repeat an earlier copy's text verbatim")
     def rot(i: Int): String =
       rotAlpha.drop(i % rotAlpha.length) + rotAlpha.take(i % rotAlpha.length)
     write(copies(rd("documents")) { (df, i) =>
@@ -111,8 +119,24 @@ object ScaleUp {
           if (i == 0) col("text")
           else translate(col("text"), rotAlpha, rot(i))) }, "documents")
 
+    // Per-copy deterministic ORTHOGONAL perturbation of the vectors
+    // (ADVICE r9): cyclic component rotation by i plus a sign flip on
+    // every 4th (offset-i) component — one permutation × diagonal(±1)
+    // matrix per copy, so within-copy norms and dot products are
+    // preserved EXACTLY (the kNN workload's geometry is untouched) while
+    // cross-copy vectors decorrelate. Verbatim-duplicated vectors would
+    // make every v-family scale run an N-way exact-duplicate, tie-heavy
+    // workload — a different workload, not a bigger one (the same
+    // failure class as verbatim document text / p_brand).
     write(copies(rd("embeddings")) { (df, i) =>
-      df.withColumn("vec_id", shift("vec_id", vecS, i)) }, "embeddings")
+      val e = col("embedding")
+      val perturbed =
+        if (i == 0) e
+        else transform(
+          concat(slice(e, lit(i + 1), size(e) - lit(i)), slice(e, lit(1), lit(i))),
+          (v, j) => when((j + lit(i)) % 4 === 0, -v).otherwise(v))
+      df.withColumn("vec_id", shift("vec_id", vecS, i))
+        .withColumn("embedding", perturbed) }, "embeddings")
 
     write(copies(rd("events")) { (df, i) =>
       df.withColumn("event_id", shift("event_id", evS, i))

@@ -33,6 +33,15 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // attribution/scale-harness escape hatch: extra session confs as
+    // `k=v;k2=v2` (e.g. the sf1 dim-broadcast flip run sets
+    // spark.graft.dims.broadcast=false;spark.sql.autoBroadcastJoinThreshold=-1).
+    // Never set by the driver — the recorded run is always defaults.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val telemetry = new StorageTelemetry
     spark.sparkContext.addSparkListener(telemetry)
 

@@ -39,13 +39,19 @@ case class AutoBroadcastDims(dimPathFragments: Seq[String])
   private def broadcastHint(h: Option[HintInfo]): Option[HintInfo] =
     Some(h.getOrElse(HintInfo()).copy(strategy = Some(BROADCAST)))
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(l, r, _, _, hint)
-        if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
-      val lDim = isDim(l)
-      val rDim = isDim(r)
-      if (rDim && !lDim) j.copy(hint = hint.copy(rightHint = broadcastHint(hint.rightHint)))
-      else if (lDim && !rDim) j.copy(hint = hint.copy(leftHint = broadcastHint(hint.leftHint)))
-      else j
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // the dims.broadcast switch governs this rule too: with it off, join
+    // strategy must genuinely revert to the size-based heuristic (the
+    // huge-dim fallback DimBroadcast documents) — a rule that kept
+    // hinting would silently re-broadcast what the conf just disabled
+    if (!conf.getConfString(DimBroadcast.Conf, "true").toBoolean) plan
+    else plan.transformUp {
+      case j @ Join(l, r, _, _, hint)
+          if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
+        val lDim = isDim(l)
+        val rDim = isDim(r)
+        if (rDim && !lDim) j.copy(hint = hint.copy(rightHint = broadcastHint(hint.rightHint)))
+        else if (lDim && !rDim) j.copy(hint = hint.copy(leftHint = broadcastHint(hint.leftHint)))
+        else j
+    }
 }

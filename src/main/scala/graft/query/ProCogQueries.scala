@@ -60,7 +60,7 @@ object ProCogQueries {
     // any grouping. Left-join semantics are unchanged: restricting the
     // grouped input to matched oks cannot change any matched ok's count.
     val be = g.boundEntities
-      .join(broadcast(matched.select("ok")), Seq("ok"), "left_semi")
+      .join(graft.plans.DimBroadcast.dim(matched.select("ok")), Seq("ok"), "left_semi")
     val beCounts = be.groupBy("ok")
       .agg(countDistinct(col("uniqueID")).as("be_count"))
     // fan candidates into (entry, ligand-structure) pairs, never
@@ -89,7 +89,7 @@ object ProCogQueries {
                          domainType: Option[String] = None): DataFrame = {
     val doms = domainType.fold(g.domains)(t => g.domains.filter(col("dtype") === t))
     g.interacts.filter(col("ok") <= maxEntryKey)
-      .join(broadcast(doms), "suppkey")
+      .join(graft.plans.DimBroadcast.dim(doms), "suppkey")
       .join(g.boundEntities.select("uniqueID", "displayID"), "uniqueID")
       .select(concat(lit("pdb"), col("ok")).as("pdbID"),
         col("domainAccession").as("chainDomain"),
@@ -134,10 +134,10 @@ object ProCogQueries {
       case AnyCognate => col("maxAnyScore")
     }
     val binds = g.domainCognate.filter(scoreCol >= cutoff)
-      .join(broadcast(g.domains.select("suppkey", "superfamily")), "suppkey")
+      .join(graft.plans.DimBroadcast.dim(g.domains.select("suppkey", "superfamily")), "suppkey")
       .groupBy("superfamily", "cogId")
       .agg(count(lit(1)).as("n_bind"))
-    binds.join(broadcast(ssfSize), "superfamily")
+    binds.join(graft.plans.DimBroadcast.dim(ssfSize), "superfamily")
       .select(col("superfamily"), col("cogId"), col("n_bind"), col("n_dom"),
         (col("n_bind").cast("double") / col("n_dom").cast("double"))
           .as("frac_binding"))
@@ -148,7 +148,7 @@ object ProCogQueries {
     */
   def combinatorialFingerprints(g: GraphTables): DataFrame =
     g.interacts
-      .join(broadcast(g.domains.select("suppkey", "domainAccession")), "suppkey")
+      .join(graft.plans.DimBroadcast.dim(g.domains.select("suppkey", "domainAccession")), "suppkey")
       .groupBy("uniqueID")
       .agg(concat_ws("|", array_sort(collect_list(
         concat(col("domainAccession"), lit(":"), col("interactionMode")))))
@@ -193,7 +193,7 @@ object ProCogQueries {
     // GraphTables.interactPairs)
     val perLigand = sims(g, cutoff, AnyCognate)
       .groupBy("ligandUniqueID").agg(countDistinct(col("cogId")).as("n_cog"))
-    val one = g.boundEntities.join(broadcast(perLigand), "ligandUniqueID")
+    val one = g.boundEntities.join(graft.plans.DimBroadcast.dim(perLigand), "ligandUniqueID")
       .agg(count(lit(1)).as("a"),
         coalesce(sum(when(col("n_cog") === 1, 1L).otherwise(0L)), lit(0L))
           .as("u"))
@@ -219,7 +219,7 @@ object ProCogQueries {
       col("uniqueID").as("src"), concat(lit("pdb"), col("ok")).as("dst"),
       lit(1.0).as("weight"))
     val interact = g.interacts.filter(col("ok") <= maxEntryKey)
-      .join(broadcast(g.domains.select("suppkey", "domainAccession")),
+      .join(graft.plans.DimBroadcast.dim(g.domains.select("suppkey", "domainAccession")),
         "suppkey")
       .select(lit("INTERACTS_WITH_LIGAND").as("edge_type"),
         col("domainAccession").as("src"), col("uniqueID").as("dst"),
@@ -227,7 +227,7 @@ object ProCogQueries {
     val simEdge = be
       .join(sims(g, cutoff, Best).select("ligandUniqueID", "cogId",
         "parityScore"), "ligandUniqueID")
-      .join(broadcast(g.cognates.select("cogId", "cogName")), "cogId")
+      .join(graft.plans.DimBroadcast.dim(g.cognates.select("cogId", "cogName")), "cogId")
       .select(lit("HAS_SIMILARITY").as("edge_type"),
         col("uniqueID").as("src"), col("cogName").as("dst"),
         col("parityScore").as("weight"))
@@ -244,11 +244,11 @@ object ProCogQueries {
     */
   def ecPage(g: GraphTables, ecKey: Long, cutoff: Double): DataFrame = {
     val doms = g.domains.filter(col("nk") === ecKey).select("suppkey")
-    g.interacts.join(broadcast(doms), "suppkey")
+    g.interacts.join(graft.plans.DimBroadcast.dim(doms), "suppkey")
       .select(col("ok"), col("pk").as("ligandUniqueID")).distinct()
       .join(sims(g, cutoff, Best)
         .select("ligandUniqueID", "cogId", "parityScore"), "ligandUniqueID")
-      .join(broadcast(g.cognates.select("cogId", "cogName")), "cogId")
+      .join(graft.plans.DimBroadcast.dim(g.cognates.select("cogId", "cogName")), "cogId")
       .select(concat(lit("pdb"), col("ok")).as("pdbEntry"),
         GraphTables.hetCode(col("ligandUniqueID")).as("hetCode"),
         col("cogName").as("cognateLigand"), col("parityScore"))
@@ -347,7 +347,7 @@ object ProCogQueries {
     g.interacts.filter(col("ok") <= maxEntryKey)
       .join(perDomain, Seq("ok", "pk", "suppkey"))
       .join(allIface, Seq("ok", "pk"))
-      .join(broadcast(g.domains
+      .join(graft.plans.DimBroadcast.dim(g.domains
         .select("suppkey", "domainAccession", "nk")), "suppkey")
       .join(g.boundEntities.select(col("ok"), col("ligandUniqueID").as("pk"),
         col("displayID")), Seq("ok", "pk"))

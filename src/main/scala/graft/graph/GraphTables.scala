@@ -43,7 +43,8 @@ final case class GraphTables(
     boundEntities: DataFrame, // uniqueID, ok, ligandUniqueID, hetCode, displayID
     interacts: DataFrame,     // uniqueID, ok, pk, suppkey, contactCount, totalContacts, perc, interactionMode
     cognates: DataFrame,      // cogId, cogName, brand, csize
-    similarity: DataFrame     // ligandUniqueID, cogId, parityScore, bestCognate
+    similarity: DataFrame,    // ligandUniqueID, cogId, parityScore, bestCognate
+    chem: ChemToolkit = FixtureChem // the toolkit similarity was scored with
 ) {
 
   /** Best-only projection of `similarity`, cached separately: every
@@ -84,15 +85,56 @@ final case class GraphTables(
     * pairs) — the same asymptotics as the reference's edge store, so the
     * 100 TB footprint argument is inherited from the import, not new.
     */
-  lazy val domainCognate: DataFrame =
-    interactPairs
-      .join(similarity.select(col("ligandUniqueID"), col("cogId"),
-        col("parityScore"), col("bestCognate")), "ligandUniqueID")
-      .groupBy("suppkey", "cogId")
-      .agg(max(col("parityScore")).as("maxAnyScore"),
-        max(when(col("bestCognate") === "Y", col("parityScore")))
+  lazy val domainCognate: DataFrame = {
+    // Definitional form: interactPairs ⋈ similarity, groupBy (suppkey,
+    // cogId), max — a fact-sized join whose intermediate is |pairs| ×
+    // candidates-per-ligand (92M rows at sf0.1 for a 19.6M-row result;
+    // the registry-build floor at 16.6 s of the r10 warmup attribution).
+    // Computed instead by the size-class factorization the build's
+    // blocking scheme guarantees (GraphTablesSpec pins the equivalence):
+    // parityScore is a pure function of (bsize, csize) and a ligand's
+    // candidate set is exactly its (brand, bucket) block, so every
+    // ligand of one size class (brand, bucket, bsize) has IDENTICAL
+    // candidate scores and best-flag threshold. There are O(|dim|) size
+    // classes (1250 at any sf — brands × buckets × sizes), so:
+    //   1. classBest: per-class argmax threshold (dim-sized agg);
+    //   2. domClass: distinct (domain, size-class) incidence — the only
+    //      fact-sized step, a distinct over a 4-col projection — packed
+    //      to one row per (suppkey, brand, bucket) with the ≤10 classes
+    //      of the bucket as an array;
+    //   3. one broadcast join against the cognate dim emits each
+    //      (suppkey, reachable cogId) row EXACTLY ONCE, computing both
+    //      maxes by scanning the ≤10-element class array in place.
+    // No 92M intermediate, no wide shuffle: the same doubles come out
+    // (same parityScore expression, max over the same value set; the
+    // best-flag equality compares bit-identical doubles) — oracle rows
+    // for p6/p15 are unchanged.
+    val ligClass = cognates.select(
+      col("cogId").as("ligandUniqueID"), col("brand"),
+      expr("csize div 10").as("bucket"), col("csize").as("bsize"))
+    val candCog = cognates.select(col("cogId"), col("brand"),
+      expr("csize div 10").as("bucket"), col("csize"))
+    val classBest = ligClass.select("brand", "bucket", "bsize").distinct()
+      .join(candCog, Seq("brand", "bucket"))
+      .groupBy("brand", "bucket", "bsize")
+      .agg(max(chem.parityScore(col("bsize"), col("csize"))).as("bestScore"))
+    val domClass = interactPairs
+      .join(graft.plans.DimBroadcast.dim(ligClass), "ligandUniqueID")
+      .select("suppkey", "brand", "bucket", "bsize").distinct()
+      .join(graft.plans.DimBroadcast.dim(classBest),
+        Seq("brand", "bucket", "bsize"))
+      .groupBy("suppkey", "brand", "bucket")
+      .agg(collect_list(struct(col("bsize"), col("bestScore"))).as("cls"))
+    val score = (e: org.apache.spark.sql.Column) =>
+      chem.parityScore(e.getField("bsize"), col("csize"))
+    domClass.join(graft.plans.DimBroadcast.dim(candCog), Seq("brand", "bucket"))
+      .select(col("suppkey"), col("cogId"),
+        array_max(transform(col("cls"), e => score(e))).as("maxAnyScore"),
+        array_max(transform(col("cls"), e =>
+          when(score(e) === e.getField("bestScore"), score(e))))
           .as("maxBestScore"))
       .persist()
+  }
 
   /** Co-binding partner counts of the supplier similarity graph,
     * cached: (s1, s2, n) both orientations, each part capped to its
@@ -136,8 +178,20 @@ final case class GraphTables(
     * the phasing avoids that instead of relying on it.
     */
   def registryTablePhases: Seq[Seq[DataFrame]] =
-    Seq(Seq(boundEntities, interacts, similarity),
-      Seq(similarityBest, interactPairs, domainCognate, coBindCounts))
+    registryTablePhasesNamed.map(_.map(_._2))
+
+  /** Same phases with stable table names, for per-table warmup
+    * attribution in the bench artifact (warmup wall ≈ the slowest table
+    * of each phase — which table that IS must be readable from the
+    * artifact, not re-derived by instrumenting a one-off build).
+    */
+  def registryTablePhasesNamed: Seq[Seq[(String, DataFrame)]] =
+    Seq(Seq("boundEntities" -> boundEntities, "interacts" -> interacts,
+        "similarity" -> similarity),
+      Seq("similarityBest" -> similarityBest,
+        "interactPairs" -> interactPairs,
+        "domainCognate" -> domainCognate,
+        "coBindCounts" -> coBindCounts))
 
   /** Typed stage-boundary views (model/Model.scala) — compile-time field
     * checking for pipeline code consuming a stage's output.
@@ -205,7 +259,7 @@ object GraphTables {
           val g = build(s, dir, chem)
           GraphTables(g.entries, g.chains, g.domains,
             g.boundEntities.persist(), g.interacts.persist(),
-            g.cognates, g.similarity.persist())
+            g.cognates, g.similarity.persist(), g.chem)
         })
       }
     }
@@ -291,6 +345,6 @@ object GraphTables {
       col("parityScore"), "bestCognate")
 
     GraphTables(entries, chains, domains, boundEntities, interacts,
-      cognates, similarity)
+      cognates, similarity, chem)
   }
 }

@@ -1,0 +1,57 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins the size-class factorization of `GraphTables.domainCognate`
+  * against its definitional form (interactPairs ⋈ similarity, groupBy
+  * (suppkey, cogId), max of parityScore / best-flagged parityScore).
+  * The factorization is only valid while `build()`'s invariants hold —
+  * parityScore a pure function of (bsize, csize), a ligand's candidate
+  * set exactly its (brand, bucket) block, ties all best-flagged — so
+  * this spec is the tripwire for any change to blocking, scoring, or
+  * the argmax flag that would silently break the rewrite.
+  */
+class DomainCognateSpec extends SparkSpec {
+
+  private def definitional(g: GraphTables) =
+    g.interactPairs
+      .join(g.similarity.select(col("ligandUniqueID"), col("cogId"),
+        col("parityScore"), col("bestCognate")), "ligandUniqueID")
+      .groupBy("suppkey", "cogId")
+      .agg(max(col("parityScore")).as("maxAnyScore"),
+        max(when(col("bestCognate") === "Y", col("parityScore")))
+          .as("maxBestScore"))
+
+  describe("domainCognate size-class factorization") {
+    it("equals the definitional join-groupBy exactly (sf0.001)") {
+      val g = GraphTables.build(spark, "/root/testdata/sf0.001")
+      val a = g.domainCognate
+        .select("suppkey", "cogId", "maxAnyScore", "maxBestScore")
+      val b = definitional(g)
+      // exact equality both directions, doubles included: the rewrite
+      // must produce the same bits, not approximately the same scores
+      assert(a.exceptAll(b).isEmpty, "factorized rows not in definitional")
+      assert(b.exceptAll(a).isEmpty, "definitional rows not in factorized")
+      assert(a.count() === b.count())
+    }
+
+    it("emits each (suppkey, cogId) exactly once") {
+      val g = GraphTables.build(spark, "/root/testdata/sf0.001")
+      val dup = g.domainCognate.groupBy("suppkey", "cogId")
+        .count().filter(col("count") > 1).count()
+      assert(dup === 0L)
+    }
+
+    it("maxBestScore is null exactly when no best-flagged path exists") {
+      val g = GraphTables.build(spark, "/root/testdata/sf0.001")
+      val d = definitional(g)
+      val nullsA = g.domainCognate.filter(col("maxBestScore").isNull)
+        .select("suppkey", "cogId")
+      val nullsB = d.filter(col("maxBestScore").isNull)
+        .select("suppkey", "cogId")
+      assert(nullsA.exceptAll(nullsB).isEmpty &&
+        nullsB.exceptAll(nullsA).isEmpty)
+    }
+  }
+}

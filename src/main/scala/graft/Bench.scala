@@ -16,6 +16,15 @@ import org.apache.spark.sql.graftx.GraftCacheBridge
   * registry refreshes triggered when the graph registry's cached blocks
   * lost memory residency mid-run.
   */
+/** One measured query's record: wall, success, eviction + task-metric
+  * deltas, the driver-side build/plan split, and the query's own gzip
+  * sink byte/stream deltas (snapshotted around the measured region —
+  * VERDICT r10 item 1: run-global counters couldn't decompose etl3).
+  */
+private[graft] final case class QRes(name: String, sec: Double, ok: Boolean,
+    ev: Long, bev: Long, tm: TaskMetricsSnapshot,
+    buildMs: Long, planMs: Long, gzipMb: Double, gzipStreams: Long)
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,6 +48,10 @@ object Bench {
     // Never set by the driver — the recorded run is always defaults.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
+        // a clear failure beats a post-session-startup MatchError on a
+        // segment without '=' (ADVICE r10)
+        require(kv.contains("="),
+          s"bad SPARK_GRAFT_CONF segment (want key=value): '$kv'")
         val Array(k, v) = kv.split("=", 2)
         spark.conf.set(k, v)
       })
@@ -81,6 +94,42 @@ object Bench {
           warmupFailed.add(name)
         } finally warmupSteps.put(name, (System.nanoTime() - t0) / 1e9)
       }
+
+    // ~10 MB in-process BEST_SPEED deflate throughput probe (VERDICT r9
+    // item 2): the r9 driver record charged etl3 ≈79 s of executor CPU
+    // where the builder host measures 294 s CPU for the same HEAD on the
+    // same JDK-Deflater BEST_SPEED path. This probe plus FastGzipCodec's
+    // stream/byte counters decompose any future etl3 number into
+    // raw_bytes ÷ (deflate_mbps × pool slots): a slow-deflate host shows
+    // a proportionally low MB/s here, a codec-option-not-landing bug
+    // shows jdk_streams = 0 instead. TSV-like input (the export files'
+    // actual content class — deflate throughput is content-dependent).
+    // Runs SYNCHRONOUSLY before the warmup fan-out (ADVICE r10): as a
+    // concurrent pool step it measured deflate on a CPU-saturated host
+    // and systematically understated real per-core throughput — the
+    // exact quantity the attribution formula divides by. ~0.15 s on an
+    // idle host; the wall cost is negligible next to the bias it removes.
+    locally {
+      val tp0 = System.nanoTime()
+      val rnd = new java.util.Random(42)
+      val sb = new java.lang.StringBuilder(11 << 20)
+      while (sb.length < (10 << 20)) {
+        sb.append(rnd.nextInt(1000000)).append('\t')
+          .append("pdb").append(rnd.nextInt(100000)).append('\t')
+          .append("HET").append(rnd.nextInt(10000)).append('\t')
+          .append(rnd.nextDouble()).append('\n')
+      }
+      val in = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      val buf = new Array[Byte](1 << 16)
+      val t0 = System.nanoTime()
+      d.setInput(in); d.finish()
+      while (!d.finished()) d.deflate(buf)
+      d.end()
+      deflateMbps = in.length / (1024.0 * 1024.0) /
+        ((System.nanoTime() - t0) / 1e9)
+      warmupSteps.put("deflate_probe", (System.nanoTime() - tp0) / 1e9)
+    }
 
     // JIT + codegen + parquet footer caches, so the first measured query
     // doesn't carry session start-up cost. The synthetic plans exercise
@@ -127,34 +176,6 @@ object Bench {
     val fS5 = step("s5_fixture") {
       graft.queries.ScaleQueries.installBucketedFixture(spark, sfDir); ()
     }
-    // ~10 MB in-process BEST_SPEED deflate throughput probe (VERDICT r9
-    // item 2): the r9 driver record charged etl3 ≈79 s of executor CPU
-    // where the builder host measures 294 s CPU for the same HEAD on the
-    // same JDK-Deflater BEST_SPEED path. This probe plus FastGzipCodec's
-    // stream/byte counters decompose any future etl3 number into
-    // raw_bytes ÷ (deflate_mbps × pool slots): a slow-deflate host shows
-    // a proportionally low MB/s here, a codec-option-not-landing bug
-    // shows jdk_streams = 0 instead. TSV-like input (the export files'
-    // actual content class — deflate throughput is content-dependent).
-    val fDeflate = step("deflate_probe") {
-      val rnd = new java.util.Random(42)
-      val sb = new java.lang.StringBuilder(11 << 20)
-      while (sb.length < (10 << 20)) {
-        sb.append(rnd.nextInt(1000000)).append('\t')
-          .append("pdb").append(rnd.nextInt(100000)).append('\t')
-          .append("HET").append(rnd.nextInt(10000)).append('\t')
-          .append(rnd.nextDouble()).append('\n')
-      }
-      val in = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
-      val buf = new Array[Byte](1 << 16)
-      val t0 = System.nanoTime()
-      d.setInput(in); d.finish()
-      while (!d.finished()) d.deflate(buf)
-      d.end()
-      deflateMbps = in.length / (1024.0 * 1024.0) /
-        ((System.nanoTime() - t0) / 1e9)
-    }
     // ...and the graph registry's persisted tables, untimed: the dashboard
     // queries (p1-p11) serve against an already-built database, exactly as
     // the reference's Neo4j is bulk-imported BEFORE any dashboard query is
@@ -189,11 +210,25 @@ object Bench {
           val g = graft.graph.GraphTables.cached(spark, sfDir)
           g.registryTablePhasesNamed.foreach { phase =>
             val counts = phase.map { case (name, df) =>
+              val tSubmit = System.nanoTime()
               scala.concurrent.Future {
                 val t1 = System.nanoTime()
-                df.queryExecution.toRdd.count()
-                // per-table attribution: phase wall = max of these, so
-                // "which table is the warmup floor" is in the artifact
+                // queue→start delay: a table that waited on a pool slot
+                // shows its wait separately instead of inflating its wall
+                // (VERDICT r10 item 3: concurrent per-table walls measured
+                // scheduler interference, not table cost)
+                val waitSec = (t1 - tSubmit) / 1e9
+                if (waitSec >= 0.5)
+                  warmupSteps.put(s"graphwait:$name", waitSec)
+                // job-group tag: StorageTelemetry accumulates executor
+                // run-time per warm:<table> group — run-time is
+                // partitioned by task, so the graphrun:* entries below SUM
+                // coherently across concurrently-built tables, unlike the
+                // overlapping walls
+                spark.sparkContext.setJobGroup(s"warm:$name",
+                  s"registry warmup: $name", interruptOnCancel = false)
+                try df.queryExecution.toRdd.count()
+                finally spark.sparkContext.clearJobGroup()
                 warmupSteps.put(s"graph:$name",
                   (System.nanoTime() - t1) / 1e9)
               }(graphEc) }
@@ -208,11 +243,18 @@ object Bench {
       }
       warmupSteps.put("graph_registry", (System.nanoTime() - t0) / 1e9)
     }
-    (fTables ++ Seq(fSynth, fEtl1, fS5, fDeflate, fGraph)).foreach(f =>
+    (fTables ++ Seq(fSynth, fEtl1, fS5, fGraph)).foreach(f =>
       scala.concurrent.Await.result(f,
         scala.concurrent.duration.Duration.Inf))
     warmPool.shutdown()
     graphPool.shutdown()
+    // true per-table executor cost (sums coherently — see the job-group
+    // comment above); the bus may still hold a few task-end events but
+    // warmup attribution is a floor, not accounting
+    GraftCacheBridge.drainListenerBus(spark)
+    telemetry.warmGroupRunMs.foreach { case (name, ms) =>
+      warmupSteps.put(s"graphrun:$name", ms / 1e3)
+    }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // keep-set for the between-family sweeps: everything persisted so far
     // (graph registry, warmup caches) survives the whole run, exactly as
@@ -297,6 +339,12 @@ object Bench {
       val ev0 = telemetry.evicted
       val bev0 = telemetry.baselineEvicted
       val tm0 = telemetry.taskSnapshot
+      // gzip-codec counters snapshotted PER QUERY (VERDICT r10 item 2:
+      // the run-global totals could not split etl3's wall into its own
+      // bytes ÷ MB/s) — the deltas land in the exec entries
+      val gz0raw = graft.sources.FastGzipCodec.jdkRawBytes.get
+      val gz0n = graft.sources.FastGzipCodec.jdkStreams.get +
+        graft.sources.FastGzipCodec.nativeStreams.get
       val t0 = System.nanoTime()
       // per-query driver-side cost split (VERDICT r9 item 3: the r9
       // record had a p-family cluster at wall ≫ run_ms with no artifact
@@ -334,21 +382,28 @@ object Bench {
       // async, so without it the finished query's metrics would smear
       // into the next query's delta
       GraftCacheBridge.drainListenerBus(spark)
-      (rq.name, sec, ok, telemetry.evicted - ev0,
+      QRes(rq.name, sec, ok, telemetry.evicted - ev0,
         telemetry.baselineEvicted - bev0, telemetry.taskSnapshot - tm0,
-        (buildMs, planMs))
+        buildMs, planMs,
+        (graft.sources.FastGzipCodec.jdkRawBytes.get - gz0raw) /
+          (1024.0 * 1024.0),
+        graft.sources.FastGzipCodec.jdkStreams.get +
+          graft.sources.FastGzipCodec.nativeStreams.get - gz0n)
     }
 
     // ---- output ---------------------------------------------------------
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.collect { case (k, v, true, _, _, _, _) => k -> f(v) })
-    val failed = results.collect { case (k, _, false, _, _, _, _) => k }
+    val ok = results.filter(_.ok)
+    val qs = jmap(ok.map(r => r.name -> f(r.sec)))
+    val failed = results.filterNot(_.ok).map(_.name)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _, _, _) => v }.sum
+    val total = ok.map(_.sec).sum
     val mb = 1024.0 * 1024.0
-    // compact telemetry object: repeated verbatim on BOTH lines, so the
+    val buildSecTotal = ok.map(_.buildMs).sum / 1e3
+    val planSecTotal = ok.map(_.planMs).sum / 1e3
+    // compact telemetry object: repeated on the mid and tail lines, so a
     // tail-window consumer always sees it next to the headline number
     val telem = jmap(Seq(
       "warmup_sec" -> f(warmupSec),
@@ -367,13 +422,12 @@ object Bench {
       "native_zlib" -> org.apache.hadoop.io.compress.zlib.ZlibFactory
         .isNativeZlibLoaded(spark.sparkContext.hadoopConfiguration)
         .toString,
-      // host deflate throughput (untimed warmup probe) + what the gzip
-      // sinks ACTUALLY did this run (VERDICT r9 item 2): expected gzip
-      // deflate wall ≈ gzip_raw_mb ÷ (deflate_mbps × concurrent sink
-      // slots). jdk_streams = 0 with native_zlib:false would mean the
-      // per-write codec option is not landing — the exact ambiguity the
-      // r9 record could not resolve. Counters are in-JVM (local-mode
-      // exact; on a cluster they'd be per-executor).
+      // host deflate throughput (idle-host probe, pre-warmup) + what the
+      // gzip sinks ACTUALLY did this run: expected gzip deflate wall ≈
+      // gzip_raw_mb ÷ (deflate_mbps × concurrent sink slots); per-query
+      // splits are in the exec entries ("gzip_mb"/"gzip_streams").
+      // Counters are in-JVM (local-mode exact; on a cluster they'd be
+      // per-executor).
       "deflate_mbps" -> f(deflateMbps),
       "gzip_jdk_streams" ->
         graft.sources.FastGzipCodec.jdkStreams.get.toString,
@@ -381,11 +435,13 @@ object Bench {
         graft.sources.FastGzipCodec.nativeStreams.get.toString,
       "gzip_raw_mb" ->
         f(graft.sources.FastGzipCodec.jdkRawBytes.get / mb),
-      // total driver-side build+plan cost across all queries (per-query
-      // top offenders in the "planning" map / exec "build_ms"/"plan_ms")
-      "plan_sec_total" ->
-        f(results.collect { case (_, _, true, _, _, _, (b, p)) => b + p }
-          .sum / 1e3)))
+      // driver-side cost split (VERDICT r10 item 2: the combined
+      // "plan_sec_total" read as 41% Catalyst time when most of it was
+      // eager-build EXECUTION — sink writes, stream replays — landing in
+      // build by design). plan_only_sec is true Catalyst optimization +
+      // physical planning; driver_sec_total adds the rq.build phase.
+      "driver_sec_total" -> f(buildSecTotal + planSecTotal),
+      "plan_only_sec" -> f(planSecTotal)))
     val warmupFailedJson = {
       import scala.jdk.CollectionConverters._
       warmupFailed.asScala.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -397,13 +453,24 @@ object Bench {
         .sortBy(-_._2).map { case (k, v) => k -> f(v) })
     }
     // top warmup steps for the TAIL line (VERDICT r9 item 7: the driver's
-    // 52.7 s warmup vs 25–28 s self needed attribution FROM THE ARTIFACT,
-    // and the full warmup_steps map lives on the big line that the
-    // 2000-char tail capture truncates). 5 entries ≈ 150 chars.
+    // warmup number needs attribution FROM THE ARTIFACT, and the full
+    // warmup_steps map lives on the big line). Two maps because the units
+    // differ and mixing them misreads (a 124 exec-sec table inside an
+    // 18 s warmup): warmup_top is WALL seconds (graph:* walls overlap
+    // under concurrency; graphwait:* is pool-queue delay), warmup_run is
+    // executor run-SECONDS per registry table (job-group keyed — these
+    // sum coherently, so "which table to attack" is readable directly).
     val warmupTopJson = {
       import scala.jdk.CollectionConverters._
-      jmap(warmupSteps.asScala.toSeq.sortBy(-_._2).take(5)
+      jmap(warmupSteps.asScala.toSeq
+        .filterNot(_._1.startsWith("graphrun:")).sortBy(-_._2).take(5)
         .map { case (k, v) => k -> f(v) })
+    }
+    val warmupRunJson = {
+      import scala.jdk.CollectionConverters._
+      jmap(warmupSteps.asScala.toSeq
+        .filter(_._1.startsWith("graphrun:")).sortBy(-_._2).take(5)
+        .map { case (k, v) => k.stripPrefix("graphrun:") -> f(v) })
     }
     val sweepsJson = jmap(sweepSecs.toSeq.map { case (k, v) => k -> f(v) })
     // per-query memory-residency losses, nonzero only: "which query was
@@ -411,55 +478,64 @@ object Bench {
     // artifact lacked (sweep-driven drops are excluded: sweeps run
     // between queries, outside these deltas)
     val evJson = jmap(results.collect {
-      case (k, _, _, ev, _, _, _) if ev > 0 => k -> ev.toString })
+      case r if r.ev > 0 => r.name -> r.ev.toString })
     val bevJson = jmap(results.collect {
-      case (k, _, _, _, bev, _, _) if bev > 0 => k -> bev.toString })
-    // per-query driver build+plan cost, top offenders (VERDICT r9
-    // item 3): the r9 p7/p6/p15/p8/p9 cluster was attributed to
-    // driver-side planning only by subtraction — this map states it
-    // directly (value = build_ms + plan_ms; the split is in exec)
-    val planJson = jmap(results.collect {
-      case (k, _, true, _, _, _, (b, p)) => (k, b + p) }
-      .sortBy(-_._2).take(8).map { case (k, p) => k -> p.toString })
-    // per-query executor profile for the tail (VERDICT r8 item 2: a
-    // >3×-the-builder-band query must be attributable from the artifact
-    // alone). run_ms ≈ wall × cores ⇒ real compute; run_ms ≪ wall × cores
-    // ⇒ the host stalled under the query (I/O wait, scheduler preemption),
-    // not a plan defect. gc_ms and spill_mb separate the memory story.
-    val execJson = jmap(results.collect { case (k, v, true, _, _, tm, p) => (k, v, tm, p) }
-      .sortBy(-_._2).take(12)
-      .map { case (k, _, tm, bp) => k -> jmap(Seq(
-        "run_ms" -> tm.runMs.toString,
-        "cpu_ms" -> tm.cpuMs.toString,
-        "gc_ms" -> tm.gcMs.toString,
-        "build_ms" -> bp._1.toString,
-        "plan_ms" -> bp._2.toString,
-        "shuf_rd_mb" -> f(tm.shufReadBytes / mb),
-        "shuf_wr_mb" -> f(tm.shufWriteBytes / mb),
-        "spill_mb" -> f(tm.spillBytes / mb))) })
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"telemetry":$telem,"warmup_failed":$warmupFailedJson,"warmup_steps":$warmupStepsJson,"sweeps":$sweepsJson,"evictions":$evJson,"baseline_evictions":$bevJson,"planning":$planJson,"exec":$execJson,"sf":"$sfDir"}""")
-    // the full line above exceeds a ~2k-char log-tail window at 144
-    // queries (round 5's BENCH capture shows a mid-line truncation →
-    // parsed: null). Repeat the same-schema line with only the slowest
-    // queries so a tail-window parser always sees one complete JSON line;
-    // a full-stdout parser sees the full map first. NO exec block here —
-    // r9's exec addition grew THIS line past the 2000-char tail window
-    // and truncated the round's headline number out of the artifact.
-    val slow = jmap(results.collect { case (k, v, true, _, _, _, _) => (k, v) }
-      .sortBy(-_._2).take(12)
+      case r if r.bev > 0 => r.name -> r.bev.toString })
+    // per-query driver cost, top offenders, SPLIT into the two layers
+    // (VERDICT r10 item 2): "build" = the rq.build call — DataFrame
+    // construction incl. eager analysis AND, for the etl/source/stream
+    // queries, the measured writes/replays that run inside build by
+    // design; "plan" = the final QueryExecution's optimization+planning
+    // phases only. etl3 showing 57 s under a map named "planning" invited
+    // optimizing the wrong layer.
+    val buildJson = jmap(ok.map(r => (r.name, r.buildMs))
+      .sortBy(-_._2).take(8).map { case (k, v) => k -> v.toString })
+    val planJson = jmap(ok.map(r => (r.name, r.planMs))
+      .sortBy(-_._2).take(8).map { case (k, v) => k -> v.toString })
+    // per-query executor profile (VERDICT r8 item 2): run_ms ≈ wall ×
+    // cores ⇒ real compute; run_ms ≪ wall × cores ⇒ the host stalled
+    // under the query, not a plan defect. gc_ms and spill_mb separate the
+    // memory story; gzip_mb/gzip_streams (nonzero only) split a sink
+    // query's bytes out of the run-global counters.
+    def execEntry(r: QRes): (String, String) = r.name -> jmap(Seq(
+      "run_ms" -> r.tm.runMs.toString,
+      "cpu_ms" -> r.tm.cpuMs.toString,
+      "gc_ms" -> r.tm.gcMs.toString,
+      "build_ms" -> r.buildMs.toString,
+      "plan_ms" -> r.planMs.toString,
+      "shuf_rd_mb" -> f(r.tm.shufReadBytes / mb),
+      "shuf_wr_mb" -> f(r.tm.shufWriteBytes / mb),
+      "spill_mb" -> f(r.tm.spillBytes / mb)) ++
+      (if (r.gzipMb > 0.01 || r.gzipStreams > 0)
+         Seq("gzip_mb" -> f(r.gzipMb), "gzip_streams" -> r.gzipStreams.toString)
+       else Nil))
+    val slowest = ok.sortBy(-_.sec)
+    val execJson = jmap(slowest.take(12).map(execEntry))
+    // per-sink wall clocks of the etl3 export run (ExportTelemetry;
+    // VERDICT r10 item 1) — pool-concurrent walls, top entries only
+    val sinksJson = jmap(graft.etl.ExportTelemetry.snapshot.take(5)
       .map { case (k, v) => k -> f(v) })
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"telemetry":$telem,"warmup_failed":$warmupFailedJson,"warmup_steps":$warmupStepsJson,"sweeps":$sweepsJson,"evictions":$evJson,"baseline_evictions":$bevJson,"build":$buildJson,"plan":$planJson,"exec":$execJson,"etl3_sinks":$sinksJson,"sf":"$sfDir"}""")
+    // Line 2 of 4: same-schema repeat with only the slowest queries, for
+    // mid-stdout parsers (the full line above exceeds any tail window).
+    val slow = jmap(slowest.take(12).map(r => r.name -> f(r.sec)))
     // "total_tail" (NOT "total") + "note"/"queries_total" mark this as
     // the 12-slowest SUBSET repeat: a line-oriented consumer summing or
     // grepping metric=total sees exactly one canonical line per run
-    println(s"""{"metric":"total_tail","value":${f(total)},"unit":"sec","note":"tail_summary_of_line_above","queries_total":${results.count(_._3)},"queries":$slow,"failed":$failedJson,"telemetry":$telem,"planning":$planJson,"warmup_top":$warmupTopJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_tail","value":${f(total)},"unit":"sec","note":"tail_summary_of_line_above","queries_total":${ok.size},"queries":$slow,"failed":$failedJson,"telemetry":$telem,"build":$buildJson,"plan":$planJson,"warmup_top":$warmupTopJson,"warmup_run":$warmupRunJson,"sf":"$sfDir"}""")
+    // Line 3 of 4 — the exec block on its OWN line (VERDICT r10 item 4:
+    // r10's per-query attribution lived only on line 1, which every tail
+    // capture truncates; the top spikes were unattributable from the
+    // artifact). Capped at 6 entries + the sink walls so line 3 + line 4
+    // together stay under a ~2000-char tail window.
+    val execTailJson = jmap(slowest.take(6).map(execEntry))
+    println(s"""{"metric":"exec_tail","value":${f(total)},"note":"top6_exec_of_full_line","exec":$execTailJson,"etl3_sinks":$sinksJson,"warmup_top":$warmupTopJson,"sf":"$sfDir"}""")
     // LAST line, fixed-size (≤ ~200 chars): the headline number must
-    // survive ANY tail-window capture (VERDICT r9 item 1 — the r9 record
-    // had to be reconstructed from the sbt wall clock because both lines
-    // above outgrew the 2000-char tail). Failed names are capped at 3;
-    // the full list is on the lines above.
+    // survive ANY tail-window capture (VERDICT r9 item 1). Failed names
+    // are capped at 3; the full list is on the lines above.
     val failedHead = failed.take(3).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total_final","total_sec":${f(total)},"n":${results.count(_._3)},"failed_n":${failed.size},"failed_head":$failedHead,"warmup_sec":${f(warmupSec)},"plan_sec":${f(results.collect { case (_, _, true, _, _, _, (b, p)) => b + p }.sum / 1e3)}}""")
+    println(s"""{"metric":"total_final","total_sec":${f(total)},"n":${ok.size},"failed_n":${failed.size},"failed_head":$failedHead,"warmup_sec":${f(warmupSec)},"build_sec":${f(buildSecTotal)},"plan_sec":${f(planSecTotal)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

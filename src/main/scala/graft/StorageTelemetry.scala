@@ -3,7 +3,7 @@ package graft
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.storage.{BlockId, RDDBlockId}
 
 /** Monotonic task-metric totals sampled before/after a measured region;
@@ -114,10 +114,46 @@ final class StorageTelemetry extends SparkListener {
       shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
       shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       spill.addAndGet(m.diskBytesSpilled)
+      val g = stageGroup.get(t.stageId)
+      if (g != null)
+        groupRunMs.computeIfAbsent(g, _ => new AtomicLong)
+          .addAndGet(m.executorRunTime)
     }
   }
 
   def taskSnapshot: TaskMetricsSnapshot = TaskMetricsSnapshot(
     runMs.get(), cpuMs.get(), gcMs.get(),
     shufRead.get(), shufWrite.get(), spill.get())
+
+  // ---- job-group executor-time attribution (VERDICT r10 item 3) --------
+  // The warmup materializes registry tables CONCURRENTLY, so per-table
+  // WALL clocks overlap — each includes the others' CPU contention and
+  // the walls don't sum to anything meaningful. Executor task run-time is
+  // partitioned by task, so run-time keyed by the submitting job group
+  // sums coherently across concurrent tables: the warmup sets a
+  // `warm:<table>` job group around each materialization and the artifact
+  // reports true per-table executor cost next to the overlapping walls.
+  // Tagged at job START (stage ids are known there; TaskEnd only carries
+  // stageId). A shuffle stage reused by a later job keeps its first tag —
+  // fine for attribution: the work ran once, under the first group.
+  private val stageGroup = new ConcurrentHashMap[Int, String]()
+  private val groupRunMs = new ConcurrentHashMap[String, AtomicLong]()
+
+  override def onJobStart(j: SparkListenerJobStart): Unit = {
+    val g =
+      if (j.properties == null) null
+      else j.properties.getProperty("spark.jobGroup.id")
+    if (g != null && g.startsWith("warm:")) {
+      j.stageIds.foreach(sid => stageGroup.put(sid, g))
+      ()
+    }
+  }
+
+  /** Executor run-ms per `warm:`-prefixed job group (prefix stripped). */
+  def warmGroupRunMs: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    groupRunMs.asScala.map { case (k, v) =>
+      k.stripPrefix("warm:") -> v.get()
+    }.toMap
+  }
 }

@@ -27,8 +27,29 @@ trait ChemToolkit {
   /** I3 — PARITY-style similarity score in [0,1] for a candidate pair.
     * Deterministic given inputs, so results are cacheable by the pair key
     * (the C11 cache-probe split relies on this).
+    *
+    * PURITY CONTRACT: the returned Column must be a deterministic pure
+    * function of exactly its two size arguments — no per-ligand lookups,
+    * no external state, no non-deterministic expressions. Two registry
+    * optimizations assume it: the bestCognate argmax (equal inputs ⇒
+    * equal scores ⇒ a stable tie set) and the size-class factorization of
+    * `GraphTables.domainCognate`, which collapses every ligand of one
+    * (brand, bucket, size) class to a single representative BECAUSE their
+    * candidate scores are identical. An implementation that cannot
+    * promise this (a SMILES-keyed kernel, a UDF consulting a table) must
+    * return `false` from [[columnPure]] — the registry then builds
+    * domainCognate through the definitional join-groupBy instead.
     */
   def parityScore(boundSize: Column, cognateSize: Column): Column
+
+  /** Whether [[parityScore]] honors the purity contract above (a pure
+    * Column function of the two size arguments). `false` routes
+    * `GraphTables.domainCognate` to the definitional fact-join path —
+    * correct for ANY toolkit, just without the size-class shortcut.
+    * Abstract on purpose: every implementation must state its claim;
+    * DomainCognateSpec pins both paths against each other.
+    */
+  def columnPure: Boolean
 }
 
 /** Deterministic fixture-backed toolkit: canonicalisation is a stable
@@ -37,6 +58,10 @@ trait ChemToolkit {
   * same dataflow shape and cost model hooks.
   */
 object FixtureChem extends ChemToolkit {
+
+  // an exact arithmetic expression of the two size columns — the
+  // size-class factorization's premise holds
+  override val columnPure: Boolean = true
 
   override def canonicalSmiles(descriptor: Column): Column =
     upper(trim(descriptor))

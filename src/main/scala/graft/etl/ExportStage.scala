@@ -60,14 +60,17 @@ object ExportStage {
   def ecLevel(code: Column, n: Int): Column =
     concat_ws(".", (1 to n).map(i => element_at(split(code, "\\."), i)): _*)
 
-  /** Concurrent write slots: the ~65 sink writes are independent Spark
-    * jobs over shared (persisted) lineages — submitting them serially
-    * pays ~65× job-scheduling latency in wall-clock. Eight in flight
-    * keeps the scheduler busy without starving any single job of cores.
+  /** Concurrent write slots: the fact-derived sink writes are independent
+    * Spark jobs over shared (persisted) lineages — submitting them
+    * serially pays per-job scheduling latency in wall-clock. Eight in
+    * flight keeps the scheduler busy without starving any single job of
+    * cores. (The ~40 dimension-bounded tables no longer occupy slots at
+    * all — they ride ONE batched job, see `writeSmall`.)
     */
   private val WriteSlots = 8
 
   def run(g: GraphTables, outDir: String): Seq[(String, String)] = {
+    ExportTelemetry.reset()
     // fast deflate for the ~70 gzip sink writes, set ONCE here while
     // single-threaded — mutating the shared hadoopConfiguration from the
     // pool's sink threads would race per-job Configuration cloning
@@ -105,20 +108,31 @@ object ExportStage {
               hdr: (String, String)*): Unit = {
       pending += Future {
         if (!failed.get())
-          try Sinks.neo4jTsv(df, s"$outDir/$name", hdr.toMap)
+          try {
+            val t0 = System.nanoTime()
+            Sinks.neo4jTsv(df, s"$outDir/$name", hdr.toMap)
+            ExportTelemetry.record(name, (System.nanoTime() - t0) / 1e9)
+          }
           catch { case e: Throwable => failed.set(true); throw e }
       }
       written += name -> s"$outDir/$name"
     }
     // DIMENSION-bounded tables (suppliers, hierarchy levels, distinct EC
-    // codes, the stats row) write as ONE data file: their cardinality is
-    // bounded by a dimension, a 32-partition gzip write of a 100-row
-    // table is pure small-file overhead, and one file per table is what
-    // the reference's import consumes anyway. Fact-derived tables keep
-    // their natural partitioning.
+    // codes, the stats row): cardinality bounded by a dimension, one data
+    // file per table (what the reference's import consumes). They are
+    // COLLECTED here and written by ONE batched Spark job at the end
+    // (Sinks.neo4jTsvBatch) — per-table coalesce(1) writes were ~40
+    // trivial-bytes jobs whose sequentially-planned driver setup was
+    // etl3's measured floor (VERDICT r10 item 1: job-count, not bytes).
+    // Fact-derived tables keep their natural partitioning and their own
+    // write jobs above.
+    val smalls =
+      scala.collection.mutable.ArrayBuffer[(String, DataFrame, Map[String, String])]()
     def writeSmall(name: String, df: DataFrame,
-                   hdr: (String, String)*): Unit =
-      write(name, df.coalesce(1), hdr: _*)
+                   hdr: (String, String)*): Unit = {
+      smalls += ((name, df, hdr.toMap))
+      written += name -> s"$outDir/$name"
+    }
 
     // shared(df): persist + eagerly materialize an intermediate that
     // several write jobs consume. Registered so the finally below
@@ -508,6 +522,22 @@ object ExportStage {
             col("num_bound_descriptors"), col("num_cognate_ligands")),
         "procoggraph" -> "procoggraph:ID(procoggraph-id)")
 
+      // the batched small-table job, submitted once every writeSmall has
+      // registered its table: one Spark job for the whole dimension-
+      // bounded inventory (none of them reads a shared persist, so the
+      // batch doesn't gate on the fact-join materializations above)
+      val smallList = smalls.toSeq
+      pending += Future {
+        if (!failed.get())
+          try {
+            val t0 = System.nanoTime()
+            Sinks.neo4jTsvBatch(outDir, smallList)
+            ExportTelemetry.record(s"small_batch(${smallList.size})",
+              (System.nanoTime() - t0) / 1e9)
+          }
+          catch { case e: Throwable => failed.set(true); throw e }
+      }
+
       // surface the FIRST write failure (Future.sequence reports one
       // deterministic error instead of whichever lands last); the finally
       // releases every shared persist on any exit path, and the pool
@@ -515,6 +545,28 @@ object ExportStage {
       Await.result(Future.sequence(pending.toSeq), Duration.Inf)
     } finally sharedPersists.foreach(_.unpersist(blocking = false))
     written.toSeq
+  }
+}
+
+/** Per-sink wall clocks of the most recent `ExportStage.run` (VERDICT r10
+  * item 1: etl3's 57.7 s driver wall could not be decomposed — the gzip
+  * counters are run-global, and the ~65 write jobs' individual costs were
+  * invisible). `run` resets this, each sink write records its wall, and
+  * the bench emits the top entries next to etl3's gzip byte/stream deltas
+  * so the artifact splits the wall into per-sink work vs scheduling.
+  * In-JVM static — walls are pool-concurrent (8 slots), so entries
+  * overlap; they attribute WHERE the time went, the query wall stays the
+  * total.
+  */
+object ExportTelemetry {
+  private val walls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  def reset(): Unit = walls.clear()
+  def record(name: String, sec: Double): Unit = walls.put(name, sec)
+  def snapshot: Seq[(String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    walls.asScala.toSeq.map { case (k, v) => (k, v.doubleValue) }
+      .sortBy(-_._2)
   }
 }
 

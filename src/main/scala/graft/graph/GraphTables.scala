@@ -85,16 +85,37 @@ final case class GraphTables(
     * pairs) — the same asymptotics as the reference's edge store, so the
     * 100 TB footprint argument is inherited from the import, not new.
     */
-  lazy val domainCognate: DataFrame = {
-    // Definitional form: interactPairs ⋈ similarity, groupBy (suppkey,
-    // cogId), max — a fact-sized join whose intermediate is |pairs| ×
-    // candidates-per-ligand (92M rows at sf0.1 for a 19.6M-row result;
-    // the registry-build floor at 16.6 s of the r10 warmup attribution).
-    // Computed instead by the size-class factorization the build's
-    // blocking scheme guarantees (GraphTablesSpec pins the equivalence):
-    // parityScore is a pure function of (bsize, csize) and a ligand's
-    // candidate set is exactly its (brand, bucket) block, so every
-    // ligand of one size class (brand, bucket, bsize) has IDENTICAL
+  lazy val domainCognate: DataFrame =
+    (if (chem.columnPure) domainCognateFactorized
+     else domainCognateDefinitional).persist()
+
+  /** Definitional form: interactPairs ⋈ similarity, groupBy (suppkey,
+    * cogId), max — a fact-sized join whose intermediate is |pairs| ×
+    * candidates-per-ligand. Correct for ANY toolkit (it only consumes the
+    * already-scored `similarity` table), so it is the path taken when the
+    * toolkit cannot promise the size-class premise (`chem.columnPure`
+    * false — e.g. a SMILES-keyed kernel whose score is not a Column
+    * function of the blocked sizes). DomainCognateSpec pins both paths
+    * against each other.
+    */
+  private def domainCognateDefinitional: DataFrame =
+    interactPairs
+      .join(similarity.select(col("ligandUniqueID"), col("cogId"),
+        col("parityScore"), col("bestCognate")), "ligandUniqueID")
+      .groupBy("suppkey", "cogId")
+      .agg(max(col("parityScore")).as("maxAnyScore"),
+        max(when(col("bestCognate") === "Y", col("parityScore")))
+          .as("maxBestScore"))
+
+  private def domainCognateFactorized: DataFrame = {
+    // The definitional join's intermediate is 92M rows at sf0.1 for a
+    // 19.6M-row result (the registry-build floor at 16.6 s of the r10
+    // warmup attribution). Computed instead by the size-class
+    // factorization the build's blocking scheme guarantees
+    // (DomainCognateSpec pins the equivalence): parityScore is a pure
+    // function of (bsize, csize) — the `columnPure` contract — and a
+    // ligand's candidate set is exactly its (brand, bucket) block, so
+    // every ligand of one size class (brand, bucket, bsize) has IDENTICAL
     // candidate scores and best-flag threshold. There are O(|dim|) size
     // classes (1250 at any sf — brands × buckets × sizes), so:
     //   1. classBest: per-class argmax threshold (dim-sized agg);
@@ -133,7 +154,6 @@ final case class GraphTables(
         array_max(transform(col("cls"), e =>
           when(score(e) === e.getField("bestScore"), score(e))))
           .as("maxBestScore"))
-      .persist()
   }
 
   /** Co-binding partner counts of the supplier similarity graph,
@@ -190,8 +210,15 @@ final case class GraphTables(
         "similarity" -> similarity),
       Seq("similarityBest" -> similarityBest,
         "interactPairs" -> interactPairs,
-        "domainCognate" -> domainCognate,
-        "coBindCounts" -> coBindCounts))
+        "coBindCounts" -> coBindCounts),
+      // domainCognate JOINS interactPairs — a phase-2 table. Listing it
+      // in phase 2 (the r10 layout) raced its build against interactPairs'
+      // own materialization: block-level get-or-compute keeps that
+      // correct but duplicates the distinct's work and serializes on
+      // block locks — one plausible slice of the r10 warmup regression
+      // (76.4 s driver vs 52.7 r9, with domainCognate's concurrent wall
+      // at 66.3 s). A phase boundary makes the dependency explicit.
+      Seq("domainCognate" -> domainCognate))
 
   /** Typed stage-boundary views (model/Model.scala) — compile-time field
     * checking for pipeline code consuming a stage's output.

@@ -41,11 +41,21 @@ object Checkpoints {
         val sc = spark.sparkContext
         // setCheckpointDir appends a context-unique UUID subdir AND
         // resolves the path to a qualified URI (file:/... for a local
-        // dir), so containment — not startsWith/equality — is the
-        // idempotence test; equality would re-set (and re-create a
-        // sibling dir) on every round of every loop
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
-          sc.setCheckpointDir(dir)
+        // dir). Idempotence test: the current checkpoint dir's PARENT
+        // must equal the qualified form of the conf dir. (Equality of the
+        // full path would re-set — and re-create a sibling UUID dir — on
+        // every round of every loop; the previous substring containment
+        // silently skipped the re-set when the conf changed mid-session
+        // to a path that happened to be a substring of the old qualified
+        // dir, e.g. /data/ckpt → /data — ADVICE r10.)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val qualified =
+          p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+        val already = sc.getCheckpointDir.exists { cur =>
+          val parent = new org.apache.hadoop.fs.Path(cur).getParent
+          parent != null && parent.toString == qualified
+        }
+        if (!already) sc.setCheckpointDir(dir)
         ds.checkpoint(eager = true)
       case None => ds.localCheckpoint(eager = true)
     }

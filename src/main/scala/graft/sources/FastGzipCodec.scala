@@ -90,14 +90,22 @@ object FastGzipCodec {
     private val gz = new GZIPOutputStream(raw, 64 * 1024) {
       `def`.setLevel(Deflater.BEST_SPEED)
     }
-    override def write(b: Int): Unit = { gz.write(b); jdkRawBytes.incrementAndGet(); () }
+    // single-byte writes count into a per-stream local, folded into the
+    // shared counter on finish/close: a per-byte AtomicLong increment is
+    // cross-thread contention on exactly the fallback path that's already
+    // slow (ADVICE r10). Array writes (the writers' normal path) go to
+    // the shared counter per call, as before.
+    private var singleBytes = 0L
+    private def foldSingle(): Unit =
+      if (singleBytes > 0L) { jdkRawBytes.addAndGet(singleBytes); singleBytes = 0L }
+    override def write(b: Int): Unit = { gz.write(b); singleBytes += 1 }
     override def write(b: Array[Byte], off: Int, len: Int): Unit = {
       gz.write(b, off, len)
       jdkRawBytes.addAndGet(len.toLong)
       ()
     }
     override def flush(): Unit = gz.flush()
-    override def finish(): Unit = gz.finish()
+    override def finish(): Unit = { foldSingle(); gz.finish() }
     // File-sink writers open one stream per file and never reuse it; the
     // reset contract exists for SequenceFile-style block codecs only.
     override def resetState(): Unit =
@@ -105,8 +113,9 @@ object FastGzipCodec {
         "FastGzipCodec streams are single-use file sinks")
     // GZIPOutputStream.close() finishes the trailer and closes `raw`,
     // idempotently — the default CompressionOutputStream.close() would
-    // bypass the gzip trailer entirely.
-    override def close(): Unit = gz.close()
+    // bypass the gzip trailer entirely. foldSingle is idempotent too
+    // (zeroed on fold), so finish-then-close never double-counts.
+    override def close(): Unit = { foldSingle(); gz.close() }
   }
 
   /** The `.option("compression", _)` value for DataFrame writers. */

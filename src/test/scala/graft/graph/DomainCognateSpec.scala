@@ -1,5 +1,6 @@
 package graft.graph
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
@@ -41,6 +42,35 @@ class DomainCognateSpec extends SparkSpec {
       val dup = g.domainCognate.groupBy("suppkey", "cogId")
         .count().filter(col("count") > 1).count()
       assert(dup === 0L)
+    }
+
+    it("a non-column-pure toolkit routes to the definitional path and matches") {
+      // Computes the SAME score as FixtureChem but through a Scala UDF and
+      // declares columnPure = false — the shape a SMILES-keyed kernel
+      // would take (VERDICT r10 item 5: the factorization's premise breaks
+      // the day a real toolkit backs the registry; the selection must be a
+      // trait flag, not prose). Test-only: registered plans stay UDF-free.
+      object UdfChem extends graft.chem.ChemToolkit {
+        override val columnPure: Boolean = false
+        override def canonicalSmiles(d: Column): Column = upper(trim(d))
+        private val scoreUdf = udf { (x: Long, y: Long) =>
+          math.max(0.0, (100L - math.abs(x - y)).toDouble / 100.0)
+        }
+        override def parityScore(b: Column, c: Column): Column =
+          scoreUdf(b.cast("long"), c.cast("long"))
+      }
+      val g = GraphTables.build(spark, "/root/testdata/sf0.001", UdfChem)
+      // routed off the factorization: no size-class array packing in plan
+      assert(!g.domainCognate.queryExecution.optimizedPlan.toString
+        .contains("collect_list"))
+      val a = g.domainCognate
+        .select("suppkey", "cogId", "maxAnyScore", "maxBestScore")
+      val b = definitional(g)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      // identical score function ⇒ identical table through EITHER path
+      val fix = GraphTables.build(spark, "/root/testdata/sf0.001")
+        .domainCognate.select("suppkey", "cogId", "maxAnyScore", "maxBestScore")
+      assert(a.exceptAll(fix).isEmpty && fix.exceptAll(a).isEmpty)
     }
 
     it("maxBestScore is null exactly when no best-flagged path exists") {

@@ -464,6 +464,61 @@ object ProCogQueryDefs {
       ORDER BY pdbEntry"""))((s, dir) =>
       ProCogQueries.searchEntries(GraphTables.cached(s, dir), "42", 0.95,
           AnyCognate)
-        .orderBy("pdbEntry"))
+        .orderBy("pdbEntry")),
+
+    // Round-11 dashboard tail (VERDICT r10 item 7): Compare-Domains with
+    // the SECOND domain parameter varied (p8 fixes the (1,2) pair; the
+    // apoc.coll.subtract widgets re-run per selection), the EC-hierarchy
+    // walk at the class/subclass levels, and the Cognate Ligand Search's
+    // ANY-substring name/dbxref mode.
+
+    RQ("p24_compare_domains_alt", Some(s"""$G,
+      sa AS (SELECT DISTINCT s.cog FROM iam i JOIN sim s ON s.pk = i.pk
+             WHERE i.sk = 1 AND s.score >= 0.9 AND s.best = 'Y'),
+      sb AS (SELECT DISTINCT s.cog FROM iam i JOIN sim s ON s.pk = i.pk
+             WHERE i.sk = 3 AND s.score >= 0.9 AND s.best = 'Y')
+      SELECT CAST((SELECT count(*) FROM (SELECT * FROM sa INTERSECT
+                   SELECT * FROM sb)) AS BIGINT) AS n_common,
+             CAST((SELECT count(*) FROM (SELECT * FROM sa EXCEPT
+                   SELECT * FROM sb)) AS BIGINT) AS n_only_a,
+             CAST((SELECT count(*) FROM (SELECT * FROM sb EXCEPT
+                   SELECT * FROM sa)) AS BIGINT) AS n_only_b"""))((s, dir) =>
+      ProCogQueries.compareDomains(GraphTables.cached(s, dir), 1L, 3L, 0.9,
+        Best)),
+
+    // EC hierarchy walk over the export's dotted-code scheme: per
+    // (class, subclass) prefix, distinct EC ids + cognates beneath it
+    RQ("p25_ec_hierarchy_walk", Some("""
+      WITH codes AS (SELECT p_partkey AS cogId,
+                       regexp_extract(p_brand, '#(\d+)', 1) || '.' ||
+                       (p_size // 10) || '.' || (p_size % 10) || '.' ||
+                       (p_partkey % 7) AS ec
+                     FROM part)
+      SELECT str_split(ec, '.')[1] AS ecClass,
+             str_split(ec, '.')[1] || '.' || str_split(ec, '.')[2]
+               AS ecSubclass,
+             CAST(count(DISTINCT ec) AS BIGINT) AS n_ec,
+             CAST(count(DISTINCT cogId) AS BIGINT) AS n_cognates
+      FROM codes GROUP BY 1, 2
+      ORDER BY ecClass, ecSubclass"""))((s, dir) =>
+      ProCogQueries.ecHierarchyWalk(GraphTables.cached(s, dir))),
+
+    // Cognate Ligand Search in name_db mode, two comma-split terms: a
+    // name-substring term ('OSE' — part names contain e.g. "rose") and a
+    // dbxref term ('CHEBI:10') — ANY term in ANY field matches
+    RQ("p26_cognate_search_namedb", Some("""
+      WITH c AS (SELECT p_partkey AS cogId,
+                        upper(trim(p_name)) AS cognateLigand,
+                        'CHEBI:' || p_partkey AS x1,
+                        'KEGG:C' || p_size AS x2
+                 FROM part)
+      SELECT cogId, cognateLigand, x1 || '|' || x2 AS ligandDB
+      FROM c
+      WHERE cognateLigand LIKE '%OSE%' OR x1 LIKE '%OSE%' OR x2 LIKE '%OSE%'
+         OR cognateLigand LIKE '%CHEBI:10%' OR x1 LIKE '%CHEBI:10%'
+         OR x2 LIKE '%CHEBI:10%'
+      ORDER BY cogId"""))((s, dir) =>
+      ProCogQueries.cognateSearch(GraphTables.cached(s, dir),
+        "ose,CHEBI:10"))
   )
 }

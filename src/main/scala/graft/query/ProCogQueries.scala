@@ -256,6 +256,53 @@ object ProCogQueries {
       .orderBy("pdbEntry", "hetCode", "cognateLigand", "parityScore")
   }
 
+  /** EC-hierarchy walk at the class/subclass levels (the dashboard EC
+    * page's sidebar rollup; procogdash dashboard.json EC ID search +
+    * hierarchy panels): for each (class, subclass) prefix of the EC code,
+    * how many full EC ids and cognate ligands sit under it. Codes come
+    * from `ExportStage.ecCode`/`ecLevel` — the ONE dotted-code scheme the
+    * export, ec1/ec2 and this walk all share. Dimension-only (cognates),
+    * so the whole walk is a dim-sized aggregation — no fact scan.
+    */
+  def ecHierarchyWalk(g: GraphTables): DataFrame = {
+    import graft.etl.ExportStage.{ecCode, ecLevel}
+    g.cognates
+      .select(col("cogId"),
+        ecCode(col("brand"), col("csize"), col("cogId")).as("ec"))
+      .select(ecLevel(col("ec"), 1).as("ecClass"),
+        ecLevel(col("ec"), 2).as("ecSubclass"), col("ec"), col("cogId"))
+      .groupBy("ecClass", "ecSubclass")
+      .agg(countDistinct(col("ec")).as("n_ec"),
+        countDistinct(col("cogId")).as("n_cognates"))
+      .orderBy("ecClass", "ecSubclass")
+  }
+
+  /** Cognate Ligand Search, name_db mode (procogdash dashboard.json
+    * "Cognate Ligand Results": the `apoc.case` branch where the input
+    * does NOT start with "id:" — the text splits on "," into terms and a
+    * ligand matches when ANY term is contained in ANY of its names OR ANY
+    * of its database cross-references, all uppercased). The registry's
+    * dbxref list analogue is synthesized deterministically from the
+    * cognate dim (a CHEBI id from the key, a KEGG compound id from the
+    * size) — same ANY×ANY shape, oracle-checkable. Dimension-only scan;
+    * the OR-of-contains disjunction is one codegen'd predicate.
+    */
+  def cognateSearch(g: GraphTables, query: String): DataFrame = {
+    val terms = query.toUpperCase.split(",").map(_.trim).filter(_.nonEmpty)
+    val xrefs = array(concat(lit("CHEBI:"), col("cogId")),
+      concat(lit("KEGG:C"), col("csize")))
+    val hit = terms.map { t =>
+      upper(col("cogName")).contains(t) ||
+        exists(xrefs, x => x.contains(t))
+    }.reduce(_ || _)
+    g.cognates
+      .withColumn("ligandDB", concat_ws("|", xrefs))
+      .filter(hit)
+      .select(col("cogId"), col("cogName").as("cognateLigand"),
+        col("ligandDB"))
+      .orderBy("cogId")
+  }
+
   /** Autocomplete select (dashboard: `ORDER BY size(value) ASC LIMIT 5`). */
   def autocomplete(g: GraphTables, substr: String, k: Int): DataFrame =
     g.boundEntities.select(col("hetCode")).distinct()

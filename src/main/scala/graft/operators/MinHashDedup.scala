@@ -71,6 +71,69 @@ object MinHashDedup {
   }
 
   /** Stage 2.5 — banded (da, db) candidate pairs, da < db, deduped. */
+  /** ExactSubstr-style duplicated-span detection: every maximal verbatim
+    * word span of ≥ `minSpan` words shared between two distinct
+    * documents, with both start offsets. This is the "remove ≥N-token
+    * duplicate substrings" dedup of LLM training pipelines (the
+    * suffix-array ExactSubstr method), re-expressed as a shuffle-bounded
+    * Spark plan:
+    *
+    *   1. anchor k-grams: every k-word window with its 1-based position;
+    *   2. df prune: keep grams shared (df ≥ 2) but not boilerplate-common
+    *      (df ≤ `maxDf`) — anchor-join fanout is then ≤ Σ df² over kept
+    *      grams, linear in the corpus, never N² (the same
+    *      inverted-index-with-stopword-pruning cap as
+    *      [[containmentDupPairs]]; a gram more common than maxDf is
+    *      boilerplate that line-level dedup handles);
+    *   3. anchor equi-join on the gram STRING (exact — no hash
+    *      collisions; at petabyte scale prefilter on xxhash64(gram) and
+    *      verify the string on the survivors to shrink shuffle width);
+    *   4. diagonal run merge: matches of one contiguous shared span all
+    *      sit on one alignment diagonal (pa − pb constant) at CONSECUTIVE
+    *      positions, so per (da, db, diag) an island detection
+    *      (pa − row_number) splits runs at gaps — merging on the diagonal
+    *      alone would weld two distinct spans separated by a gap into one
+    *      bogus long span (ExactSubstrSpec pins the gap case). The window
+    *      is partitioned by (da, db, diag) — no global sort anywhere.
+    *
+    * Returns (doc_a, doc_b, start_a, start_b, span_words), doc_a < doc_b,
+    * positions 1-based; span_words = anchors-in-run + k − 1.
+    */
+  def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, minSpan: Int = 10,
+                          maxDf: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kg = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> array_join(slice(w, i, $k), ' '))")).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
+    val kept = kg.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf).select("g")
+    val anchored = kg.join(kept, "g")
+    val pairs = anchored
+      .select(col("g"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(anchored.select(col("g"), col("doc_id").as("db"),
+        col("pos").as("pb")), "g")
+      .filter(col("da") < col("db"))
+      // two grams can witness the same alignment cell; runs need each
+      // (da, db, pa, pb) exactly once
+      .select("da", "db", "pa", "pb").distinct()
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    pairs.withColumn("run", col("pa") - row_number().over(w))
+      .groupBy("da", "db", "diag", "run")
+      .agg(min(col("pa")).as("sa"),
+        (max(col("pa")) - min(col("pa")) + k).as("lenw"))
+      .filter(col("lenw") >= minSpan)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("sa").cast("long").as("start_a"),
+        (col("sa") - col("diag")).cast("long").as("start_b"),
+        col("lenw").cast("long").as("span_words"))
+  }
+
   def candidatePairs(sh: DataFrame, seeds: Int = 8,
                      rowsPerBand: Int = 2): DataFrame = {
     val band = bandRows(sh, seeds, rowsPerBand)

@@ -656,6 +656,50 @@ object TextQueries {
           n = 3, maxDf = 5, threshold = 0.8)
         .orderBy("doc_a", "doc_b")),
 
+    // T35 — ExactSubstr duplicated-span detection: every maximal verbatim
+    // span of >= 10 words shared between two documents, with both start
+    // offsets (the "remove >=N-token duplicate substrings" LLM-pipeline
+    // dedup, suffix-array method re-expressed as a df-capped k-gram
+    // anchor join + per-diagonal run merge — MinHashDedup
+    // .exactSubstringSpans has the scale argument; the diagonal window is
+    // partitioned by (docA, docB, diagonal), never global). Unlike
+    // t6/t31 (set similarity) this finds POSITIONED verbatim overlap —
+    // the operator that drives span-level cutting rather than whole-doc
+    // dropping.
+    RQ("t35_exact_substring_spans", Some("""
+      WITH ws AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           kg AS (SELECT doc_id,
+                         unnest(range(1, len(w) - 6)) AS pos,
+                         unnest(list_transform(range(1, len(w) - 6),
+                           i -> array_to_string(w[i:i+7], ' '))) AS g
+                  FROM ws WHERE len(w) >= 8),
+           kept AS (SELECT g FROM (SELECT g, count(*) AS df FROM kg
+                                   GROUP BY 1)
+                    WHERE df BETWEEN 2 AND 50),
+           ka AS (SELECT kg.doc_id, kg.pos, kg.g FROM kg
+                  JOIN kept USING (g)),
+           pr AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                         a.pos AS pa, b.pos AS pb
+                  FROM ka a JOIN ka b
+                    ON a.g = b.g AND a.doc_id < b.doc_id),
+           dg AS (SELECT da, db, pa, pa - pb AS diag,
+                         pa - row_number() OVER (
+                           PARTITION BY da, db, pa - pb ORDER BY pa)
+                           AS run
+                  FROM pr),
+           sp AS (SELECT da, db, diag,
+                         min(pa) AS sa, max(pa) - min(pa) + 8 AS lenw
+                  FROM dg GROUP BY da, db, diag, run)
+      SELECT da AS doc_a, db AS doc_b, CAST(sa AS BIGINT) AS start_a,
+             CAST(sa - diag AS BIGINT) AS start_b,
+             CAST(lenw AS BIGINT) AS span_words
+      FROM sp WHERE lenw >= 10
+      ORDER BY doc_a, doc_b, start_a, start_b"""))((s, dir) =>
+      graft.operators.MinHashDedup
+        .exactSubstringSpans(docs(s, dir), "doc_id", "text",
+          k = 8, minSpan = 10, maxDf = 50)
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")),
+
     // T32 — temperature-weighted corpus mixing: each source's sampling
     // rate is (token_share)^(1/T) of the largest source, T = 2 (the
     // sqrt-scaling multilingual/multi-domain LM runs use to flatten the

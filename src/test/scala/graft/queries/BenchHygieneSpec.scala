@@ -64,6 +64,38 @@ class BenchHygieneSpec extends SparkSpec {
       ev(7, 0, StorageLevel.MEMORY_AND_DISK, 1000L)
       assert(t.evicted === 2L && t.currentBytes === 1000L)
     }
+
+    it("attributes executor run-time per warm: job group (the warmup_run map)") {
+      // The r11 warmup attribution: per-table WALLS overlap under the
+      // concurrent registry build, so the artifact's coherent per-table
+      // numbers are executor run-ms keyed by the warm:<table> job group
+      // set around each materialization. Tag two jobs under different
+      // groups and one untagged; only the tagged groups appear, each
+      // with positive run-time.
+      val t = new StorageTelemetry
+      spark.sparkContext.addSparkListener(t)
+      try {
+        spark.sparkContext.setJobGroup("warm:tblA", "a", false)
+        spark.range(500000).selectExpr("sum(id * id)")
+          .queryExecution.toRdd.count()
+        spark.sparkContext.setJobGroup("warm:tblB", "b", false)
+        spark.range(500000).groupBy(expr("id % 1000")).count()
+          .queryExecution.toRdd.count()
+        spark.sparkContext.clearJobGroup()
+        spark.range(1000).selectExpr("sum(id)")
+          .queryExecution.toRdd.count() // untagged — must not register
+        drain()
+        val g = t.warmGroupRunMs
+        assert(g.keySet === Set("tblA", "tblB"),
+          s"expected exactly the two warm groups, got ${g.keySet}")
+        assert(g.values.forall(_ >= 0L))
+        assert(g.values.sum > 0L,
+          "tagged jobs accumulated no executor run-time")
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(t)
+      }
+    }
   }
 
   describe("CacheHygiene") {

@@ -149,4 +149,44 @@ object ImageCodec {
   def hexMd5(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"${b & 0xff}%02x").mkString
+
+  /** Perceptual average-hash (aHash) over a gray raster: NN-downsample to
+    * tw×th ([[resizeNearest]] — exact integer floor selection, so a
+    * codec-less oracle reproduces the same pixel picks), then one bit per
+    * cell: pixel strictly above the cell mean. The mean compare is kept
+    * integer-exact (`v × n > Σv` instead of `v > Σv/n`) so no float ever
+    * enters the hash. Bits pack row-major MSB-first into hex nibbles
+    * (tw×th must be a multiple of 4). Returns (hex hash, popcount).
+    *
+    * This is the image near-dup FEATURE of a multimodal pipeline: equal
+    * or hamming-close hashes mark visually-identical assets after
+    * re-encoding/resizing, and the hex prefix is the band key a
+    * bucketed near-dup join blocks on (the t4/t8 SimHash shape, image
+    * side).
+    */
+  def aHash(px: Array[Byte], w: Int, h: Int,
+            tw: Int = 8, th: Int = 8): (String, Int) = {
+    val n = tw * th
+    require(n % 4 == 0, s"aHash bit count $n must pack into hex nibbles")
+    val sel = resizeNearest(px, w, h, tw, th)
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (sel(i) & 0xff); i += 1 }
+    val bits = new Array[Int](n)
+    var pop = 0
+    i = 0
+    while (i < n) {
+      if ((sel(i) & 0xff).toLong * n > sum) { bits(i) = 1; pop += 1 }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(n / 4)
+    var j = 0
+    while (j < n / 4) {
+      val nib = bits(4 * j) * 8 + bits(4 * j + 1) * 4 +
+        bits(4 * j + 2) * 2 + bits(4 * j + 3)
+      sb.append("0123456789abcdef".charAt(nib))
+      j += 1
+    }
+    (sb.toString, pop)
+  }
 }

@@ -288,6 +288,59 @@ object MultimodalQueries {
       }).toDF("media_id", "sample_rate", "channels", "bits", "n_frames",
           "pcm_md5", "duration_ms")
         .orderBy("media_id")
+    }),
+
+    // M9 — perceptual average-hash (aHash) over the REAL codec tier: a
+    // 16×16 grayscale PNG per asset (first 256 text bytes, lossless
+    // contract as m7), decoded back, NN-downsampled to 8×8 (exact
+    // integer floor selection), one bit per cell = pixel strictly above
+    // the cell mean with the compare kept integer (v×64 > Σv — no float
+    // in the hash), packed row-major MSB-first into 16 hex nibbles.
+    // Equal/hamming-close hashes mark visually-identical assets after
+    // re-encode; the hex prefix is the band key an image near-dup join
+    // buckets on (t4/t8's SimHash shape, image side). The codec-less
+    // oracle recomputes the identical selection, mean compare and
+    // nibble-packing from the ascii codes — the decode must hand the
+    // very same pixels back for the hashes to agree. width/height are
+    // DECODER-true, not echoed.
+    RQ("m9_perceptual_ahash", Some("""
+      WITH src AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 2 = 0
+                     AND octet_length(encode(text)) >= 256),
+      px AS (SELECT doc_id,
+                    list_transform(range(0, 64),
+                      p -> ascii(substr(text,
+                             CAST(((p // 8) * 2) * 16 + (p % 8) * 2 + 1
+                                  AS INT), 1))) AS v
+             FROM src),
+      sm AS (SELECT doc_id, v, list_sum(v) AS s FROM px),
+      bt AS (SELECT doc_id,
+                    list_transform(v,
+                      x -> CASE WHEN x * 64 > s THEN 1 ELSE 0 END) AS b
+             FROM sm)
+      SELECT doc_id AS media_id, CAST(16 AS INT) AS width,
+             CAST(16 AS INT) AS height,
+             array_to_string(list_transform(range(0, 16),
+               i -> substr('0123456789abcdef',
+                      CAST(b[4*i+1]*8 + b[4*i+2]*4 + b[4*i+3]*2 + b[4*i+4]
+                           + 1 AS INT), 1)), '') AS ahash,
+             CAST(list_sum(b) AS BIGINT) AS n_set
+      FROM bt ORDER BY media_id"""))((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.ImageCodec
+      val src = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("data"))
+        .filter(octet_length(col("data")) >= 256)
+        .as[(Long, Array[Byte])]
+      src.mapPartitions(_.map { case (id, data) =>
+        val png = ImageCodec.encodePng(data, 16, 16)
+        val (dw, dh, px) = ImageCodec.decodePixelsPng(png).getOrElse(
+          sys.error(s"undecodable PNG for media $id"))
+        val (hash, pop) = ImageCodec.aHash(px, dw, dh, 8, 8)
+        (id, dw, dh, hash, pop.toLong)
+      }).toDF("media_id", "width", "height", "ahash", "n_set")
+        .orderBy("media_id")
     })
   )
 }

@@ -108,5 +108,31 @@ class ImageCodecSpec extends AnyFunSpec {
       val jb = ImageCodec.encodeJpeg(data, 8, 8)
       assert(java.util.Arrays.equals(ja, jb))
     }
+
+    it("aHash: hand-computed 2x2 case, strict-mean bit rule, hex packing") {
+      // a 2x2 "image" hashed at its own size (no resize): values
+      // 10, 20, 30, 40 -> mean 25 -> bits (row-major) 0,0,1,1 -> one
+      // nibble 0b0011 = '3'; popcount 2
+      val (h1, p1) = ImageCodec.aHash(Array[Byte](10, 20, 30, 40), 2, 2, 2, 2)
+      assert(h1 === "3" && p1 === 2)
+      // STRICT compare: a flat image has every v*n == sum -> all bits 0
+      val (h2, p2) = ImageCodec.aHash(Array.fill(4)(42.toByte), 2, 2, 2, 2)
+      assert(h2 === "0" && p2 === 0)
+      // high bytes are unsigned (0xff = 255, not -1)
+      val (h3, p3) =
+        ImageCodec.aHash(Array[Byte](0, 0, 0, 0xff.toByte), 2, 2, 2, 2)
+      assert(h3 === "1" && p3 === 1)
+    }
+
+    it("aHash survives the PNG roundtrip (the m9 path end-to-end)") {
+      val rnd = new scala.util.Random(7)
+      val raw = Array.fill(256)(rnd.nextInt(256).toByte)
+      val direct = ImageCodec.aHash(raw, 16, 16, 8, 8)
+      val png = ImageCodec.encodePng(raw, 16, 16)
+      val Some((w, h, px)) = ImageCodec.decodePixelsPng(png)
+      assert((w, h) === (16, 16))
+      assert(ImageCodec.aHash(px, w, h, 8, 8) === direct)
+      assert(direct._1.length === 16)
+    }
   }
 }

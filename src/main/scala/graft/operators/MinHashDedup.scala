@@ -134,6 +134,49 @@ object MinHashDedup {
         col("lenw").cast("long").as("span_words"))
   }
 
+  /** The consumer half of [[exactSubstringSpans]]: CUT every detected
+    * duplicate span out of the LATER document (doc_a < doc_b ⇒ doc_b
+    * loses the span — keep-first-occurrence, the ExactSubstr training-
+    * data policy of span-level cutting instead of whole-doc dropping).
+    * Overlapping cut intervals need no explicit merge: a word is dropped
+    * iff ANY interval covers its position (the anti-join is the union).
+    *
+    * Returns one row per input document — including untouched ones —
+    * with (n_words, n_kept, n_cut, clean_md5): the cleaned text is
+    * digested, not materialized, so the output is audit-sized. Scale:
+    * the word explode is one corpus-sized shuffle on doc_id; the cut
+    * list is span-sized; the anti-join is equi on doc_id with a range
+    * residual (hash join, never a cross product).
+    */
+  def cutDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, minSpan: Int = 10,
+                        maxDf: Int = 50): DataFrame = {
+    val cuts = exactSubstringSpans(docs, idCol, textCol, k, minSpan, maxDf)
+      .select(col("doc_b").as("cdoc"), col("start_b").as("cs"),
+        (col("start_b") + col("span_words")).as("ce"))
+    val ws = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val words = ws
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("word"))
+    val kept = words.join(cuts,
+      words("doc_id") === cuts("cdoc") &&
+        col("pos") >= col("cs") && col("pos") < col("ce"), "left_anti")
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x.getField("word")), " ").cast("binary")).as("clean_md5"))
+    ws.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("clean_md5"), md5(lit("").cast("binary")))
+          .as("clean_md5"))
+  }
+
   def candidatePairs(sh: DataFrame, seeds: Int = 8,
                      rowsPerBand: Int = 2): DataFrame = {
     val band = bandRows(sh, seeds, rowsPerBand)

@@ -700,6 +700,62 @@ object TextQueries {
           k = 8, minSpan = 10, maxDf = 50)
         .orderBy("doc_a", "doc_b", "start_a", "start_b")),
 
+    // T36 — span CUTTING, the consumer half of t35 (ExactSubstr's actual
+    // training-data edit): every detected duplicate span is removed from
+    // the LATER document (keep-first-occurrence), overlaps unioned by
+    // the anti-join itself, untouched docs pass through — one audit row
+    // per document with kept/cut counts and the cleaned-text digest.
+    RQ("t36_span_cut_dedup", Some("""
+      WITH ws AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           kg AS (SELECT doc_id,
+                         unnest(range(1, len(w) - 6)) AS pos,
+                         unnest(list_transform(range(1, len(w) - 6),
+                           i -> array_to_string(w[i:i+7], ' '))) AS g
+                  FROM ws WHERE len(w) >= 8),
+           kept0 AS (SELECT g FROM (SELECT g, count(*) AS df FROM kg
+                                    GROUP BY 1)
+                     WHERE df BETWEEN 2 AND 50),
+           ka AS (SELECT kg.doc_id, kg.pos, kg.g FROM kg
+                  JOIN kept0 USING (g)),
+           pr AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                         a.pos AS pa, b.pos AS pb
+                  FROM ka a JOIN ka b
+                    ON a.g = b.g AND a.doc_id < b.doc_id),
+           dg AS (SELECT da, db, pa, pa - pb AS diag,
+                         pa - row_number() OVER (
+                           PARTITION BY da, db, pa - pb ORDER BY pa)
+                           AS run
+                  FROM pr),
+           sp AS (SELECT da, db, diag,
+                         min(pa) AS sa, max(pa) - min(pa) + 8 AS lenw
+                  FROM dg GROUP BY da, db, diag, run),
+           cuts AS (SELECT db AS doc_id, sa - diag AS cs,
+                           sa - diag + lenw AS ce
+                    FROM sp WHERE lenw >= 10),
+           w2 AS (SELECT doc_id, unnest(w) AS word,
+                         unnest(range(1, len(w) + 1)) AS pos
+                  FROM ws),
+           keptw AS (SELECT w2.* FROM w2
+                     WHERE NOT EXISTS (
+                       SELECT 1 FROM cuts c
+                       WHERE c.doc_id = w2.doc_id
+                         AND w2.pos >= c.cs AND w2.pos < c.ce)),
+           kagg AS (SELECT doc_id, count(*) AS n_kept,
+                           md5(string_agg(word, ' ' ORDER BY pos))
+                             AS clean_md5
+                    FROM keptw GROUP BY 1)
+      SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words,
+             CAST(coalesce(kagg.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(t.n_words - coalesce(kagg.n_kept, 0) AS BIGINT) AS n_cut,
+             coalesce(kagg.clean_md5, md5('')) AS clean_md5
+      FROM (SELECT doc_id, len(w) AS n_words FROM ws) t
+      LEFT JOIN kagg USING (doc_id)
+      ORDER BY doc_id"""))((s, dir) =>
+      graft.operators.MinHashDedup
+        .cutDuplicateSpans(docs(s, dir), "doc_id", "text",
+          k = 8, minSpan = 10, maxDf = 50)
+        .orderBy("doc_id")),
+
     // T32 — temperature-weighted corpus mixing: each source's sampling
     // rate is (token_share)^(1/T) of the largest source, T = 2 (the
     // sqrt-scaling multilingual/multi-domain LM runs use to flatten the

@@ -72,4 +72,43 @@ class ExactSubstrSpec extends SparkSpec {
       assert(run(Seq(1L -> a, 2L -> b), minSpan = 5).size === 1)
     }
   }
+
+  private def runCut(docs: Seq[(Long, String)], k: Int = 4,
+                     minSpan: Int = 5, maxDf: Int = 50): Map[Long, Row] = {
+    import spark.implicits._
+    MinHashDedup.cutDuplicateSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k, minSpan, maxDf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  describe("cutDuplicateSpans") {
+    it("cuts from the LATER doc only; the first occurrence survives whole") {
+      val span = "s1 s2 s3 s4 s5 s6"
+      val a = words("a", 3) + " " + span          // doc 1: 9 words
+      val b = span + " " + words("b", 4)          // doc 2: 10 words
+      val out = runCut(Seq(1L -> a, 2L -> b))
+      assert(out(1L).getLong(2) === 9L && out(1L).getLong(3) === 0L,
+        "first occurrence must keep every word")
+      assert(out(2L).getLong(2) === 4L && out(2L).getLong(3) === 6L,
+        "later doc must lose exactly the span words")
+    }
+
+    it("unions overlapping cut intervals instead of double-counting") {
+      // doc 3 shares words 1..6 with doc 1 and words 3..8 with doc 2:
+      // overlapping intervals on doc 3 must cut words 1..8 once
+      val c = "c1 c2 c3 c4 c5 c6 c7 c8 " + words("z", 2) // 10 words
+      val a = "c1 c2 c3 c4 c5 c6 " + words("x", 3)
+      val b = words("y", 3) + " c3 c4 c5 c6 c7 c8"
+      val out = runCut(Seq(1L -> a, 2L -> b, 3L -> c))
+      assert(out(3L).getLong(3) === 8L,
+        s"overlapping spans must union to 8 cut words, got ${out(3L)}")
+      assert(out(3L).getLong(2) === 2L)
+    }
+
+    it("passes untouched documents through with a digest of the full text") {
+      val lone = words("solo", 6)
+      val out = runCut(Seq(9L -> lone))
+      assert(out(9L).getLong(1) === 6L && out(9L).getLong(3) === 0L)
+    }
+  }
 }

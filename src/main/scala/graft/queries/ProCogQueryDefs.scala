@@ -519,6 +519,26 @@ object ProCogQueryDefs {
          OR x2 LIKE '%CHEBI:10%'
       ORDER BY cogId"""))((s, dir) =>
       ProCogQueries.cognateSearch(GraphTables.cached(s, dir),
-        "ose,CHEBI:10"))
+        "ose,CHEBI:10")),
+
+    // domain-database dropdown autocomplete (distinct type values,
+    // shortest first — the dashboard's size(value) ASC LIMIT idiom)
+    RQ("p27_domain_autocomplete", Some("""
+      SELECT dtype FROM (
+        SELECT DISTINCT CASE s_suppkey % 3 WHEN 0 THEN 'CATH'
+                             WHEN 1 THEN 'SCOP' ELSE 'Pfam' END AS dtype
+        FROM supplier)
+      WHERE lower(dtype) LIKE '%a%'
+      ORDER BY length(dtype), dtype LIMIT 5"""))((s, dir) =>
+      ProCogQueries.domainTypeAutocomplete(GraphTables.cached(s, dir),
+        "a", 5)),
+
+    // Cognate Ligand Search, "id:" branch: exact uniqueID lookup with
+    // the same output shape as p26's name_db branch
+    RQ("p28_cognate_search_id", Some("""
+      SELECT p_partkey AS cogId, upper(trim(p_name)) AS cognateLigand,
+             'CHEBI:' || p_partkey || '|' || 'KEGG:C' || p_size AS ligandDB
+      FROM part WHERE p_partkey = 42"""))((s, dir) =>
+      ProCogQueries.cognateSearchById(GraphTables.cached(s, dir), "id:42"))
   )
 }

@@ -303,6 +303,33 @@ object ProCogQueries {
       .orderBy("cogId")
   }
 
+  /** Domain-type autocomplete (procogdash dashboard.json domain-database
+    * dropdown: `MATCH (n:domain) WHERE toLower(type) CONTAINS
+    * toLower($input) RETURN DISTINCT type ORDER BY size(value) ASC
+    * LIMIT 5`) — distinct over a tiny dim column, shortest-first.
+    */
+  def domainTypeAutocomplete(g: GraphTables, substr: String,
+                             k: Int): DataFrame =
+    g.domains.select(col("dtype")).distinct()
+      .filter(lower(col("dtype")).contains(substr.toLowerCase))
+      .orderBy(length(col("dtype")), col("dtype"))
+      .limit(k)
+
+  /** Cognate Ligand Search, id mode (the `apoc.when` branch of
+    * dashboard.json "Cognate Ligand Results" taken when the input starts
+    * with "id:"): strip the prefix, exact uniqueID lookup — same output
+    * shape as [[cognateSearch]] so the dashboard table renders either
+    * branch. A point lookup on the cognate dim: filter + project, no
+    * joins.
+    */
+  def cognateSearchById(g: GraphTables, query: String): DataFrame = {
+    val id = query.replaceFirst("(?i)^id:", "").trim.toLong
+    g.cognates.filter(col("cogId") === id)
+      .select(col("cogId"), col("cogName").as("cognateLigand"),
+        concat_ws("|", concat(lit("CHEBI:"), col("cogId")),
+          concat(lit("KEGG:C"), col("csize"))).as("ligandDB"))
+  }
+
   /** Autocomplete select (dashboard: `ORDER BY size(value) ASC LIMIT 5`). */
   def autocomplete(g: GraphTables, substr: String, k: Int): DataFrame =
     g.boundEntities.select(col("hetCode")).distinct()

@@ -426,6 +426,60 @@ object RelationalQueries {
             .as("approx_ok"))
         .orderBy("o_orderpriority")),
 
+    // D17 — mergeable histogram-quantile sketch: per-group median of
+    // l_extendedprice estimated from a FIXED 256-bin equi-width
+    // histogram (width 512 over [0, 131072) — covers TPC-H's ~101k max
+    // with headroom; the cap bin absorbs any outlier). Unlike d16's
+    // engine-specific HLL registers, the sketch here is fully
+    // deterministic SQL on both engines, so the ESTIMATE ITSELF
+    // hash-matches the oracle; the exactness gate (estimate within one
+    // bin of the true interpolated median) is computed Spark-side
+    // against sort-based percentile(), oracle-side a literal 1 — the
+    // d16 gate discipline. At 100 TB the sketch is the point: the
+    // histogram is a 256-cell mergeable partial per group (map-side
+    // combine on (group, bin)), vs an exact median's full sort /
+    // per-group value buffer. Cum-sum over 256 bins per group is
+    // window work on |groups|×256 rows, never on the fact table.
+    RQ("d17_hist_quantile", Some("""
+      WITH b AS (SELECT l_returnflag AS flag,
+                        least(255, CAST(floor(l_extendedprice / 512)
+                          AS BIGINT)) AS bin,
+                        count(*) AS n
+                 FROM lineitem GROUP BY 1, 2),
+           c AS (SELECT flag, bin, n,
+                        sum(n) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+                        sum(n) OVER (PARTITION BY flag) AS total
+                 FROM b),
+           pick AS (SELECT flag, CAST(max(total) AS BIGINT) AS n_rows,
+                           min(bin) AS mbin
+                    FROM c WHERE cum * 2 >= total GROUP BY flag)
+      SELECT flag, n_rows,
+             CAST((mbin + 0.5) * 512 AS DOUBLE) AS p50_est,
+             CAST(1 AS BIGINT) AS within_bin
+      FROM pick ORDER BY flag"""))((s, dir) => {
+      val b = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          least(lit(255), floor(col("l_extendedprice") / 512)
+            .cast("long")).as("bin"))
+        .groupBy("flag", "bin").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("flag").orderBy("bin")
+      val wg = Window.partitionBy("flag")
+      val pick = b
+        .withColumn("cum", sum("n").over(w))
+        .withColumn("total", sum("n").over(wg))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy("flag").agg(max("total").as("n_rows"),
+          min("bin").as("mbin"))
+      val exact = t(s, dir, "lineitem").groupBy(col("l_returnflag").as("flag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+      pick.join(exact, "flag")
+        .select(col("flag"), col("n_rows"),
+          ((col("mbin") + 0.5) * 512).cast("double").as("p50_est"),
+          when(abs((col("mbin") + 0.5) * 512 - col("p50_exact")) <= 512.0,
+            1L).otherwise(0L).as("within_bin"))
+        .orderBy("flag")
+    }),
+
     // D9 — list-concat agg: flatten(collect_list) (get_ec_information.py:458)
     RQ("d9_flatten_agg", Some("""
       SELECT p_brand,

@@ -1459,6 +1459,150 @@ object TextQueries {
           .outputMode("append").start())
       s.table("j7_quota").select("source", "doc_id")
         .orderBy("source", "doc_id")
+    }),
+
+    // T37 — PII detection + redaction, the scrubbing pass every
+    // training-data pipeline runs before tokenization. The synthetic
+    // corpus carries no PII, so the fixture is synthesized
+    // DETERMINISTICALLY from row fields (identically on both engines):
+    // each doc gains an email, a 555-phone and a 10.x.y.z IP derived
+    // from doc_id/source. The operator under test is the redaction
+    // itself: three portable regexes (same dialect subset accepted by
+    // Java regex and RE2) counted with regexp_extract_all and rewritten
+    // with regexp_replace to typed placeholders, in a fixed
+    // email→phone→ip order so the passes compose deterministically.
+    // Scale shape: pure per-row codegen'd string work — no shuffle at
+    // all until the final presentation sort; at 100 TB this is the
+    // map-only pass it should be.
+    RQ("t37_pii_redaction", Some("""
+      WITH aug AS (SELECT doc_id,
+                          text || ' contact user' || doc_id || '@' ||
+                          source || '.com or call 555-' ||
+                          lpad(CAST((doc_id * 7) % 10000 AS VARCHAR),
+                               4, '0') ||
+                          ' from 10.' || (doc_id % 256) || '.0.' ||
+                          ((doc_id * 3) % 256) AS t2
+                   FROM documents),
+           red AS (SELECT doc_id,
+                          len(regexp_extract_all(t2,
+                            '[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+'))
+                            AS n_email,
+                          len(regexp_extract_all(t2, '555-[0-9][0-9][0-9][0-9]'))
+                            AS n_phone,
+                          len(regexp_extract_all(t2,
+                            '10\.[0-9]+\.[0-9]+\.[0-9]+')) AS n_ip,
+                          regexp_replace(regexp_replace(regexp_replace(t2,
+                            '[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+',
+                            '<EMAIL>', 'g'),
+                            '555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g'),
+                            '10\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')
+                            AS clean
+                   FROM aug)
+      SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+             CAST(n_phone AS BIGINT) AS n_phone,
+             CAST(n_ip AS BIGINT) AS n_ip,
+             md5(clean) AS redacted_md5
+      FROM red ORDER BY doc_id"""))((s, dir) => {
+      val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+      val phoneRe = "555-[0-9][0-9][0-9][0-9]"
+      val ipRe = "10\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@"), col("source"),
+            lit(".com or call 555-"),
+            lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), ((col("doc_id") * 3) % 256).cast("string"))
+            .as("t2"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t2"), lit(emailRe), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("t2"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phone"),
+          size(regexp_extract_all(col("t2"), lit(ipRe), lit(0)))
+            .cast("long").as("n_ip"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t2"),
+            emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+            .cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // T38 — URL canonicalization + dedup, the crawl-frontier /
+    // WARC-level dedup rule: scheme+host lowercased, `www.` stripped,
+    // `utm_*` tracking params removed (both mid-query-string and
+    // trailing, two passes whose composition handles every separator
+    // case), fragments dropped, trailing `/` and bare `?` trimmed —
+    // then documents grouped by canonical URL. Synthetic URLs are
+    // derived deterministically from doc fields on BOTH engines, with
+    // case/tracking/fragment noise that the canonicalizer must
+    // collapse (docs differing only in noise land in one group). The
+    // regex subset is portable (no backreferences — Java `$1` vs RE2
+    // `\1` dialects never enter). Scale shape: per-row codegen'd
+    // string ops + ONE groupBy on the canonical key; the natural
+    // 100 TB partitioning (by canonical URL) falls out of the shuffle.
+    RQ("t38_url_canonical_dedup", Some("""
+      WITH u AS (SELECT doc_id,
+                        'HTTPS://WWW.' || upper(source) || '.com/p/' ||
+                        (doc_id % 7) ||
+                        CASE WHEN doc_id % 3 = 0
+                             THEN '/?utm_source=feed&ref=' || (doc_id % 5)
+                             ELSE '?id=' || (doc_id % 13) ||
+                                  '&utm_campaign=x' END ||
+                        CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END
+                          AS url
+                 FROM documents),
+           s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u1
+                  FROM u),
+           s2 AS (SELECT doc_id,
+                         lower(regexp_extract(u1, '^[a-zA-Z]+://[^/?#]*'))
+                           AS head,
+                         substr(u1,
+                           len(regexp_extract(u1, '^[a-zA-Z]+://[^/?#]*'))
+                             + 1) AS rest
+                  FROM s1),
+           s3 AS (SELECT doc_id,
+                         regexp_replace(head, '://www\.', '://') ||
+                         regexp_replace(regexp_replace(rest,
+                           'utm_[a-z]+=[^&#]*&', '', 'g'),
+                           '[?&]utm_[a-z]+=[^&#]*$', '') AS c0
+                  FROM s2),
+           s4 AS (SELECT doc_id,
+                         regexp_replace(regexp_replace(c0, '[?]$', ''),
+                           '/$', '') AS canon
+                  FROM s3)
+      SELECT canon AS canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM s4 GROUP BY 1 ORDER BY canon_url"""))((s, dir) => {
+      val headRe = "^[a-zA-Z]+://[^/?#]*"
+      val u = docs(s, dir)
+        .select(col("doc_id"),
+          concat(lit("HTTPS://WWW."), upper(col("source")), lit(".com/p/"),
+            (col("doc_id") % 7).cast("string"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("/?utm_source=feed&ref="),
+                (col("doc_id") % 5).cast("string")))
+              .otherwise(concat(lit("?id="),
+                (col("doc_id") % 13).cast("string"),
+                lit("&utm_campaign=x"))),
+            when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
+            .as("url"))
+      val s1 = u.withColumn("u1", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("head", regexp_extract(col("u1"), headRe, 0))
+        .withColumn("rest",
+          col("u1").substr(length(col("head")) + 1, length(col("u1"))))
+      val canon = s1.select(col("doc_id"),
+        concat(
+          regexp_replace(lower(col("head")), "://www\\.", "://"),
+          regexp_replace(regexp_replace(col("rest"),
+            "utm_[a-z]+=[^&#]*&", ""), "[?&]utm_[a-z]+=[^&#]*$", ""))
+          .as("c0"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("c0"), "[?]$", ""), "/$", "")
+            .as("canon"))
+      canon.groupBy(col("canon").as("canon_url"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("canon_url")
     })
   )
 }

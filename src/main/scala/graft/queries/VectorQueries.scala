@@ -493,6 +493,82 @@ object VectorQueries {
         .select("q_id", "n_id", "j", "d2"))
     }),
 
+    // V14 — scalar-quantization (int8) ADC search, the SQ8 counterpart
+    // to the v7/v12 PQ family: per-dimension min/max calibration → each
+    // component encoded to an 8-bit code (round-half-up, EXACT integer
+    // arithmetic on micro-quantized values — no FP division enters the
+    // codes) → asymmetric search ranks corpus codes against a
+    // full-precision query. The whole distance stays in INTEGER space:
+    // both sides scale by 255 (query: q6*255; corpus reconstruction:
+    // mn*255 + code*(mx-mn), exact in micro*255 units), so the per-dim
+    // squared differences are exact BIGINTs and their per-pair sum is
+    // ORDER-FREE — no left-fold contract needed, the result
+    // hash-matches bit-exactly (micro*255 ≈ 1.5e8, squared 2.2e16, ×64
+    // dims ≈ 1.4e18 < 2⁶³). Constant dimensions (mx = mn) encode to 0
+    // and contribute the exact query-to-constant residual. At 100 TB
+    // the codes table IS the index: 64 int8s/row instead of 256 float
+    // bytes, the 64-row calibration broadcast, candidate scoring an
+    // equi-join on dim — and SQ composes with v3's IVF cells the same
+    // way v13 composes PQ.
+    RQ("v14_sq_adc_search", Some("""
+      WITH x AS (SELECT vec_id AS n_id, i AS dim,
+                        CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)
+                          AS q6
+                 FROM embeddings,
+                      unnest(range(1, len(embedding)+1)) AS t(i)),
+           calib AS (SELECT dim, min(q6) AS mn, max(q6) AS mx
+                     FROM x GROUP BY dim),
+           codes AS (SELECT n_id, x.dim,
+                            CASE WHEN mx = mn THEN 0
+                                 ELSE ((q6 - mn) * 510 + (mx - mn))
+                                      // ((mx - mn) * 2) END AS code
+                     FROM x JOIN calib ON x.dim = calib.dim),
+           recon AS (SELECT n_id, codes.dim,
+                            mn * 255 + code * (mx - mn) AS r255
+                     FROM codes JOIN calib ON codes.dim = calib.dim),
+           q AS (SELECT n_id AS q_id, dim, q6 * 255 AS q255 FROM x
+                 WHERE n_id < 8),
+           d AS (SELECT q_id, n_id,
+                        CAST(sum((q255 - r255) * (q255 - r255)) AS BIGINT)
+                          AS d2
+                 FROM q JOIN recon ON q.dim = recon.dim
+                 WHERE n_id <> q_id GROUP BY q_id, n_id),
+           r AS (SELECT q_id, n_id, d2,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY d2, n_id) AS rnk
+                 FROM d)
+      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, d2
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))((s, dir) => {
+      val x = emb(s, dir)
+        .select(col("vec_id").as("n_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("n_id"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("v").cast("double") * 1000000).cast("long").as("q6"))
+      val calib = x.groupBy("dim")
+        .agg(min("q6").as("mn"), max("q6").as("mx"))
+      val recon = x.join(broadcast(calib), "dim")
+        .withColumn("code",
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(expr("((q6 - mn) * 510 + (mx - mn)) div ((mx - mn) * 2)")))
+        .select(col("n_id"), col("dim"),
+          (col("mn") * 255 + col("code") * (col("mx") - col("mn")))
+            .as("r255"))
+      val q = x.filter(col("n_id") < 8)
+        .select(col("n_id").as("q_id"), col("dim"),
+          (col("q6") * 255).as("q255"))
+      val d = recon.join(broadcast(q), "dim")
+        .filter(col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum((col("q255") - col("r255")) * (col("q255") - col("r255")))
+          .as("d2"))
+      d.withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("d2"), col("n_id")))
+          .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "n_id", "rnk", "d2")
+        .orderBy("q_id", "rnk")
+    }),
+
     // V9 — multiprobe IVF ANN: like v3, but the query searches its TWO
     // nearest cells (nprobe=2) instead of only its own — the standard
     // recall lever when a query lands near a cell boundary. Corpus

@@ -332,6 +332,81 @@ object GraphAnalytics {
     }
   }
 
+  /** x8's peel constants, interpolated into the SQL oracle (same
+    * can't-silently-diverge discipline as CoBindCap).
+    */
+  val KCoreK = 2
+  val KCoreRounds = 6
+
+  /** X8 — bounded-round k-core peel on the top-k co-binding graph:
+    * `rounds` SYNCHRONOUS peel sweeps toward the k-core. Each sweep
+    * removes every vertex whose current degree is < k — all removals
+    * decided against the same start-of-round snapshot — then drops the
+    * incident edges. Output: every vertex with the 1-based round it was
+    * peeled, or -1 if it survives all rounds (with its end-state degree;
+    * peeled vertices report 0). Synchronous bounded sweeps are both what
+    * makes the answer oracle-checkable (the SQL mirror unrolls the same
+    * rounds — sequential-vertex peeling would be order-dependent) and
+    * how a distributed peel actually runs: each round is one degree
+    * aggregation plus a membership semi-join, no per-vertex ordering.
+    */
+  def kcorePeel(s: SparkSession, dir: String, k: Int = KCoreK,
+                knn: Int = 3, rounds: Int = KCoreRounds): DataFrame = {
+    val nodes = coBindingPairs(s, dir).select(col("sk")).distinct()
+    kcorePeelOn(nodes, topKCanonEdges(s, dir, knn), k, rounds)
+      .orderBy("suppkey")
+  }
+
+  /** The fixed-round kernel behind kcorePeel — separated (like
+    * pagerankIntOn / labelPropagationOn) so a hand-computed graph can pin
+    * the peel semantics. Vertex tables here are dimension-sized, so the
+    * per-round degree table and survivor set broadcast (map-side probe of
+    * the edge table); the only shuffle per round is the degree
+    * aggregation. A fact-sized vertex set is the other regime — run the
+    * same sweep with shuffle joins (drop the broadcast hints), the round
+    * structure is unchanged.
+    *
+    * Lineage hygiene: each round's vertex and edge tables are eagerly
+    * [[graft.operators.Checkpoints.truncate]]d (the DataFrameCC loop
+    * discipline, NOT the pagerank persist-only one) because a round
+    * references the previous round's plan THREE times (the edge table
+    * plus both survivor semi-join sides) — lazy caches leave a 3^rounds
+    * logical tree for the analyzer to clone, which is an OOM at analysis
+    * time before a single row moves.
+    */
+  private[graft] def kcorePeelOn(nodesDf: DataFrame, canonEdges: DataFrame,
+                                 k: Int, rounds: Int): DataFrame = {
+    import graft.operators.Checkpoints.truncate
+    var edges = truncate(canonEdges
+      .select(col("ea").as("src"), col("eb").as("dst"))
+      .unionByName(canonEdges.select(col("eb").as("src"), col("ea").as("dst"))))
+    var vs = nodesDf.select(col("sk"))
+    val removed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to rounds).foreach { r =>
+      val deg = edges.groupBy(col("src").as("sk")).agg(count(lit(1)).as("d"))
+      // left join: a vertex with no surviving incident edge has degree 0
+      // and must still be peel-eligible this round
+      val vd = truncate(vs.join(broadcast(deg), Seq("sk"), "left")
+        .select(col("sk"), coalesce(col("d"), lit(0L)).as("d")))
+      removed += vd.filter(col("d") < k)
+        .select(col("sk"), lit(r.toLong).as("peel_round"))
+      vs = vd.filter(col("d") >= k).select("sk")
+      val vSrc = broadcast(vs.select(col("sk").as("vsk_s")))
+      val vDst = broadcast(vs.select(col("sk").as("vsk_d")))
+      edges = truncate(edges
+        .join(vSrc, col("src") === col("vsk_s"), "left_semi")
+        .join(vDst, col("dst") === col("vsk_d"), "left_semi"))
+    }
+    val fdeg = edges.groupBy(col("src").as("sk")).agg(count(lit(1)).as("fd"))
+    val surv = vs.join(broadcast(fdeg), Seq("sk"), "left")
+      .select(col("sk"), lit(-1L).as("peel_round"),
+        coalesce(col("fd"), lit(0L)).as("core_deg"))
+    val rem = removed.reduce(_ unionByName _)
+      .withColumn("core_deg", lit(0L))
+    rem.unionByName(surv).select(col("sk").as("suppkey"),
+      col("peel_round"), col("core_deg"))
+  }
+
   /** Per-vertex GraphX triangle counts. `verticesDf` is one `id:long`
     * column; `edgesDf` is canonical (`ea < eb`) distinct `long` pairs —
     * canonical + distinct is what makes TriangleCount's answer exact.

@@ -177,6 +177,52 @@ object GraphQueryDefs {
       $sweeps
       SELECT sk AS suppkey, CAST(lab AS BIGINT) AS community
       FROM lp3 ORDER BY suppkey"""
-    })((s, dir) => GraphAnalytics.labelPropagation(s, dir))
+    })((s, dir) => GraphAnalytics.labelPropagation(s, dir)),
+
+    // X8 — bounded-round k-core peel (k = 2, 6 synchronous sweeps) on
+    // the same top-3 kNN graph: each sweep removes every vertex whose
+    // start-of-round degree is < k plus its incident edges — the
+    // coreness ladder that community/quality pipelines use to strip
+    // tendrils before clustering. Synchronous fixed-round sweeps are
+    // the oracle-checkable form (a sequential peel is vertex-order-
+    // dependent; recursive-CTE aggregation is illegal anyway) and the
+    // distributed form: one degree aggregation + membership semi-join
+    // per round (GraphAnalytics.kcorePeelOn). The constants interpolate
+    // from GraphAnalytics so the engines cannot silently diverge.
+    RQ("x8_kcore_peel", Some {
+      val k = GraphAnalytics.KCoreK
+      val rounds = GraphAnalytics.KCoreRounds
+      // every per-round CTE is referenced by the NEXT round more than
+      // once — inlined (DuckDB's default) that's a 3^rounds expansion of
+      // the co-bind subtree, the SQL twin of the analyzer blowup
+      // kcorePeelOn truncates away; MATERIALIZED caps each round at one
+      // evaluation
+      val sweeps = (1 to rounds).map { r =>
+        s"""deg$r AS (SELECT src, count(*) AS d FROM ed$r GROUP BY 1),
+           vd$r AS MATERIALIZED (SELECT v.sk, coalesce(g.d, 0) AS d
+                    FROM v$r v LEFT JOIN deg$r g ON g.src = v.sk),
+           rm$r AS (SELECT sk FROM vd$r WHERE d < $k),
+           v${r + 1} AS MATERIALIZED (SELECT sk FROM vd$r WHERE d >= $k),
+           ed${r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM ed$r e
+                          JOIN v${r + 1} a ON a.sk = e.src
+                          JOIN v${r + 1} b ON b.sk = e.dst)"""
+      }.mkString(",\n")
+      val removedUnion = (1 to rounds).map(r =>
+        s"SELECT sk, $r AS peel_round FROM rm$r").mkString("\n UNION ALL ")
+      s"""
+      WITH $top3CanonSqlCtes,
+      v1 AS (SELECT sk FROM nodes),
+      ed1 AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+              UNION ALL SELECT b, a FROM e),
+      $sweeps,
+      res AS ($removedUnion
+              UNION ALL SELECT sk, -1 FROM v${rounds + 1}),
+      fdeg AS (SELECT src AS sk, count(*) AS d FROM ed${rounds + 1}
+               GROUP BY 1)
+      SELECT r.sk AS suppkey, CAST(r.peel_round AS BIGINT) AS peel_round,
+             CAST(CASE WHEN r.peel_round = -1 THEN coalesce(f.d, 0)
+                       ELSE 0 END AS BIGINT) AS core_deg
+      FROM res r LEFT JOIN fdeg f ON f.sk = r.sk ORDER BY suppkey"""
+    })((s, dir) => GraphAnalytics.kcorePeel(s, dir))
   )
 }

@@ -620,6 +620,45 @@ object TextQueries {
         .canonicalize(nearDupPairs(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // T39 — dedup RETENTION POLICY: per near-dup cluster keep the best
+    // document by a stated criterion (here: most tokens, ties to the
+    // lowest doc_id), not t9/t13's min-id canonical — the production rule
+    // when near-dups differ in completeness (truncated crawls, partial
+    // re-scrapes) and the pipeline should retain the fullest copy.
+    // Scale shape: the cluster-membership table is ≪ corpus (only docs
+    // with a near-dup), the per-doc stat joins onto it (never the other
+    // way), and both windows share one partitioning by cluster — one
+    // shuffle, partitions bounded by cluster size.
+    RQ("t39_dedup_retention", Some(s"""
+      WITH RECURSIVE
+           ws AS (SELECT doc_id, str_split(text,' ') AS w FROM documents),
+           ${lshDedupSqlCtes("ws")},
+           m AS (SELECT c.canonical, c.node, len(ws.w) AS wc
+                 FROM canon c JOIN ws ON ws.doc_id = c.node),
+           r AS (SELECT canonical, node, wc,
+                        row_number() OVER (PARTITION BY canonical
+                          ORDER BY wc DESC, node) AS rn,
+                        count(*) OVER (PARTITION BY canonical) AS n
+                 FROM m)
+      SELECT CAST(canonical AS BIGINT) AS canonical, node AS kept_doc,
+             CAST(wc AS BIGINT) AS kept_tokens, CAST(n AS BIGINT) AS n_docs
+      FROM r WHERE rn = 1 ORDER BY canonical"""))((s, dir) => {
+      val d = docs(s, dir)
+      val canon = graft.operators.MinHashDedup.canonicalize(nearDupPairs(d))
+      val wc = d.select(col("doc_id"),
+        size(split(col("text"), " ")).as("wc"))
+      val byCluster = Window.partitionBy("canonical")
+      canon.join(wc, "doc_id")
+        .withColumn("rn", row_number().over(
+          byCluster.orderBy(col("wc").desc, col("doc_id"))))
+        .withColumn("n_docs", count(lit(1)).over(byCluster))
+        .filter(col("rn") === 1)
+        .select(col("canonical").cast("long").as("canonical"),
+          col("doc_id").as("kept_doc"),
+          col("wc").cast("long").as("kept_tokens"), col("n_docs"))
+        .orderBy("canonical")
+    }),
+
     // T31 — containment near-dup (Broder's C(A,B) = |A∩B|/|A|): the
     // asymmetric measure that catches a short document quoted whole
     // inside a longer one (C = 1 while Jaccard → 0 — invisible to t6).

@@ -201,8 +201,11 @@ object VectorQueries {
         "slice(qv, j*16+1, 16)", "slice(cv, j*16+1, 16)")))
       .select("q_id", "j", "cid", "d2")
 
-  /** Fixed-order ADC sum + per-query top-3 over `per(q_id, n_id, j, d2)`. */
-  private def adcRank(per: DataFrame): DataFrame =
+  /** Fixed-order ADC sum + per-query top-k over `per(q_id, n_id, j, d2)`
+    * (k = 3, the family's emitted depth; v16 widens to 10 for its
+    * refine stage).
+    */
+  private def adcRank(per: DataFrame, k: Int = 3): DataFrame =
     per.groupBy("q_id", "n_id")
       .agg(max(when(col("j") === 0, col("d2"))).as("d0"),
         max(when(col("j") === 1, col("d2"))).as("d1"),
@@ -213,7 +216,7 @@ object VectorQueries {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("adc"), col("n_id")))
         .cast("long"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select("q_id", "n_id", "rnk", "adc")
       .orderBy("q_id", "rnk")
 
@@ -235,6 +238,58 @@ object VectorQueries {
       val e = emb(s, dir)
       graft.operators.Ann
         .bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // V15 — Matryoshka (truncated-prefix) two-stage retrieval: rank ALL
+    // candidates by cosine over the first 16 of 64 dims (4× less work
+    // per distance — MRL-trained embeddings carry the coarse geometry in
+    // the prefix; Kusupati et al. 2022), keep the top-10 per query, then
+    // re-rank those few survivors by exact full-dim cosine for the final
+    // top-3. At 100 TB the stage-1 scan is the whole cost: it reads a
+    // quarter of the vector bytes (a 16-dim prefix column can even be
+    // materialized/pruned separately at the parquet scan), and stage-2
+    // touches 10 rows/query — the pruning composes unchanged with
+    // v2/v3's bucketed candidate generation. Both stages are the same
+    // exact left-fold contract as cosSql, on slices like v7's PQ
+    // subvectors, so values hash-compare bit-identically.
+    RQ("v15_matryoshka_rerank", Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 10),
+           n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+           p AS (SELECT q_id, n_id, qv, nv,
+                        ${cosSql("qv[1:16]", "nv[1:16]")} AS cos16
+                 FROM q, n WHERE n_id <> q_id),
+           s1 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos16 DESC, n_id) AS r16
+                  FROM p WHERE cos16 IS NOT NULL),
+           s2 AS (SELECT q_id, n_id, ${cosSql("qv", "nv")} AS cos
+                  FROM s1 WHERE r16 <= 10),
+           r AS (SELECT q_id, n_id, cos,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, n_id) AS rnk
+                 FROM s2 WHERE cos IS NOT NULL)
+      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      val stage1 = n.crossJoin(broadcast(q))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos16",
+          cosine(slice(col("qv"), 1, 16), slice(col("nv"), 1, 16)))
+        .filter(col("cos16").isNotNull)
+        .withColumn("r16", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cos16").desc, col("n_id"))))
+        .filter(col("r16") <= 10)
+      stage1
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .filter(col("cos").isNotNull)
+        .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("n_id"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "n_id", "rnk", "cos")
         .orderBy("q_id", "rnk")
     }),
 
@@ -491,6 +546,83 @@ object VectorQueries {
       adcRank(cand.join(pqCodes(e), "n_id")
         .join(broadcast(adcTable(e)), Seq("q_id", "j", "cid"))
         .select("q_id", "n_id", "j", "d2"))
+    }),
+
+    // V16 — IVF-PQ with EXACT RE-RANKING, the refine step that closes
+    // the quantized-search family: v13's compressed-domain ADC ranking
+    // keeps a top-10 shortlist per query, then the TRUE L2² against the
+    // full-precision vectors of just those 10 re-ranks the final top-3.
+    // This is the production accuracy/cost contract (FAISS's
+    // refine/IndexRefineFlat layer): the corpus scan stays in the
+    // 4-byte-code domain; full 256-byte vectors are fetched for only
+    // k'·|queries| rows — at 100 TB the refine join is a point-lookup
+    // pattern against the (id-partitioned) vector store, never a scan.
+    // The exact distance is the l2sqExpr/l2sqSql left-fold contract on
+    // whole vectors (v8's), so values hash-compare bit-identically.
+    RQ("v16_ivfpq_rerank", Some(s"""
+      WITH cells AS (SELECT vec_id AS cell_id, embedding AS cellv
+                     FROM embeddings WHERE vec_id < 8),
+           asg AS (SELECT n_id, cell_id FROM (
+             SELECT n.vec_id AS n_id, cells.cell_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${cosSql("n.embedding", "cells.cellv")} DESC,
+                               cells.cell_id) AS rn
+             FROM embeddings n, cells) WHERE rn = 1),
+           $pqCodesSqlCtes,
+           $adcDtabSqlCtes,
+           qa AS (SELECT q.q_id, a.cell_id FROM q
+                  JOIN asg a ON a.n_id = q.q_id),
+           cand AS (SELECT qa.q_id, a.n_id FROM qa
+                    JOIN asg a ON a.cell_id = qa.cell_id
+                    WHERE a.n_id <> qa.q_id),
+           per AS (SELECT cand.q_id, cand.n_id, codes.j, dtab.d2
+                   FROM cand JOIN codes ON codes.n_id = cand.n_id
+                   JOIN dtab ON dtab.q_id = cand.q_id
+                     AND dtab.j = codes.j AND dtab.cid = codes.cid),
+           acc AS (SELECT q_id, n_id,
+                          max(CASE WHEN j = 0 THEN d2 END) AS d0,
+                          max(CASE WHEN j = 1 THEN d2 END) AS d1,
+                          max(CASE WHEN j = 2 THEN d2 END) AS d2_,
+                          max(CASE WHEN j = 3 THEN d2 END) AS d3
+                   FROM per GROUP BY 1, 2),
+           c10 AS (SELECT q_id, n_id FROM (
+                     SELECT q_id, n_id, row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY ((d0 + d1) + d2_) + d3, n_id) AS r10
+                     FROM acc) WHERE r10 <= 10),
+           ex AS (SELECT c.q_id, c.n_id,
+                         ${l2sqSql("q.qv", "n.embedding")} AS d2x
+                  FROM c10 c JOIN q ON q.q_id = c.q_id
+                  JOIN embeddings n ON n.vec_id = c.n_id),
+           r AS (SELECT q_id, n_id, d2x, row_number() OVER (
+                   PARTITION BY q_id ORDER BY d2x, n_id) AS rnk FROM ex)
+      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, d2x AS d2
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))((s, dir) => {
+      val e = emb(s, dir)
+      val asg = ivfAssign(
+          e.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+          ivfCents(e))
+        .select("n_id", "c_id")
+      val qa = adcQueries(e)
+        .join(asg.withColumnRenamed("n_id", "q_id"), "q_id")
+        .select("q_id", "c_id")
+      val cand = qa.join(asg, "c_id")
+        .filter(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id")
+      val shortlist = adcRank(cand.join(pqCodes(e), "n_id")
+        .join(broadcast(adcTable(e)), Seq("q_id", "j", "cid"))
+        .select("q_id", "n_id", "j", "d2"), k = 10)
+        .select("q_id", "n_id")
+      shortlist
+        .join(broadcast(adcQueries(e)), "q_id")
+        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+          "n_id")
+        .withColumn("d2x", expr(l2sqExpr("qv", "nv")))
+        .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("d2x"), col("n_id"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("d2x").as("d2"))
+        .orderBy("q_id", "rnk")
     }),
 
     // V14 — scalar-quantization (int8) ADC search, the SQ8 counterpart

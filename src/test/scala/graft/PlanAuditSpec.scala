@@ -203,6 +203,10 @@ class PlanAuditSpec extends SparkSpec {
       // corpus side BEFORE the cross)
       "v11_filtered_ann" -> "broadcast query-set × filtered corpus",
       "v5_ann_recall" -> "brute-force truth side of the recall gate",
+      // stage-1 of the Matryoshka rerank is v1's sanctioned baseline
+      // shape (broadcast query set × corpus) on prefix slices; stage-2
+      // touches 10 rows/query
+      "v15_matryoshka_rerank" -> "broadcast query-set × corpus (prefix)",
       // 256-codeword PQ codebook broadcast per subspace
       "v7_pq_codes" -> "broadcast codebook assignment",
       // the same broadcast codebook cross twice: corpus-side code
@@ -211,6 +215,8 @@ class PlanAuditSpec extends SparkSpec {
       // IVF-PQ composes both sanctioned crosses: cell-centroid probe
       // (v3's) + PQ codebook assignment/distance table (v12's)
       "v13_ivfpq_search" -> "broadcast cell probe + codebook + ADC table",
+      // v16 = v13's sanctioned crosses + an equi-join refine stage
+      "v16_ivfpq_rerank" -> "broadcast cell probe + codebook + ADC table",
       // partial-EC PREFIX match (startswith) against the EC hierarchy
       // dimension — non-equi by semantics, broadcast side is the dim
       "c9_prefix_expand" -> "broadcast EC-dim prefix join")

@@ -266,6 +266,40 @@ class SketchSamplingSpec extends SparkSpec {
     }
   }
 
+  describe("x8 k-core peel kernel") {
+    it("peels the hand graph round by round and reports core degrees") {
+      import spark.implicits._
+      // triangle {1,2,3} + tail 3-4-5 + pair 6-7 + isolated 8; k=2:
+      //   round 1 degrees: 5,6,7 have deg 1 and 8 has deg 0 -> peeled
+      //   round 2: 4 lost its only deep link (4-5) -> deg 1 -> peeled
+      //   round 3: triangle all deg 2 -> stable; survivors core_deg 2
+      val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).toDF("sk")
+      val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (6L, 7L)).toDF("ea", "eb")
+      val got = graft.graph.GraphAnalytics
+        .kcorePeelOn(nodes, edges, k = 2, rounds = 3)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === Map(
+        1L -> ((-1L, 2L)), 2L -> ((-1L, 2L)), 3L -> ((-1L, 2L)),
+        4L -> ((2L, 0L)), 5L -> ((1L, 0L)), 6L -> ((1L, 0L)),
+        7L -> ((1L, 0L)), 8L -> ((1L, 0L))))
+    }
+    it("removals within a round are synchronous (snapshot degrees)") {
+      import spark.implicits._
+      // path 1-2-3-4: endpoints peel in round 1; 2 and 3 still see
+      // degree 2 THAT round (snapshot), so they peel only in round 2 —
+      // a sequential peel could take them in round 1
+      val nodes = Seq(1L, 2L, 3L, 4L).toDF("sk")
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("ea", "eb")
+      val got = graft.graph.GraphAnalytics
+        .kcorePeelOn(nodes, edges, k = 2, rounds = 3)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> r._2).toMap
+      assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    }
+  }
+
   describe("co-binding pair fanout cap") {
     // sf0.01, not the suite default: raw suppliers-per-part there is
     // 13-41, so the cap genuinely binds — at sf0.001 (8-10 per part) the

@@ -341,6 +341,62 @@ object MultimodalQueries {
         (id, dw, dh, hash, pop.toLong)
       }).toDF("media_id", "width", "height", "ahash", "n_set")
         .orderBy("media_id")
+    }),
+
+    // M10 — raster statistics over the REAL codec tier: encode PNG from
+    // table bytes, decode it back (javax.imageio, per-partition), and
+    // compute brightness features — pixel count, sum, min, max, mean —
+    // from the RECOVERED raster, never the source bytes. The features a
+    // vision-pretraining filter keys on (all-black/all-white frames,
+    // low-dynamic-range thumbnails) computed where they must be at
+    // 100 TB: inside the decode kernel, one pass over each raster, no
+    // second materialization of pixel arrays into the plan. Lossless
+    // PNG is what lets the codec-less oracle pin every value from the
+    // source prefix (same contract as m6's pix_md5; all-ASCII corpus,
+    // so ascii(char) == byte). The mean is ONE division of two exact
+    // integers — bit-identical across engines.
+    RQ("m10_raster_stats", Some("""
+      WITH px AS (SELECT doc_id,
+                         CAST((4 + doc_id % 13) * (4 + doc_id % 7) AS INT)
+                           AS n,
+                         text FROM documents
+                  WHERE doc_id % 2 = 0
+                    AND octet_length(encode(text)) >=
+                        (4 + doc_id % 13) * (4 + doc_id % 7)),
+           v AS (SELECT doc_id, n,
+                        list_transform(range(1, n + 1),
+                          i -> ascii(substr(text, CAST(i AS INT), 1))) AS b
+                 FROM px)
+      SELECT doc_id AS media_id,
+             CAST(n AS BIGINT) AS n_px,
+             CAST(list_sum(b) AS BIGINT) AS sum_px,
+             CAST(list_min(b) AS BIGINT) AS min_px,
+             CAST(list_max(b) AS BIGINT) AS max_px,
+             CAST(list_sum(b) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_px
+      FROM v ORDER BY media_id"""))((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.ImageCodec
+      val src = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("data"),
+          (lit(4) + col("doc_id") % 13).cast("int").as("w"),
+          (lit(4) + col("doc_id") % 7).cast("int").as("h"))
+        .filter(octet_length(col("data")) >= col("w") * col("h"))
+        .as[(Long, Array[Byte], Int, Int)]
+      src.mapPartitions(_.map { case (id, data, w, h) =>
+        val png = ImageCodec.encodePng(data, w, h)
+        val (dw, dh, pix) = ImageCodec.decodePixelsPng(png).getOrElse(
+          sys.error(s"undecodable PNG for media $id"))
+        val n = dw * dh
+        var sum = 0L; var mn = 255; var mx = 0
+        pix.foreach { p =>
+          val v = p & 0xff
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        }
+        (id, n.toLong, sum, mn.toLong, mx.toLong,
+          sum.toDouble / n.toDouble)
+      }).toDF("media_id", "n_px", "sum_px", "min_px", "max_px", "mean_px")
+        .orderBy("media_id")
     })
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -698,6 +698,64 @@ object VectorQueries {
           .cast("long"))
         .filter(col("rnk") <= 3)
         .select("q_id", "n_id", "rnk", "d2")
+        .orderBy("q_id", "rnk")
+    }),
+
+    // V17 — binary (sign) quantization + Hamming search: the 1-bit tier
+    // of the quantization family (PQ = v7/v12, SQ8 = v14, signs = this).
+    // Each 64-dim vector compresses to TWO 32-bit sign words (MSB-first
+    // fold per half — 64 set bits cannot overflow a signed BIGINT this
+    // way); search is popcount(xor) over the words, ranked per query
+    // with the family's (distance, n_id) tiebreak. At 100 TB the scan
+    // reads 16 bytes/row instead of 256 — the cheapest index tier that
+    // still correlates with cosine for zero-centered embeddings — and
+    // xor+popcount stays inside whole-stage codegen (bit_count is a
+    // built-in on both engines; the codes are integer-exact, so the
+    // result hash-compares with no float contract at all).
+    RQ("v17_binary_sign_search", Some(s"""
+      WITH w AS (SELECT vec_id,
+                        ${(0 to 1).map(h => s"""
+                          list_sum(list_transform(
+                            list_zip(embedding[${h * 32 + 1}:${h * 32 + 32}],
+                                     range(1, 33)),
+                            x -> CASE WHEN x[1] >= 0
+                                 THEN (1::BIGINT << CAST(32 - x[2] AS INT))
+                                 ELSE 0 END)) AS w$h""").mkString(", ")}
+                 FROM embeddings),
+           q AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM w
+                 WHERE vec_id < 10),
+           h AS (SELECT q.q_id, n.vec_id AS n_id,
+                        bit_count(xor(q.q0, n.w0)) +
+                        bit_count(xor(q.q1, n.w1)) AS hamm
+                 FROM q, w n WHERE n.vec_id <> q.q_id),
+           r AS (SELECT q_id, n_id, hamm,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY hamm, n_id) AS rnk
+                 FROM h)
+      SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk,
+             CAST(hamm AS BIGINT) AS hamm
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))((s, dir) => {
+      val e = emb(s, dir)
+      def word(h: Int): Column = expr(s"""aggregate(
+        zip_with(slice(embedding, ${h * 32 + 1}, 32), sequence(1, 32),
+          (x, i) -> CASE WHEN x >= CAST(0 AS FLOAT)
+                    THEN shiftleft(CAST(1 AS BIGINT), 32 - i)
+                    ELSE CAST(0 AS BIGINT) END),
+        CAST(0 AS BIGINT), (acc, v) -> acc + v)""")
+      val w = e.select(col("vec_id"), word(0).as("w0"), word(1).as("w1"))
+      val q = w.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          col("w0").as("q0"), col("w1").as("q1"))
+      w.select(col("vec_id").as("n_id"), col("w0"), col("w1"))
+        .crossJoin(broadcast(q))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("hamm",
+          (bit_count(col("q0").bitwiseXOR(col("w0"))) +
+            bit_count(col("q1").bitwiseXOR(col("w1")))).cast("long"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("hamm"), col("n_id"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "n_id", "rnk", "hamm")
         .orderBy("q_id", "rnk")
     }),
 

@@ -207,6 +207,9 @@ class PlanAuditSpec extends SparkSpec {
       // shape (broadcast query set × corpus) on prefix slices; stage-2
       // touches 10 rows/query
       "v15_matryoshka_rerank" -> "broadcast query-set × corpus (prefix)",
+      // the baseline shape over 16-byte sign codes — the corpus side is
+      // two BIGINT words/row, the cheapest scan in the family
+      "v17_binary_sign_search" -> "broadcast query-set × sign codes",
       // 256-codeword PQ codebook broadcast per subspace
       "v7_pq_codes" -> "broadcast codebook assignment",
       // the same broadcast codebook cross twice: corpus-side code

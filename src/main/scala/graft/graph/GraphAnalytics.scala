@@ -428,6 +428,41 @@ object GraphAnalytics {
     * number of distinct suppliers (domains) binding it, computed from
     * GraphX degrees on the bipartite contact graph.
     */
+  /** Neighborhood Jaccard similarity over the top-k co-binding graph:
+    * for every supplier pair sharing at least one common neighbor,
+    * |N(a)∩N(b)| / |N(a)∪N(b)| on open neighborhoods. The classic
+    * link-prediction / structural-role score — two domains whose
+    * co-binding partner sets coincide are functional near-duplicates
+    * even when they never co-bind directly (the direct edge is exactly
+    * what this catches that x3's triangles don't isolate per pair).
+    *
+    * Scale shape: candidates come from the wedge join on the shared
+    * neighbor (Σ deg² on the kNN-sparsified graph, ≤ k²·|V| — never
+    * node×node), common-neighbor counts are one partial-aggregable
+    * groupBy over the wedges, and the degree join is dimension-sized.
+    * The ratio is ONE division of exact longs — bit-identical.
+    */
+  def neighborhoodJaccard(s: SparkSession, dir: String,
+                          knn: Int = 3): DataFrame = {
+    val e = topKCanonEdges(s, dir, knn)
+    val ed = e.select(col("ea").as("a"), col("eb").as("b"))
+      .union(e.select(col("eb").as("a"), col("ea").as("b")))
+    val deg = ed.groupBy("a").agg(count(lit(1)).as("n"))
+    val wedge = ed.as("e1")
+      .join(ed.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .groupBy(col("e1.b").as("x"), col("e2.b").as("y"))
+      .agg(count(lit(1)).as("i"))
+    wedge
+      .join(deg.select(col("a").as("x"), col("n").as("nx")), "x")
+      .join(deg.select(col("a").as("y"), col("n").as("ny")), "y")
+      .select(col("x").as("sa"), col("y").as("sb"),
+        col("i").as("n_shared"),
+        (col("i").cast("double") /
+          (col("nx") + col("ny") - col("i")).cast("double")).as("jacc"))
+      .orderBy("sa", "sb")
+  }
+
   def ligandPromiscuity(s: SparkSession, dir: String): DataFrame = {
     val pairs = coBindingPairs(s, dir)
     // bipartite ids: parts in positive space, suppliers offset negative

@@ -69,7 +69,16 @@ object AudioCodec {
     * whole decode is exception-fenced to keep the Option contract
     * (ADVICE r9; mirrors ImageCodec.decode's null-handling).
     */
-  def decodeWav(payload: Array[Byte]): Option[DecodedAudio] = {
+  def decodeWav(payload: Array[Byte]): Option[DecodedAudio] =
+    decodeWavPcm(payload).map(_._1)
+
+  /** Decode a WAV payload AND hand back the recovered PCM frame bytes —
+    * the form signal-level feature extraction (m11's zero-crossing /
+    * energy stats) consumes. Same exception fence + Option contract as
+    * [[decodeWav]], which is this with the samples dropped.
+    */
+  def decodeWavPcm(
+      payload: Array[Byte]): Option[(DecodedAudio, Array[Byte])] = {
     val mime = sniffMime(payload)
     if (mime != "audio/wav") None
     else scala.util.Try {
@@ -88,8 +97,9 @@ object AudioCodec {
         }
         require(off == bytes.length,
           s"WAV data chunk truncated: read $off of ${bytes.length} B")
-        DecodedAudio(mime, fmt.getSampleRate.toInt, fmt.getChannels,
-          fmt.getSampleSizeInBits, nFrames, ImageCodec.hexMd5(bytes))
+        (DecodedAudio(mime, fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, nFrames, ImageCodec.hexMd5(bytes)),
+          bytes)
       } finally ais.close()
     }.toOption
   }

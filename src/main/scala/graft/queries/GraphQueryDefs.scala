@@ -223,6 +223,28 @@ object GraphQueryDefs {
              CAST(CASE WHEN r.peel_round = -1 THEN coalesce(f.d, 0)
                        ELSE 0 END AS BIGINT) AS core_deg
       FROM res r LEFT JOIN fdeg f ON f.sk = r.sk ORDER BY suppkey"""
-    })((s, dir) => GraphAnalytics.kcorePeel(s, dir))
+    })((s, dir) => GraphAnalytics.kcorePeel(s, dir)),
+
+    // X9 — neighborhood Jaccard (link prediction / structural near-dup):
+    // for every supplier pair with ≥1 common neighbor on the SAME top-3
+    // co-binding graph as x3/x4/x8 (topKCanonEdges is the single edge
+    // definition), the Jaccard of their open neighbor sets. Candidates
+    // from the wedge join on the shared neighbor — Σ deg² on the
+    // kNN-sparsified graph, never node×node (GraphAnalytics
+    // .neighborhoodJaccard has the scale argument). One exact-long
+    // division per pair — bit-identical across engines.
+    RQ("x9_neighborhood_jaccard", Some(s"""
+      WITH $top3CanonSqlCtes,
+           ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           deg AS (SELECT a, count(*) AS n FROM ed GROUP BY 1),
+           wedge AS (SELECT e1.b AS x, e2.b AS y, count(*) AS i
+                     FROM ed e1 JOIN ed e2
+                       ON e1.a = e2.a AND e1.b < e2.b
+                     GROUP BY 1, 2)
+      SELECT x AS sa, y AS sb, CAST(i AS BIGINT) AS n_shared,
+             CAST(i AS DOUBLE) / CAST(dx.n + dy.n - i AS DOUBLE) AS jacc
+      FROM wedge JOIN deg dx ON dx.a = x JOIN deg dy ON dy.a = y
+      ORDER BY sa, sb"""))((s, dir) =>
+      GraphAnalytics.neighborhoodJaccard(s, dir))
   )
 }

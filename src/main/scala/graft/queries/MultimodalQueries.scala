@@ -397,6 +397,72 @@ object MultimodalQueries {
           sum.toDouble / n.toDouble)
       }).toDF("media_id", "n_px", "sum_px", "min_px", "max_px", "mean_px")
         .orderBy("media_id")
+    }),
+
+    // M11 — signal-level audio features over the REAL codec tier: encode
+    // a WAV (same container contract as m8 — first ≤200 bytes as 8-bit
+    // unsigned mono PCM at a per-asset rate), decode it back through
+    // javax.sound, and compute the features speech/music data curation
+    // filters on — zero-crossing count (the voiced/unvoiced + silence
+    // heuristic), signal energy Σ(v−128)², and peak amplitude — from the
+    // RECOVERED PCM, never the source bytes (AudioCodec.decodeWavPcm).
+    // All integer-exact; mean_energy is ONE division of two exact longs.
+    // PCM being lossless is what lets the codec-less oracle pin every
+    // value from the ascii codes of the source prefix (m8's contract).
+    RQ("m11_audio_features", Some("""
+      WITH px AS (SELECT doc_id,
+                         CAST(least(octet_length(encode(text)), 200)
+                              AS INT) AS n,
+                         text FROM documents
+                  WHERE octet_length(encode(text)) >= 1),
+           v AS (SELECT doc_id, n,
+                        list_transform(range(1, n + 1),
+                          i -> ascii(substr(text, CAST(i AS INT), 1))) AS b
+                 FROM px)
+      SELECT doc_id AS media_id,
+             CAST(n AS BIGINT) AS n_frames,
+             CAST(len(list_filter(range(2, n + 1),
+                    i -> (b[i-1] < 128) <> (b[i] < 128))) AS BIGINT)
+               AS zero_crossings,
+             CAST(list_sum(list_transform(b, x -> (x-128)*(x-128)))
+                  AS BIGINT) AS energy,
+             CAST(list_max(list_transform(b, x -> abs(x-128))) AS BIGINT)
+               AS peak,
+             CAST(list_sum(list_transform(b, x -> (x-128)*(x-128)))
+                  AS DOUBLE) / CAST(n AS DOUBLE) AS mean_energy
+      FROM v ORDER BY media_id"""))((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.AudioCodec
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          col("text").cast("binary").as("data"),
+          (lit(8000) + (col("doc_id") % 5) * 1000).cast("int").as("rate"))
+        .filter(octet_length(col("data")) >= 1)
+        .as[(Long, Array[Byte], Int)]
+      src.mapPartitions(_.map { case (id, data, rate) =>
+        val n = math.min(data.length, 200)
+        val wav = AudioCodec.encodeWav(data, n, rate)
+        val (_, pcm) = AudioCodec.decodeWavPcm(wav).getOrElse(
+          sys.error(s"undecodable WAV for media $id"))
+        var zc = 0L; var energy = 0L; var peak = 0L
+        var i = 0
+        var prevBelow = false
+        while (i < pcm.length) {
+          val v = pcm(i) & 0xff
+          val c = v - 128
+          energy += c.toLong * c
+          val a = math.abs(c).toLong
+          if (a > peak) peak = a
+          val below = v < 128
+          if (i > 0 && below != prevBelow) zc += 1
+          prevBelow = below
+          i += 1
+        }
+        (id, pcm.length.toLong, zc, energy, peak,
+          energy.toDouble / pcm.length.toDouble)
+      }).toDF("media_id", "n_frames", "zero_crossings", "energy", "peak",
+          "mean_energy")
+        .orderBy("media_id")
     })
   )
 }

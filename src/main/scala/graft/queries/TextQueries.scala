@@ -1642,6 +1642,46 @@ object TextQueries {
       canon.groupBy(col("canon").as("canon_url"))
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
         .orderBy("canon_url")
+    }),
+
+    // T40 — n-gram novelty scoring: per document, the fraction of its
+    // distinct 3-gram shingles that appear in NO other document
+    // (corpus df = 1). The memorization/boilerplate proxy a pretraining
+    // mix weights on: novelty near 0 = template text already covered by
+    // the corpus, near 1 = fresh content. Same shingle definition as the
+    // whole dedup family (TextFunctions.shingles — one definition
+    // policy). Scale shape: df is a shingle-keyed partial-aggregable
+    // count and the doc rollup joins on the shingle key (content
+    // bucketed, like t18's decontamination join) — never doc×doc. The
+    // ratio is ONE division of two exact longs — bit-identical across
+    // engines.
+    RQ("t40_ngram_novelty", Some("""
+      WITH ws AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                  FROM ws WHERE len(w) >= 3),
+           df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+           agg AS (SELECT sh.doc_id, count(*) AS n_shingles,
+                          sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                            AS n_novel
+                   FROM sh JOIN df USING (s) GROUP BY 1)
+      SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+             CAST(n_novel AS BIGINT) AS n_novel,
+             CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+               AS novelty
+      FROM agg ORDER BY doc_id"""))((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(shingles(split(col("text"), " "), 3)).as("s"))
+      val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") /
+            col("n_shingles").cast("double")).as("novelty"))
+        .orderBy("doc_id")
     })
   )
 }

@@ -445,8 +445,13 @@ object GraphAnalytics {
   def neighborhoodJaccard(s: SparkSession, dir: String,
                           knn: Int = 3): DataFrame = {
     val e = topKCanonEdges(s, dir, knn)
-    val ed = e.select(col("ea").as("a"), col("eb").as("b"))
-      .union(e.select(col("eb").as("a"), col("ea").as("b")))
+    // the directed edge table feeds FOUR plan branches (both wedge-join
+    // sides + both degree joins); un-materialized, each branch re-runs
+    // the top-k window + distinct — measured 4× the query's real work.
+    // Dimension-sized, so the truncate is cheap (x8's loop discipline).
+    val ed = graft.operators.Checkpoints.truncate(
+      e.select(col("ea").as("a"), col("eb").as("b"))
+        .union(e.select(col("eb").as("a"), col("ea").as("b"))))
     val deg = ed.groupBy("a").agg(count(lit(1)).as("n"))
     val wedge = ed.as("e1")
       .join(ed.as("e2"),

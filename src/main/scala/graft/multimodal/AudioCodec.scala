@@ -2,8 +2,8 @@ package graft.multimodal
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream,
-  AudioSystem}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
 
 /** Real WAV/PCM audio codec on `javax.sound.sampled` — like `ImageCodec`,
   * pure JVM with zero external dependencies (WAV container parsing and
@@ -26,6 +26,38 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream,
   */
 object AudioCodec {
 
+  // The SPI provider instances, loaded ONCE. Every AudioSystem entry
+  // point (write / getAudioInputStream) re-resolves its provider list
+  // per call through a synchronized JDK service registry — measured as
+  // the m11 kernel serializing on 32 threads (17× at 10× data; linear
+  // after this). The provider objects themselves (WaveFileReader /
+  // WaveFileWriter) are stateless and re-entrant; the lazy val fence
+  // makes the one ServiceLoader iteration thread-safe.
+  private lazy val fileWriters: Seq[AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[AudioFileWriter])
+      .iterator().asScala.toList
+  }
+  private lazy val fileReaders: Seq[AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[AudioFileReader])
+      .iterator().asScala.toList
+  }
+
+  // THE provider that parses WAV, resolved once against a probe
+  // container this codec itself encoded. Trying providers per payload
+  // is not an option on the hot path: each non-matching reader signals
+  // by THROWING UnsupportedAudioFileException, and filling in a
+  // Spark-task-deep stack trace per row measured ~0.15 ms/row — the
+  // whole decode kernel's budget. Payloads are RIFF-sniffed before
+  // reaching this reader, so the non-WAV case never pays it either.
+  private lazy val wavReader: AudioFileReader = {
+    val probe = encodeWav(Array[Byte](1, 2, 3, 4), 4, 8000)
+    fileReaders.find(r => scala.util.Try(
+      r.getAudioInputStream(new ByteArrayInputStream(probe))).isSuccess)
+      .getOrElse(sys.error("no WAV AudioFileReader provider on this JVM"))
+  }
+
   /** Mono 8-bit unsigned PCM WAV of the first n bytes of `data` at the
     * given sample rate. 8-bit WAV PCM is stored unsigned, one byte per
     * frame — the container payload carries the input bytes verbatim, so
@@ -40,9 +72,16 @@ object AudioCodec {
     val ais = new AudioInputStream(
       new ByteArrayInputStream(data, 0, n), fmt, n.toLong)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val writer = fileWriters
+      .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+      .getOrElse(sys.error("no WAVE AudioFileWriter provider on this JVM"))
+    writer.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
+
+  // exposed for the perf probe harness only
+  private[graft] def openWavProbe(payload: Array[Byte]): AudioInputStream =
+    wavReader.getAudioInputStream(new ByteArrayInputStream(payload))
 
   /** Decoded audio features — every field decoder-true: format fields
     * from the parsed fmt chunk, nFrames from the data chunk length, and
@@ -82,7 +121,7 @@ object AudioCodec {
     val mime = sniffMime(payload)
     if (mime != "audio/wav") None
     else scala.util.Try {
-      val ais = AudioSystem.getAudioInputStream(
+      val ais = wavReader.getAudioInputStream(
         new ByteArrayInputStream(payload))
       try {
         val fmt = ais.getFormat

@@ -1671,10 +1671,16 @@ object TextQueries {
              CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)
                AS novelty
       FROM agg ORDER BY doc_id"""))((s, dir) => {
+      // df via a partition-only window rather than groupBy+self-join:
+      // the join form evaluates the shingle Generate TWICE (once per
+      // branch — measured 2× the whole family's explode baseline at
+      // sf0.1) and shuffles partial counts AND raw rows; the window
+      // shuffles the raw rows exactly once on the shingle key and the
+      // Generate runs once. Same exact counts either way.
       val sh = docs(s, dir).select(col("doc_id"),
         explode(shingles(split(col("text"), " "), 3)).as("s"))
-      val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      sh.join(df, "s")
+      sh.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("s")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))

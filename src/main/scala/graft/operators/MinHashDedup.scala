@@ -193,6 +193,18 @@ object MinHashDedup {
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(shingles(col("w"), n)).as("s"))
 
+  /** Stage 2a — one WIDE signature row per doc: (doc_id, mh0..mh{k-1}).
+    * The single definition [[bandRows]] concatenates into band hashes and
+    * the estimate-vs-exact audit (t41) compares seedwise — both read this
+    * so the seed-hash scheme cannot drift between them.
+    */
+  def signatureRows(sh: DataFrame, seeds: Int = 8): DataFrame = {
+    val minTerms = (0 until seeds).map { k =>
+      graft.functions.TextFunctions.minhashAgg(col("s"), k).as(s"mh$k")
+    }
+    sh.groupBy("doc_id").agg(minTerms.head, minTerms.tail: _*)
+  }
+
   /** Stage 2 — (doc_id, b, bh) LSH band-hash rows. All k minhashes in ONE
     * aggregation pass: k `min` terms over the same shingle rows,
     * partial-aggregated map-side — no k× row explosion, no (doc_id, seed)
@@ -207,10 +219,7 @@ object MinHashDedup {
     require(seeds % rowsPerBand == 0,
       s"seeds ($seeds) must be a multiple of rowsPerBand ($rowsPerBand) — " +
         "a trailing partial band would silently change recall")
-    val minTerms = (0 until seeds).map { k =>
-      graft.functions.TextFunctions.minhashAgg(col("s"), k).as(s"mh$k")
-    }
-    val sig = sh.groupBy("doc_id").agg(minTerms.head, minTerms.tail: _*)
+    val sig = signatureRows(sh, seeds)
     val nBands = seeds / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)

@@ -1688,6 +1688,63 @@ object TextQueries {
           (col("n_novel").cast("double") /
             col("n_shingles").cast("double")).as("novelty"))
         .orderBy("doc_id")
+    }),
+
+    // T41 — MinHash estimate-vs-exact AUDIT: for every banded candidate
+    // pair (t6's stage 1–2), the sketch's Jaccard estimate (fraction of
+    // the 8 seeds whose minhash values agree — the unbiased MinHash
+    // estimator) next to the exact Jaccard. The d16/v5 sketch-gate
+    // pattern applied to the dedup family: this is the table that tells
+    // an operator of a 100 TB dedup run whether 8 seeds at 2 rows/band
+    // is enough signature for THEIR corpus (estimator spread vs the 0.8
+    // verify threshold), before committing to the full exact-verify
+    // pass. Both sides read MinHashDedup's single seed-hash definition
+    // (signatureRows); est is one division by the constant seed count,
+    // jacc the engine-wide exact-longs division — both bit-identical.
+    RQ("t41_minhash_estimate_gate", Some(s"""
+      WITH RECURSIVE
+           ws AS (SELECT doc_id, str_split(text,' ') AS w FROM documents),
+           ${lshDedupSqlCtes("ws")},
+           agree AS (SELECT c.da, c.db,
+                            sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                              AS n_agree
+                     FROM cand c
+                     JOIN sig sa ON sa.doc_id = c.da
+                     JOIN sig sb ON sb.doc_id = c.db
+                                AND sb.seed = sa.seed
+                     GROUP BY 1, 2)
+      SELECT a.da AS doc_a, a.db AS doc_b,
+             CAST(a.n_agree AS BIGINT) AS n_agree,
+             CAST(a.n_agree AS DOUBLE) / 8.0 AS est_jacc,
+             CAST(i.i AS DOUBLE) / CAST(ca.n + cb.n - i.i AS DOUBLE)
+               AS jacc
+      FROM agree a
+      JOIN inter i ON i.da = a.da AND i.db = a.db
+      JOIN cnt ca ON ca.doc_id = a.da
+      JOIN cnt cb ON cb.doc_id = a.db
+      ORDER BY doc_a, doc_b"""))((s, dir) => {
+      import graft.operators.MinHashDedup
+      val sh = MinHashDedup.shingleRows(docs(s, dir), "doc_id", "text", 3)
+        .persist()
+      val cand = MinHashDedup.candidatePairs(sh, 8, 2)
+      val sig = MinHashDedup.signatureRows(sh, 8)
+      val sa = sig.select(col("doc_id").as("da") +:
+        (0 until 8).map(k => col(s"mh$k").as(s"a_mh$k")): _*)
+      val sb = sig.select(col("doc_id").as("db") +:
+        (0 until 8).map(k => col(s"mh$k").as(s"b_mh$k")): _*)
+      val agree = cand.join(sa, "da").join(sb, "db")
+        .withColumn("n_agree", (0 until 8).map(k =>
+          when(col(s"a_mh$k") === col(s"b_mh$k"), 1L).otherwise(0L))
+          .reduce(_ + _))
+        .select("da", "db", "n_agree")
+      // exact side: verifyPairs at threshold 0 = unfiltered audit rows
+      val exact = MinHashDedup.verifyPairs(cand, sh, 0.0)
+      agree.join(exact,
+          col("da") === col("doc_a") && col("db") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_agree"),
+          (col("n_agree").cast("double") / lit(8.0)).as("est_jacc"),
+          col("jacc"))
+        .orderBy("doc_a", "doc_b")
     })
   )
 }

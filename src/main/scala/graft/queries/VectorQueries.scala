@@ -1009,6 +1009,73 @@ object VectorQueries {
         .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
           col("cos"))
         .orderBy("q_id", "rnk")
+    }),
+
+    // V18 — kNN-GRAPH construction: every vector's exact top-3 cosine
+    // neighbors WITHIN its IVF cell (v10's cluster-blocked candidate
+    // scheme — Σ cell², never N²). This is the build step under
+    // graph-based ANN (NSW/HNSW's base layer, SemDeDup's cluster graph,
+    // kNN-classifier features): the search-time queries (v1–v3, v9)
+    // answer "neighbors of q", this materializes "neighbors of EVERYONE"
+    // as an edge table downstream graph ops consume (x-family shape).
+    // Cell-blocking bounds recall exactly like v3's single-probe IVF —
+    // the documented trade; multiprobe (v9) is the recall lever. Cosines
+    // are the engine-wide left-fold contract — bit-identical, safe to
+    // hash-compare.
+    RQ("v18_knn_graph", Some(s"""
+      WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+                 WHERE vec_id < 8),
+           asg AS (SELECT vec_id, c_id AS cell, embedding FROM (
+             SELECT n.vec_id, c.c_id, n.embedding,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${cosSql("n.embedding", "c.cv")} DESC, c.c_id)
+                      AS rn
+             FROM embeddings n, c) WHERE rn = 1),
+           pr AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+                         ${cosSql("a.embedding", "b.embedding")} AS cos
+                  FROM asg a JOIN asg b
+                    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+           rk AS (SELECT vec_id, nbr_id, cos,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, nbr_id) AS rnk
+                  FROM pr)
+      SELECT vec_id, nbr_id, CAST(rnk AS BIGINT) AS rnk, cos
+      FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk"""))((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(cosine(col("embedding"), col("cv")).desc, col("c_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id").as("cell"), col("embedding"))
+        // both pair sides read the assignment — persist or the centroid
+        // window runs twice (v10's note); the family sweep reclaims it
+        .persist()
+      val a = asg.select(col("vec_id"), col("cell"),
+        col("embedding").as("av"))
+      val b = asg.select(col("vec_id").as("nbr_id"), col("cell"),
+        col("embedding").as("bv"))
+      // top-3 via the native partial/final TopKPerGroup operator, not a
+      // row_number window: the pair join emits Σ cell² rows and a window
+      // would SHUFFLE AND SORT all of them (measured 6.2× at 10× data
+      // with the 8-cell codebook); the native exec keeps ≤ k rows per
+      // (vector, input partition) map-side, so shuffle volume is 3N.
+      // The rank column is recovered by a window over ≤ 3 rows/group.
+      graft.plans.GraftExtensions.install(s)
+      val top = graft.plans.TopKPerGroup.topK(
+        a.join(b, Seq("cell"))
+          .filter(col("vec_id") =!= col("nbr_id"))
+          .select(col("vec_id"), col("nbr_id"),
+            cosine(col("av"), col("bv")).as("cos")),
+        groupCols = Seq("vec_id"),
+        order = Seq(("cos", true), ("nbr_id", false)), k = 3)
+      top
+        .withColumn("rnk", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("nbr_id"))))
+        .select(col("vec_id"), col("nbr_id"),
+          col("rnk").cast("long").as("rnk"), col("cos"))
+        .orderBy("vec_id", "rnk")
     })
   )
 }

@@ -185,6 +185,8 @@ class PlanAuditSpec extends SparkSpec {
       "v8_kmeans_step" -> "broadcast k-centroid assignment",
       // same centroid-assignment shape inside the SemDeDup clustering
       "v10_semantic_dedup" -> "broadcast centroid assignment",
+      // same centroid-assignment shape feeding the kNN-graph build
+      "v18_knn_graph" -> "broadcast centroid assignment",
       // IVF probes cross the query row against nprobe cell heads
       "v3_ivf_ann" -> "broadcast cell-centroid probe",
       "v9_multiprobe_ivf" -> "broadcast cell-centroid probe",

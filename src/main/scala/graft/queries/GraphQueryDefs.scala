@@ -245,6 +245,34 @@ object GraphQueryDefs {
              CAST(i AS DOUBLE) / CAST(dx.n + dy.n - i AS DOUBLE) AS jacc
       FROM wedge JOIN deg dx ON dx.a = x JOIN deg dy ON dy.a = y
       ORDER BY sa, sb"""))((s, dir) =>
-      GraphAnalytics.neighborhoodJaccard(s, dir))
+      GraphAnalytics.neighborhoodJaccard(s, dir)),
+
+    // X10 — bounded-radius closeness centrality: per vertex, the count
+    // of and total hop-distance to every vertex within 15 hops on the
+    // SAME top-3 graph, via one multi-source Pregel BFS (x4's min-plus
+    // generalized to a per-vertex source→distance map). Both engines cut
+    // at radius 15 — x4's bounded-recursion trick — so the recursive-CTE
+    // mirror is exact, not approximate. closeness = n_reached /
+    // total_dist, one exact-longs division. The 100 TB regime note
+    // (exact map → HyperBall sketch on fact-sized graphs) lives on
+    // GraphAnalytics.closenessCentrality.
+    RQ("x10_closeness", Some(s"""
+      WITH RECURSIVE $top3CanonSqlCtes,
+      ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      r(src, node, d) AS (
+        SELECT sk, sk, 0 FROM nodes
+        UNION
+        SELECT r.src, ed.b, r.d + 1 FROM r JOIN ed ON ed.a = r.node
+        WHERE r.d < 15),
+      best AS (SELECT src, node, min(d) AS d FROM r GROUP BY 1, 2),
+      cl AS (SELECT src, count(*) - 1 AS n_reached, sum(d) AS tot
+             FROM best GROUP BY 1)
+      SELECT src AS suppkey, CAST(n_reached AS BIGINT) AS n_reached,
+             CAST(tot AS BIGINT) AS total_dist,
+             CASE WHEN tot > 0
+                  THEN CAST(n_reached AS DOUBLE) / CAST(tot AS DOUBLE)
+                  ELSE 0.0 END AS closeness
+      FROM cl ORDER BY suppkey"""))((s, dir) =>
+      GraphAnalytics.closenessCentrality(s, dir))
   )
 }

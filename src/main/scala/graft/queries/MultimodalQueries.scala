@@ -463,6 +463,101 @@ object MultimodalQueries {
       }).toDF("media_id", "n_frames", "zero_crossings", "energy", "peak",
           "mean_energy")
         .orderBy("media_id")
+    }),
+
+    // M12 — image NEAR-DUP end-to-end over the perceptual hash: m9's
+    // aHash (real PNG decode → 8×8 mean-threshold bits) banded into four
+    // 16-bit keys, candidates from the banded equi-join (two re-encodes
+    // of the same frame agree on a full band with high probability —
+    // t8's SimHash band scheme, image side), verified by exact Hamming
+    // ≤ 6 over the packed hash words (v17's popcount(xor) idiom: two
+    // 32-bit words per hash, integer-exact on both engines — no float
+    // contract anywhere). This is the visually-identical-asset dedup a
+    // multimodal crawl runs where byte-digest dedup (m3) misses
+    // re-encoded copies. Cost is Σ band-bucket², never N².
+    RQ("m12_image_neardup", Some("""
+      WITH src AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 2 = 0
+                     AND octet_length(encode(text)) >= 256),
+      px AS (SELECT doc_id,
+                    list_transform(range(0, 64),
+                      p -> ascii(substr(text,
+                             CAST(((p // 8) * 2) * 16 + (p % 8) * 2 + 1
+                                  AS INT), 1))) AS v
+             FROM src),
+      sm AS (SELECT doc_id, v, list_sum(v) AS s FROM px),
+      bt AS (SELECT doc_id,
+                    list_transform(v,
+                      x -> CASE WHEN x * 64 > s THEN 1 ELSE 0 END) AS b
+             FROM sm),
+      hs AS (SELECT doc_id,
+                    array_to_string(list_transform(range(0, 16),
+                      i -> substr('0123456789abcdef',
+                             CAST(b[4*i+1]*8 + b[4*i+2]*4 + b[4*i+3]*2
+                                  + b[4*i+4] + 1 AS INT), 1)), '') AS ahash,
+                    list_sum(list_transform(range(1, 33),
+                      i -> CASE WHEN b[i] = 1
+                           THEN (1::BIGINT << CAST(32 - i AS INT))
+                           ELSE 0 END)) AS w0,
+                    list_sum(list_transform(range(1, 33),
+                      i -> CASE WHEN b[i + 32] = 1
+                           THEN (1::BIGINT << CAST(32 - i AS INT))
+                           ELSE 0 END)) AS w1
+             FROM bt),
+      bands AS (SELECT doc_id, unnest(range(0, 4)) AS bi,
+                       unnest(list_transform(range(0, 4),
+                         k -> substr(ahash, CAST(4*k + 1 AS INT), 4))) AS bk
+                FROM hs),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM bands a JOIN bands b USING (bi, bk)
+               WHERE a.doc_id < b.doc_id),
+      h AS (SELECT da, db,
+                   bit_count(xor(ha.w0, hb.w0)) +
+                   bit_count(xor(ha.w1, hb.w1)) AS hamm
+            FROM cand JOIN hs ha ON ha.doc_id = da
+                      JOIN hs hb ON hb.doc_id = db)
+      SELECT da AS media_a, db AS media_b, CAST(hamm AS BIGINT) AS hamm
+      FROM h WHERE hamm <= 6 ORDER BY media_a, media_b"""))((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.ImageCodec
+      val src = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("data"))
+        .filter(octet_length(col("data")) >= 256)
+        .as[(Long, Array[Byte])]
+      val hs = src.mapPartitions(_.map { case (id, data) =>
+        val png = ImageCodec.encodePng(data, 16, 16)
+        val (dw, dh, px) = ImageCodec.decodePixelsPng(png).getOrElse(
+          sys.error(s"undecodable PNG for media $id"))
+        val (hash, _) = ImageCodec.aHash(px, dw, dh, 8, 8)
+        (id, hash)
+      }).toDF("doc_id", "ahash")
+        .withColumn("w0",
+          conv(substring(col("ahash"), 1, 8), 16, 10).cast("long"))
+        .withColumn("w1",
+          conv(substring(col("ahash"), 9, 8), 16, 10).cast("long"))
+        .persist() // feeds the band explode + both verify sides
+      val bands = hs.select(col("doc_id"), explode(array((0 until 4).map {
+        k => struct(lit(k).as("bi"),
+          substring(col("ahash"), 4 * k + 1, 4).as("bk"))
+      }: _*)).as("x"))
+        .select(col("doc_id"), col("x.bi").as("bi"), col("x.bk").as("bk"))
+      val cand = bands.select(col("doc_id").as("da"), col("bi"), col("bk"))
+        .join(bands.select(col("doc_id").as("db"), col("bi"), col("bk")),
+          Seq("bi", "bk"))
+        .filter(col("da") < col("db")).select("da", "db").distinct()
+      cand
+        .join(hs.select(col("doc_id").as("da"), col("w0").as("a0"),
+          col("w1").as("a1")), "da")
+        .join(hs.select(col("doc_id").as("db"), col("w0").as("b0"),
+          col("w1").as("b1")), "db")
+        .withColumn("hamm",
+          (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+            bit_count(col("a1").bitwiseXOR(col("b1")))).cast("long"))
+        .filter(col("hamm") <= 6)
+        .select(col("da").as("media_a"), col("db").as("media_b"),
+          col("hamm"))
+        .orderBy("media_a", "media_b")
     })
   )
 }

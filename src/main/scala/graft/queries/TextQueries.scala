@@ -1260,6 +1260,84 @@ object TextQueries {
       s.read.parquet(idx.dupDir).distinct().orderBy("doc_a", "doc_b")
     }),
 
+    // J13 — streaming FIRST-SEEN novelty index: each arriving document
+    // is scored AT INGESTION by how many of its 3-gram shingles the
+    // corpus has never seen before it — the "new content rate" curve a
+    // 100 TB crawl pipeline watches to decide when a source is mined
+    // out. foreachBatch probes a parquet seen-shingle store (s,
+    // first_doc), emits per-doc (n_shingles, n_first), and appends only
+    // the batch's genuinely-new shingles — j6's probe→emit→append index
+    // shape with min-doc-id instead of band-hash keys. Replay feeds
+    // doc_id-ordered chunks, so "seen before" ≡ "contained in a
+    // lower-id doc" and the emitted table is batching-invariant: the
+    // batch oracle is one groupBy over the static corpus (a shingle is
+    // first seen by its min-doc-id owner). Ratio = one exact-longs
+    // division. Store growth is O(distinct shingles) — the same
+    // compaction lever as IncrementalMinHashIndex bounds file count at
+    // production batch counts.
+    RQ("j13_stream_novelty_index", Some("""
+      WITH ws AS (SELECT doc_id, str_split(text,' ') AS w FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                  FROM ws WHERE len(w) >= 3),
+           f AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY 1),
+           agg AS (SELECT sh.doc_id, count(*) AS n_shingles,
+                          sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                            AS n_first
+                   FROM sh JOIN f USING (s) GROUP BY 1)
+      SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+             CAST(n_first AS BIGINT) AS n_first,
+             CAST(n_first AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+               AS first_ratio
+      FROM agg ORDER BY doc_id"""))((s, dir) => {
+      import s.implicits._
+      import graft.operators.MinHashDedup
+      Option(new java.io.File("/tmp/graft_fixtures").listFiles)
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.matches("j13_idx_\\d+_\\d+") &&
+          Fixtures.sweepable(f.getName.split("_")(2).toLong))
+        .foreach(Fixtures.rm)
+      val root = s"/tmp/graft_fixtures/j13_idx_" +
+        s"${ProcessHandle.current.pid}_${System.nanoTime}"
+      val seenDir = s"$root/seen"; val outDir = s"$root/out"
+      Seq.empty[(String, Long)].toDF("s", "fd").write.parquet(seenDir)
+      // doc_id-ORDERED replay: first-seen attribution needs arrival
+      // order to be id order (the oracle's min-doc-id rule)
+      val data = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      Replay.chunked(s, data.toSeq, 3, statePartitions = Some(8))(ds =>
+        ds.toDF("doc_id", "text")
+          .writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              // file-listing snapshot at read time: the appends below
+              // cannot leak into this batch's own probe
+              val seen = s.read.parquet(seenDir)
+              val bsh = MinHashDedup
+                .shingleRows(batch.toDF(), "doc_id", "text", 3).persist()
+              val novel = bsh.groupBy("s").agg(min("doc_id").as("fd"))
+                .join(seen.select("s"), Seq("s"), "left_anti")
+              bsh
+                .join(seen.select(col("s"), lit(1L).as("old")),
+                  Seq("s"), "left")
+                .join(novel, Seq("s"), "left")
+                .groupBy("doc_id")
+                .agg(count(lit(1)).as("n_shingles"),
+                  sum(when(col("old").isNull &&
+                      col("fd") === col("doc_id"), 1L).otherwise(0L))
+                    .as("n_first"))
+                .write.mode("append").parquet(outDir)
+              novel.write.mode("append").parquet(seenDir)
+              bsh.unpersist(); ()
+          }.start())
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("n_shingles"), col("n_first"),
+          (col("n_first").cast("double") /
+            col("n_shingles").cast("double")).as("first_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // T23 — bigram language-model training counts: per word, the corpus
     // bigram total, next-token vocabulary size, and the argmax next token
     // with its conditional probability (count ratio — one exact

@@ -58,6 +58,138 @@ class PipelineAddonsSpec extends SparkSpec {
     }
   }
 
+  describe("t40_ngram_novelty") {
+    it("novelty is a valid fraction and the novel total matches an " +
+      "independent df-1 count") {
+      val out = run("t40_ngram_novelty").cache()
+      try {
+        assert(out.filter(col("n_novel") > col("n_shingles") ||
+          col("novelty") < 0.0 || col("novelty") > 1.0).count() === 0L)
+        // independent recount: shingles owned by exactly one document
+        val sh = graft.operators.MinHashDedup.shingleRows(
+          spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 3)
+        val df1 = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") === 1).count()
+        assert(out.agg(sum("n_novel")).head().getLong(0) === df1)
+      } finally out.unpersist()
+    }
+  }
+
+  describe("t41_minhash_estimate_gate") {
+    it("covers every t6 near-dup pair, and identical shingle sets " +
+      "estimate 8/8") {
+      val audit = run("t41_minhash_estimate_gate").cache()
+      try {
+        val dup = run("t6_minhash_dedup")
+          .select(col("doc_a"), col("doc_b"))
+        assert(dup.join(audit, Seq("doc_a", "doc_b"), "left_anti")
+          .count() === 0L)
+        // jacc = 1 ⇒ same shingle set ⇒ every seeded minimum agrees
+        assert(audit.filter(col("jacc") === 1.0 && col("n_agree") =!= 8L)
+          .count() === 0L)
+        assert(audit.filter(col("n_agree") < 0L || col("n_agree") > 8L)
+          .count() === 0L)
+      } finally audit.unpersist()
+    }
+  }
+
+  describe("m11_audio_features") {
+    it("features are bounded by the 8-bit PCM domain") {
+      val out = run("m11_audio_features").cache()
+      try {
+        assert(out.filter(col("peak") > 128L || col("peak") < 0L)
+          .count() === 0L)
+        assert(out.filter(col("zero_crossings") >= col("n_frames"))
+          .count() === 0L)
+        assert(out.filter(col("mean_energy") > 128.0 * 128.0)
+          .count() === 0L)
+      } finally out.unpersist()
+    }
+  }
+
+  describe("m12_image_neardup") {
+    it("pairs are canonical and within the Hamming cutoff") {
+      val out = run("m12_image_neardup").cache()
+      try {
+        assert(out.filter(col("media_a") >= col("media_b")).count() === 0L)
+        assert(out.filter(col("hamm") < 0L || col("hamm") > 6L)
+          .count() === 0L)
+      } finally out.unpersist()
+    }
+  }
+
+  describe("x9_neighborhood_jaccard") {
+    it("jaccard is a valid positive fraction over canonical pairs") {
+      val out = run("x9_neighborhood_jaccard").cache()
+      try {
+        assert(out.filter(col("sa") >= col("sb")).count() === 0L)
+        assert(out.filter(col("n_shared") < 1L).count() === 0L)
+        assert(out.filter(col("jacc") <= 0.0 || col("jacc") > 1.0)
+          .count() === 0L)
+      } finally out.unpersist()
+    }
+  }
+
+  describe("x10_closeness") {
+    it("the min supplier's row equals the single-source x4 BFS folded " +
+      "to radius 15") {
+      val hops = run("x4_bfs_hops").cache()
+      try {
+        val src = hops.agg(min("suppkey")).head().getLong(0)
+        val in15 = hops.filter(col("hops") >= 1L && col("hops") <= 15L)
+        val expReached = in15.count()
+        val expTotal = in15.agg(sum("hops")).head().getLong(0)
+        val row = run("x10_closeness")
+          .filter(col("suppkey") === src).head()
+        assert(row.getAs[Long]("n_reached") === expReached)
+        assert(row.getAs[Long]("total_dist") === expTotal)
+      } finally hops.unpersist()
+    }
+  }
+
+  describe("v18_knn_graph") {
+    it("per-vector ranks are contiguous from 1 with monotone cosine") {
+      val out = run("v18_knn_graph").cache()
+      try {
+        val perV = out.groupBy("vec_id").agg(count(lit(1)).as("n"),
+          min("rnk").as("lo"), max("rnk").as("hi"))
+        assert(perV.filter(col("lo") =!= 1L || col("hi") =!= col("n") ||
+          col("n") > 3L).count() === 0L)
+        assert(out.filter(col("vec_id") === col("nbr_id")).count() === 0L)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("rnk"))
+        val nonMono = out
+          .withColumn("prev", lag("cos", 1).over(w))
+          .filter(col("prev").isNotNull && col("prev") < col("cos"))
+          .count()
+        assert(nonMono === 0L)
+      } finally out.unpersist()
+    }
+  }
+
+  describe("j13_stream_novelty_index") {
+    it("the streamed first-seen table equals the static min-doc-id " +
+      "computation (stream == batch)") {
+      val streamed = run("j13_stream_novelty_index")
+      val sh = graft.operators.MinHashDedup.shingleRows(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 3)
+        .persist()
+      val first = sh.groupBy("s").agg(min("doc_id").as("fd"))
+      val batch = sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_first"))
+      val got = streamed.select("doc_id", "n_shingles", "n_first")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      sh.unpersist()
+      assert(got === want)
+    }
+  }
+
   describe("v14_sq_adc_search") {
     it("returns a full contiguous top-3 per query, self-matches excluded") {
       val out = run("v14_sq_adc_search").cache()

@@ -28,6 +28,13 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO's default ImageInputStream spools every read/write through a
+  // DISK-cache temp file — one create+delete per image, a per-row cost
+  // that serializes on filesystem metadata at kernel thread counts (the
+  // same per-call-JDK-service trap as AudioCodec's provider registry).
+  // Payloads here are small in-memory byte arrays; cache in memory.
+  ImageIO.setUseCache(false)
+
   /** 8-bit grayscale PNG of the first w*h bytes of `data` (row-major). */
   def encodePng(data: Array[Byte], w: Int, h: Int): Array[Byte] =
     encode(data, w, h, "png")

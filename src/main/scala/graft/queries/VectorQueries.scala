@@ -1076,6 +1076,95 @@ object VectorQueries {
         .select(col("vec_id"), col("nbr_id"),
           col("rnk").cast("long").as("rnk"), col("cos"))
         .orderBy("vec_id", "rnk")
+    }),
+
+    // V19 — IVF recall GATE: per query, candidate-set recall of the
+    // brute-force top-5 truth at nprobe=1 (v3's single-cell scan) and
+    // nprobe=2 (v9's multiprobe) side by side — the measurement that
+    // tells an operator what the nprobe lever actually buys on THEIR
+    // corpus before trading scan cost for it (v5 is the same gate for
+    // the LSH path; d16's sketch-vs-exact discipline). cand(nprobe=1)
+    // ⊆ cand(nprobe=2) by construction, so recall2 ≥ recall1 row by
+    // row — PipelineAddonsSpec pins it. Same centroid/assignment
+    // fragments as v3/v9/v13/j10 (ONE definition); recalls are exact
+    // divisions by the truth size.
+    RQ("v19_ivf_recall_gate", Some(s"""
+      WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+                 WHERE vec_id < 8),
+           asg AS (SELECT n_id, c_id FROM (
+             SELECT n.vec_id AS n_id, c.c_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY ${cosSql("n.embedding", "c.cv")} DESC, c.c_id)
+                      AS rn
+             FROM embeddings n, c) WHERE rn = 1),
+           q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 5),
+           qc AS (SELECT q_id, c_id, rn FROM (
+             SELECT q.q_id, c.c_id,
+                    row_number() OVER (PARTITION BY q.q_id
+                      ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.c_id) AS rn
+             FROM q, c) WHERE rn <= 2),
+           cand2 AS (SELECT DISTINCT qc.q_id, a.n_id
+                     FROM qc JOIN asg a ON a.c_id = qc.c_id
+                     WHERE a.n_id <> qc.q_id),
+           cand1 AS (SELECT DISTINCT qc.q_id, a.n_id
+                     FROM qc JOIN asg a ON a.c_id = qc.c_id
+                     WHERE a.n_id <> qc.q_id AND qc.rn = 1),
+           p AS (SELECT q_id, n.vec_id AS n_id, ${cosSql("qv", "n.embedding")}
+                          AS cos
+                 FROM q, embeddings n WHERE n.vec_id <> q_id),
+           tr AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, n_id) AS rnk
+             FROM p WHERE cos IS NOT NULL) WHERE rnk <= 5),
+           hit AS (SELECT tr.q_id, count(*) AS n_true,
+                          count(c1.n_id) AS hit1, count(c2.n_id) AS hit2
+                   FROM tr
+                   LEFT JOIN cand1 c1 ON c1.q_id = tr.q_id
+                                     AND c1.n_id = tr.n_id
+                   LEFT JOIN cand2 c2 ON c2.q_id = tr.q_id
+                                     AND c2.n_id = tr.n_id
+                   GROUP BY 1)
+      SELECT q_id, CAST(n_true AS BIGINT) AS n_true,
+             CAST(hit1 AS BIGINT) AS hit1, CAST(hit2 AS BIGINT) AS hit2,
+             CAST(hit1 AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall1,
+             CAST(hit2 AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall2
+      FROM hit ORDER BY q_id"""))((s, dir) => {
+      val e = emb(s, dir)
+      val cents = ivfCents(e)
+      val asg = ivfAssign(
+          e.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+          cents)
+        .select("n_id", "c_id")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val qc = q.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(cosine(col("qv"), col("cv")).desc, col("c_id"))))
+        .filter(col("rn") <= 2)
+        .select("q_id", "c_id", "rn")
+      val cand2 = qc.join(asg, "c_id")
+        .filter(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id").distinct()
+      val cand1 = qc.filter(col("rn") === 1).join(asg, "c_id")
+        .filter(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id").distinct()
+      val truth = graft.operators.Ann
+        .bruteTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .select("q_id", "n_id")
+      truth
+        .join(cand1.withColumn("h1", lit(1L)), Seq("q_id", "n_id"), "left")
+        .join(cand2.withColumn("h2", lit(1L)), Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("h1"), lit(0L))).as("hit1"),
+          sum(coalesce(col("h2"), lit(0L))).as("hit2"))
+        .select(col("q_id"), col("n_true"), col("hit1"), col("hit2"),
+          (col("hit1").cast("double") / col("n_true").cast("double"))
+            .as("recall1"),
+          (col("hit2").cast("double") / col("n_true").cast("double"))
+            .as("recall2"))
+        .orderBy("q_id")
     })
   )
 }

@@ -205,6 +205,8 @@ class PlanAuditSpec extends SparkSpec {
       // corpus side BEFORE the cross)
       "v11_filtered_ann" -> "broadcast query-set × filtered corpus",
       "v5_ann_recall" -> "brute-force truth side of the recall gate",
+      // same truth side + the sanctioned cell-centroid probes (v3/v9)
+      "v19_ivf_recall_gate" -> "brute truth side + cell-centroid probes",
       // stage-1 of the Matryoshka rerank is v1's sanctioned baseline
       // shape (broadcast query set × corpus) on prefix slices; stage-2
       // touches 10 rows/query

@@ -190,6 +190,20 @@ class PipelineAddonsSpec extends SparkSpec {
     }
   }
 
+  describe("v19_ivf_recall_gate") {
+    it("nprobe=2 recall dominates nprobe=1 row by row (candidate " +
+      "superset), both valid fractions") {
+      val out = run("v19_ivf_recall_gate").cache()
+      try {
+        assert(out.filter(col("hit2") < col("hit1")).count() === 0L)
+        assert(out.filter(col("hit1") < 0L || col("hit2") > col("n_true"))
+          .count() === 0L)
+        assert(out.filter(col("recall1") < 0.0 || col("recall2") > 1.0)
+          .count() === 0L)
+      } finally out.unpersist()
+    }
+  }
+
   describe("v14_sq_adc_search") {
     it("returns a full contiguous top-3 per query, self-matches excluded") {
       val out = run("v14_sq_adc_search").cache()

@@ -28,6 +28,16 @@ class AudioCodecSpec extends AnyFunSpec {
       assert(d.pcmMd5 === ImageCodec.hexMd5(data.take(200)))
     }
 
+    it("decodeWavPcm hands back the raw sample bytes verbatim (the m11 " +
+      "feature kernel's input), and decodeWav is exactly it minus samples") {
+      val wav = AudioCodec.encodeWav(data, 200, 9000)
+      val (d, pcm) = AudioCodec.decodeWavPcm(wav).get
+      assert(pcm.toSeq === data.take(200).toSeq)
+      assert(AudioCodec.decodeWav(wav).get === d)
+      // cached-provider path returns None on junk exactly like before
+      assert(AudioCodec.decodeWavPcm("RIFFxxxxWAVEgarbage".getBytes).isEmpty)
+    }
+
     it("a one-frame payload is valid (the n >= 1 filter boundary)") {
       val wav = AudioCodec.encodeWav(data, 1, 8000)
       val d = AudioCodec.decodeWav(wav).get

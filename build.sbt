@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default on the 128 GiB bench host: at sf0.1 the 8g default spent
+  // 193 executor-GC-seconds inside etl3 alone (BENCH_r11 exec entry) —
+  // 32 task threads' hash-agg pages + the persisted registry + ~70 gzip
+  // sink buffers churned a heap sized for laptops. SPARK_DRIVER_MEM
+  // still overrides both ways (the round-8 4g pressure-repro uses it).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

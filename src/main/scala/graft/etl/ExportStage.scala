@@ -110,7 +110,17 @@ object ExportStage {
         if (!failed.get())
           try {
             val t0 = System.nanoTime()
-            Sinks.neo4jTsv(df, s"$outDir/$name", hdr.toMap)
+            // per-sink job group: StorageTelemetry accumulates executor
+            // run/cpu/input stats under sink:<name>, so the bench artifact
+            // carries each sink's input provenance — a sink whose in_rows
+            // is fact-sized recomputed its registry input's lineage
+            // (VERDICT r11 item 2). Job groups are thread-local; each
+            // pool thread sets and clears its own.
+            val sc = df.sparkSession.sparkContext
+            sc.setJobGroup(s"sink:$name", s"export sink: $name",
+              interruptOnCancel = false)
+            try Sinks.neo4jTsv(df, s"$outDir/$name", hdr.toMap)
+            finally sc.clearJobGroup()
             ExportTelemetry.record(name, (System.nanoTime() - t0) / 1e9)
           }
           catch { case e: Throwable => failed.set(true); throw e }
@@ -145,7 +155,41 @@ object ExportStage {
       p.queryExecution.toRdd.count()
       p
     }
+    // ---- input-residency gate (VERDICT r11 item 2) ---------------------
+    // The expensive fact sinks read the registry's persisted tables
+    // (has_similarity_rels: similarity + boundEntities; the per-DB splits:
+    // interacts). A partition that lost storage residency recomputes its
+    // FULL lineage inside every sink that touches it — r11's driver run
+    // paid 100.6 + 66.7 s on two similarity-family sinks this way. Gate:
+    // probe each consumed registry table at stage entry; missing
+    // partitions are re-materialized ONCE via count() (block-level
+    // get-or-compute fills exactly the holes, same RDD id, so the bench's
+    // baseline snapshot still covers the table); a table with no cache
+    // entry at all (a non-`cached()` caller) is persisted for the stage
+    // and released in the finally. Outcomes land in ExportTelemetry as
+    // rewarm:<table>/persist:<table> walls — per-sink input provenance is
+    // the sink:<name> job-group stats recorded around each write.
     try {
+      val spark = g.entries.sparkSession
+      Seq("boundEntities" -> g.boundEntities, "interacts" -> g.interacts,
+          "similarity" -> g.similarity).foreach { case (name, df) =>
+        org.apache.spark.sql.graftx.GraftCacheBridge
+          .residency(spark, df) match {
+          case Some(frac) if frac < 1.0 =>
+            val t0 = System.nanoTime()
+            df.queryExecution.toRdd.count()
+            ExportTelemetry.record(s"rewarm:$name",
+              (System.nanoTime() - t0) / 1e9)
+          case Some(_) => () // fully resident — every sink reads blocks
+          case None =>
+            val t0 = System.nanoTime()
+            val p = df.persist()
+            sharedPersists += p
+            p.queryExecution.toRdd.count()
+            ExportTelemetry.record(s"persist:$name",
+              (System.nanoTime() - t0) / 1e9)
+        }
+      }
 
       // ---- core graph (the round-1 seven) ------------------------------
       write("entry_nodes", g.entries.select("pdbEntry"),
@@ -531,7 +575,11 @@ object ExportStage {
         if (!failed.get())
           try {
             val t0 = System.nanoTime()
-            Sinks.neo4jTsvBatch(outDir, smallList)
+            val sc = g.entries.sparkSession.sparkContext
+            sc.setJobGroup("sink:small_batch", "export batch sink",
+              interruptOnCancel = false)
+            try Sinks.neo4jTsvBatch(outDir, smallList)
+            finally sc.clearJobGroup()
             ExportTelemetry.record(s"small_batch(${smallList.size})",
               (System.nanoTime() - t0) / 1e9)
           }
@@ -598,6 +646,7 @@ object Pipeline {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config(graft.GraftSession.IcuCaseMappingsKey, "false") // see GraftSession
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

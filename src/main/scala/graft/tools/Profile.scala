@@ -24,6 +24,7 @@ object Profile {
       .config("spark.sql.files.maxPartitionBytes", 2097152L)
       .config("spark.sql.files.openCostInBytes", 262144L)
       .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.GraftSession.IcuCaseMappingsKey, "false") // JVM case mapping; see GraftSession scaladoc
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

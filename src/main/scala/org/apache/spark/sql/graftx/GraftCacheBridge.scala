@@ -56,6 +56,37 @@ object GraftCacheBridge {
       .uncacheQuery(cs, plan, cascade = false, blocking = blocking)
   }
 
+  /** Storage residency of a persisted DataFrame: Some(cached partitions /
+    * total partitions) of its column-buffer RDD, None when the plan has no
+    * CacheManager entry or the buffers never materialized. 1.0 = every
+    * partition is storage-resident (memory or disk — either serves reads
+    * without recomputing the lineage); < 1.0 = the missing partitions
+    * recompute through the full lineage on the next action, silently.
+    * This is the registry-residency CANARY the r11 bench lacked: the
+    * driver's domainCognate/p2/etl3 blowups all fit "a registry input
+    * lost residency and every consumer recomputed", but no artifact field
+    * could confirm residency at the moment the timed section started.
+    */
+  def residency(s: SparkSession, df: org.apache.spark.sql.DataFrame)
+      : Option[Double] = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    cs.sharedState.cacheManager.lookupCachedData(ds).flatMap { cd =>
+      val b = cd.cachedRepresentation.cacheBuilder
+      if (!b.isCachedColumnBuffersLoaded) None
+      else {
+        val id = b.cachedColumnBuffers.id
+        // getRDDStorageInfo omits RDDs with zero cached blocks — loaded
+        // buffers absent from it mean "every partition dropped", not
+        // "never cached": report 0.0, the strongest canary signal
+        Some(s.sparkContext.getRDDStorageInfo.find(_.id == id).map { info =>
+          if (info.numPartitions == 0) 1.0
+          else info.numCachedPartitions.toDouble / info.numPartitions
+        }.getOrElse(0.0))
+      }
+    }
+  }
+
   /** Wait until the async listener bus has delivered every posted event
     * (`SparkContext.listenerBus` is `private[spark]`, reachable from this
     * bridge package). The bench samples its block-telemetry counters

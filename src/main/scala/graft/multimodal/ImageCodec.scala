@@ -28,12 +28,18 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
-  // ImageIO's default ImageInputStream spools every read/write through a
+  // ImageIO's DEFAULT ImageInputStream spools every read/write through a
   // DISK-cache temp file — one create+delete per image, a per-row cost
   // that serializes on filesystem metadata at kernel thread counts (the
   // same per-call-JDK-service trap as AudioCodec's provider registry).
-  // Payloads here are small in-memory byte arrays; cache in memory.
-  ImageIO.setUseCache(false)
+  // Payloads here are small in-memory byte arrays, so every read/write
+  // below passes an EXPLICIT MemoryCacheImage{Input,Output}Stream instead
+  // of flipping the JVM-global `ImageIO.setUseCache(false)` (ADVICE r11:
+  // the global flag silently changed behavior for every other ImageIO
+  // user in the process as a lazy side effect of touching this object).
+  private def memIn(payload: Array[Byte]): javax.imageio.stream.ImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(payload))
 
   /** 8-bit grayscale PNG of the first w*h bytes of `data` (row-major). */
   def encodePng(data: Array[Byte], w: Int, h: Int): Array[Byte] =
@@ -55,8 +61,11 @@ object ImageCodec {
       i += 1
     }
     val bos = new ByteArrayOutputStream()
-    val ok = ImageIO.write(img, format, bos)
-    require(ok, s"no ImageIO writer for $format")
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      val ok = ImageIO.write(img, format, ios)
+      require(ok, s"no ImageIO writer for $format")
+    } finally ios.close() // flushes the memory cache into bos
     bos.toByteArray
   }
 
@@ -87,7 +96,7 @@ object ImageCodec {
     */
   def decode(payload: Array[Byte]): Option[Decoded] = {
     val mime = sniffMime(payload)
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val img = ImageIO.read(memIn(payload))
     if (img == null) None
     else {
       val md5 =
@@ -114,7 +123,7 @@ object ImageCodec {
     */
   def decodePixelsPng(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     if (sniffMime(payload) != "image/png") None
-    else Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+    else Option(ImageIO.read(memIn(payload))).map { img =>
       val w = img.getWidth; val h = img.getHeight
       val bytes = new Array[Byte](w * h)
       val raster = img.getRaster

@@ -10,12 +10,14 @@ import graft.multimodal.Multimodal
   * WAV/PCM (m8) go through REAL JVM codecs, while decodeStub covers only
   * formats the container cannot decode (mp4/mp3). n_bytes is byte-true
   * on both engines (octet_length over encode()); the digest/thumb/frame
-  * slicing oracles — including m6/m7's pixel selections and m8's PCM
-  * digest — use VARCHAR substr, which equals byte slicing ONLY on a
-  * single-byte corpus — this DuckDB build has no BLOB substring/md5.
-  * The fixture corpus is all-ASCII today; if regeneration ever introduces
-  * multi-byte text, the char-vs-byte substr in these oracles diverges
-  * from Spark's byte slicing and the hash compare fails loudly.
+  * slicing oracles — m6/m7's pixel selections, m8's PCM digest, m11's
+  * signal features and m12's aHash raster (every `ascii(substr(text,i,1))`
+  * in this file) — use VARCHAR substr/ascii, which equals byte slicing
+  * (and stays ≤ 255) ONLY on a single-byte corpus — this DuckDB build
+  * has no BLOB substring/md5. This is the FAMILY-LEVEL fixture contract
+  * (ADVICE r11): the corpus is all-ASCII; if regeneration ever
+  * introduces multi-byte text, the char-vs-byte offsets (and >255 code
+  * points) diverge the engines and the hash compare fails loudly.
   */
 object MultimodalQueries {
 

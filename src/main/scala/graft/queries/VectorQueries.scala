@@ -1038,7 +1038,7 @@ object VectorQueries {
            rk AS (SELECT vec_id, nbr_id, cos,
                          row_number() OVER (PARTITION BY vec_id
                            ORDER BY cos DESC, nbr_id) AS rnk
-                  FROM pr)
+                  FROM pr WHERE cos IS NOT NULL)
       SELECT vec_id, nbr_id, CAST(rnk AS BIGINT) AS rnk, cos
       FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk"""))((s, dir) => {
       val e = emb(s, dir)
@@ -1067,7 +1067,12 @@ object VectorQueries {
         a.join(b, Seq("cell"))
           .filter(col("vec_id") =!= col("nbr_id"))
           .select(col("vec_id"), col("nbr_id"),
-            cosine(col("av"), col("bv")).as("cos")),
+            cosine(col("av"), col("bv")).as("cos"))
+          // NULL-cosine guard (zero-norm embedding ⇒ null cosine), the
+          // v19/bruteTopK convention: without it a null could fill a
+          // top-3 slot as a meaningless edge, and cross-engine equality
+          // would rest on both engines sorting nulls last (ADVICE r11)
+          .filter(col("cos").isNotNull),
         groupCols = Seq("vec_id"),
         order = Seq(("cos", true), ("nbr_id", false)), k = 3)
       top

@@ -130,11 +130,12 @@ object Sinks {
     * (array → `|`-joined, null → empty — the same bytes the per-table CSV
     * writer emits for this inventory's value domain: engine-synthesized
     * ids/codes with no tab/quote/newline, so univocity quoting never
-    * fires), tagged with the table name, union-ed, and hash-partitioned
-    * by name so exactly one task produces each table's
-    * `data/part-00000.csv.gz` through [[FastGzipCodec]] (BEST_SPEED, and
-    * the bytes land in the same telemetry counters). sortWithinPartitions
-    * makes re-runs byte-deterministic. Headers and overwrite-cleanup are
+    * fires), tagged with the table name, union-ed, and identity-
+    * partitioned on the table's list index so EXACTLY one task produces
+    * each table's `data/part-00000.csv.gz` through [[FastGzipCodec]]
+    * (BEST_SPEED, and the bytes land in the same telemetry counters). An
+    * in-memory per-table sort (dimension-bounded rows by the writeSmall
+    * contract) makes re-runs byte-deterministic. Headers and overwrite-cleanup are
     * driver-side filesystem metadata (no jobs); a table that yields zero
     * rows still gets an empty part so readers of `data/` never see an
     * empty directory (the coalesce(1) writer's behavior).
@@ -170,33 +171,43 @@ object Sinks {
       df.select(lit(name).as("t"), line.as("line"))
     }.reduce(_ unionByName _)
     val sc = new SerConf(hconf)
-    tagged.repartition(tables.size, col("t"))
-      .sortWithinPartitions("t", "line")
-      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        // names are contiguous after the sort: stream rows, switching
-        // output files on each name boundary (several names may hash to
-        // one partition)
-        var cur: String = null
-        var out: java.io.OutputStream = null
-        def closeCur(): Unit = if (out != null) { out.close(); out = null }
-        val codec = new FastGzipCodec
-        codec.setConf(sc.value)
-        try rows.foreach { r =>
-          val t = r.getString(0)
-          if (t != cur) {
-            closeCur()
-            cur = t
-            val p = new org.apache.hadoop.fs.Path(
-              s"$root/$t/data/part-00000.csv.gz")
-            out = codec.createOutputStream(
-              p.getFileSystem(sc.value).create(p, true))
-          }
+    // one table per task, EXACTLY: an identity partitioner on the table's
+    // list index (VERDICT r11 item 8 — `repartition(n, col("t"))` hash-
+    // partitions, so colliding names serialized several tables' gzip
+    // streams through one task). Rows are sorted in memory per partition
+    // for byte-deterministic re-runs: every table here is dimension-
+    // bounded by the writeSmall contract (the reason it is in the batch
+    // at all), so a per-table in-memory sort is a few thousand short
+    // strings, not a fact-table sort.
+    val names = tables.map(_._1)
+    require(names.distinct.size == names.size,
+      s"neo4jTsvBatch: duplicate table names in ${names.mkString(",")}")
+    val nameIdx = names.zipWithIndex.toMap
+    tagged.rdd
+      .map(r => (nameIdx(r.getString(0)), r.getString(1)))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = names.size
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .foreachPartition { (rows: Iterator[(Int, String)]) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var idx = -1
+        rows.foreach { case (i, line) => idx = i; buf += line }
+        if (idx >= 0) {
+          val sorted = buf.sorted
+          val p = new org.apache.hadoop.fs.Path(
+            s"$root/${names(idx)}/data/part-00000.csv.gz")
+          val codec = new FastGzipCodec
+          codec.setConf(sc.value)
+          val out = codec.createOutputStream(
+            p.getFileSystem(sc.value).create(p, true))
           // static field access, not a closure capture — Charset objects
           // are not serializable
-          out.write(r.getString(1)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          out.write('\n')
-        } finally closeCur()
+          try sorted.foreach { line =>
+            out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.write('\n')
+          } finally out.close()
+        }
       }
     // zero-row tables: materialize an empty part (csv readers fail on an
     // empty data dir; the per-table coalesce(1) writer always left one)

@@ -1,6 +1,6 @@
 package graft.chem
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The chemistry seam (SURVEY.md §2.I).
@@ -9,17 +9,51 @@ import org.apache.spark.sql.functions._
   * (pdbe_sanitise_smiles utils.py:153-186, neutralize_atoms
   * get_pdb_parity.py:31-51, PARITY compare_molecules
   * get_pdb_parity.py:88-107). There is no JVM RDKit, so the engine
-  * isolates every chemistry call behind this trait: the fixture-backed
-  * implementation below is deterministic and testable; a JNI/graalpy
-  * bridge or a precomputed canonical-SMILES lookup table slots in without
-  * touching any operator.
-  *
-  * Everything returns a Column so implementations stay inside codegen
-  * (or, for a heavyweight scorer, can swap to a mapPartitions-backed
-  * variant with a per-task timeout — the reference caps MCS at 40 s,
-  * get_pdb_parity.py:96).
+  * isolates every chemistry call behind this trait. The interface is
+  * DataFrame-shaped on purpose: a chemistry backend is either a Column
+  * expression (the [[ColumnChem]] sub-trait — [[FixtureChem]]) or a
+  * precomputed descriptor TABLE consumed as a broadcast join
+  * ([[TableChemToolkit]] over the offline bridge output,
+  * docs/CHEM_BRIDGE.md) — and a table lookup is a RELATION, not a
+  * `Column => Column` function, so pretending otherwise would force a
+  * giant literal map into every task closure.
   */
 trait ChemToolkit {
+
+  /** I1/I2 — attach the canonical (sanitised + neutralised) form of the
+    * descriptor column `inCol` as `outCol`. Must add exactly `outCol`
+    * and preserve the input rows (a missing-from-table descriptor comes
+    * back null — the C11 cache-probe convention).
+    */
+  def canonicalize(df: DataFrame, inCol: String, outCol: String): DataFrame
+
+  /** I3 — attach the PARITY-style similarity score in [0,1] as `outCol`
+    * for each blocked candidate pair row. `aCol`/`bCol` are the pair's
+    * ligand ids (orientation-free); `boundSizeCol`/`cognateSizeCol` are
+    * the blocked size columns a Column-expressible backend scores from.
+    * Must add exactly `outCol` and preserve the input rows; a pair the
+    * backend cannot score comes back null (C11 convention again — a
+    * computed FAILURE is 0.0, never null).
+    */
+  def scoreCandidates(df: DataFrame, aCol: String, bCol: String,
+      boundSizeCol: String, cognateSizeCol: String, outCol: String): DataFrame
+
+  /** Whether the score is a deterministic pure Column function of exactly
+    * the two size arguments (the [[ColumnChem.parityScore]] purity
+    * contract). Only a `true` here lets `GraphTables.domainCognate` take
+    * the size-class factorization; anything else — a table-keyed kernel,
+    * a UDF consulting external state — routes to the definitional
+    * join-groupBy, correct for ANY toolkit. Abstract on purpose: every
+    * implementation must state its claim; DomainCognateSpec pins both
+    * paths against each other.
+    */
+  def columnPure: Boolean
+}
+
+/** Column-expressible toolkits: chemistry as Catalyst expressions (stays
+  * inside whole-stage codegen). The df-level hooks derive mechanically.
+  */
+trait ColumnChem extends ChemToolkit {
 
   /** I1/I2 — canonical (sanitised + neutralised) form of a descriptor. */
   def canonicalSmiles(descriptor: Column): Column
@@ -28,28 +62,28 @@ trait ChemToolkit {
     * Deterministic given inputs, so results are cacheable by the pair key
     * (the C11 cache-probe split relies on this).
     *
-    * PURITY CONTRACT: the returned Column must be a deterministic pure
-    * function of exactly its two size arguments — no per-ligand lookups,
-    * no external state, no non-deterministic expressions. Two registry
-    * optimizations assume it: the bestCognate argmax (equal inputs ⇒
-    * equal scores ⇒ a stable tie set) and the size-class factorization of
+    * PURITY CONTRACT (when [[columnPure]] is true): the returned Column
+    * must be a deterministic pure function of exactly its two size
+    * arguments — no per-ligand lookups, no external state, no
+    * non-deterministic expressions. Two registry optimizations assume
+    * it: the bestCognate argmax (equal inputs ⇒ equal scores ⇒ a stable
+    * tie set) and the size-class factorization of
     * `GraphTables.domainCognate`, which collapses every ligand of one
     * (brand, bucket, size) class to a single representative BECAUSE their
     * candidate scores are identical. An implementation that cannot
-    * promise this (a SMILES-keyed kernel, a UDF consulting a table) must
-    * return `false` from [[columnPure]] — the registry then builds
-    * domainCognate through the definitional join-groupBy instead.
+    * promise this must return `false` from [[columnPure]].
     */
   def parityScore(boundSize: Column, cognateSize: Column): Column
 
-  /** Whether [[parityScore]] honors the purity contract above (a pure
-    * Column function of the two size arguments). `false` routes
-    * `GraphTables.domainCognate` to the definitional fact-join path —
-    * correct for ANY toolkit, just without the size-class shortcut.
-    * Abstract on purpose: every implementation must state its claim;
-    * DomainCognateSpec pins both paths against each other.
-    */
-  def columnPure: Boolean
+  final override def canonicalize(df: DataFrame, inCol: String,
+      outCol: String): DataFrame =
+    df.withColumn(outCol, canonicalSmiles(col(inCol)))
+
+  final override def scoreCandidates(df: DataFrame, aCol: String,
+      bCol: String, boundSizeCol: String, cognateSizeCol: String,
+      outCol: String): DataFrame =
+    df.withColumn(outCol,
+      parityScore(col(boundSizeCol), col(cognateSizeCol)))
 }
 
 /** Deterministic fixture-backed toolkit: canonicalisation is a stable
@@ -57,7 +91,7 @@ trait ChemToolkit {
   * division — bit-identical across engines). Stands in for RDKit with the
   * same dataflow shape and cost model hooks.
   */
-object FixtureChem extends ChemToolkit {
+object FixtureChem extends ColumnChem {
 
   // an exact arithmetic expression of the two size columns — the
   // size-class factorization's premise holds
@@ -76,4 +110,33 @@ object FixtureChem extends ChemToolkit {
     greatest(lit(0.0),
       (lit(100) - abs(boundSize.cast("long") - cognateSize.cast("long")))
         .cast("double") / lit(100.0))
+}
+
+/** The precomputed-descriptor-table chemistry backend as a ChemToolkit
+  * (docs/CHEM_BRIDGE.md "primary" path, VERDICT r11 item 5): scores and
+  * canonical forms come from the offline bridge tables via [[TableChem]]'s
+  * broadcast-join combinators, keyed by ligand-pair ids — NOT a Column
+  * function of the blocked sizes, so `columnPure` is definitionally
+  * false and the registry's domainCognate routes to the definitional
+  * join-groupBy (GraphTables). Chemistry applies only to the ligand
+  * DIMENSION, so the dimension-sized broadcast lookup is the
+  * scale-correct shape at 100 TB (no per-row closure state, Catalyst
+  * prunes/pushes around it like any other join).
+  */
+final case class TableChemToolkit(tables: TableChem) extends ChemToolkit {
+
+  override val columnPure: Boolean = false
+
+  override def canonicalize(df: DataFrame, inCol: String,
+      outCol: String): DataFrame =
+    tables.withCanonical(df, inCol)
+      .withColumnRenamed("canonical", outCol)
+      .drop("neutralized")
+
+  override def scoreCandidates(df: DataFrame, aCol: String, bCol: String,
+      boundSizeCol: String, cognateSizeCol: String,
+      outCol: String): DataFrame =
+    tables.withParity(df, aCol, bCol)
+      .withColumnRenamed("score", outCol)
+      .drop("mcs_smarts")
 }

@@ -72,3 +72,46 @@ object TableChem {
     TableChem(s.read.parquet(s"$dir/chem_canonical.parquet"),
       s.read.parquet(s"$dir/chem_parity.parquet"))
 }
+
+/** Bridge tables derived IN-ENGINE from the part dimension, with exactly
+  * the generator's output contract (tools/chem_bridge_generate.py:
+  * chem_canonical/chem_parity schemas, `ligand_a <= ligand_b` key order,
+  * the blocked pair list): the oracle-checkable stand-in for an offline
+  * RDKit run in a container that has none. Values use the ONE fixture
+  * score/canonicalisation definition (FixtureChem), so a query whose
+  * scores flow through the TABLE-KEYED lookup path still matches a
+  * DuckDB oracle computing the formula directly — which is what makes
+  * the whole table-backed kernel path (TableChemToolkit →
+  * GraphTables.build → domainCognateDefinitional) a CORRECTNESS-gated
+  * query (i7) rather than a fixture-only spec. A real RDKit table drops
+  * in by swapping `tables()` for `TableChem.load(dir)`; nothing
+  * downstream changes.
+  */
+object SyntheticBridge {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions._
+
+  def tables(s: SparkSession, dir: String): TableChem = {
+    val part = graft.Tables(s, dir, "part")
+    val canonical = part.select(col("p_name").as("smiles_in")).distinct()
+      .select(col("smiles_in"),
+        FixtureChem.canonicalSmiles(col("smiles_in")).as("canonical"),
+        FixtureChem.canonicalSmiles(col("smiles_in")).as("neutralized"))
+    // one row per BLOCKED candidate pair, a <= b (the generator's key
+    // contract) — self-pairs included, exactly the (brand, size-bucket)
+    // block GraphTables generates, so the pair list IS the join key
+    // contract and every registry candidate resolves non-null
+    val a = part.select(col("p_partkey").as("ligand_a"),
+      col("p_brand").as("brand"), expr("p_size div 10").as("bucket"),
+      col("p_size").as("sa"))
+    val b = part.select(col("p_partkey").as("ligand_b"),
+      col("p_brand").as("brand"), expr("p_size div 10").as("bucket"),
+      col("p_size").as("sb"))
+    val parity = a.join(b, Seq("brand", "bucket"))
+      .filter(col("ligand_a") <= col("ligand_b"))
+      .select(col("ligand_a"), col("ligand_b"),
+        FixtureChem.parityScore(col("sa"), col("sb")).as("score"),
+        lit("").as("mcs_smarts"))
+    TableChem(canonical, parity)
+  }
+}

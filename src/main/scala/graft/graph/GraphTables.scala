@@ -86,16 +86,21 @@ final case class GraphTables(
     * 100 TB footprint argument is inherited from the import, not new.
     */
   lazy val domainCognate: DataFrame =
-    (if (chem.columnPure) domainCognateFactorized
-     else domainCognateDefinitional).persist()
+    (chem match {
+      case cc: graft.chem.ColumnChem if cc.columnPure =>
+        domainCognateFactorized(cc)
+      case _ => domainCognateDefinitional
+    }).persist()
 
   /** Which domainCognate build path this registry takes — an ARTIFACT
     * field (VERDICT r11 item 1b): the driver's 24.6× domainCognate
     * exec-s anomaly could not rule out "the definitional path was
     * selected there" because the chosen path was nowhere in BENCH_r11.
     */
-  def domainCognatePath: String =
-    if (chem.columnPure) "factorized" else "definitional"
+  def domainCognatePath: String = chem match {
+    case cc: graft.chem.ColumnChem if cc.columnPure => "factorized"
+    case _ => "definitional"
+  }
 
   /** Definitional form: interactPairs ⋈ similarity, groupBy (suppkey,
     * cogId), max — a fact-sized join whose intermediate is |pairs| ×
@@ -115,7 +120,7 @@ final case class GraphTables(
         max(when(col("bestCognate") === "Y", col("parityScore")))
           .as("maxBestScore"))
 
-  private def domainCognateFactorized: DataFrame = {
+  private def domainCognateFactorized(cc: graft.chem.ColumnChem): DataFrame = {
     // The definitional join's intermediate is 92M rows at sf0.1 for a
     // 19.6M-row result (the registry-build floor at 16.6 s of the r10
     // warmup attribution). Computed instead by the size-class
@@ -146,7 +151,7 @@ final case class GraphTables(
     val classBest = ligClass.select("brand", "bucket", "bsize").distinct()
       .join(candCog, Seq("brand", "bucket"))
       .groupBy("brand", "bucket", "bsize")
-      .agg(max(chem.parityScore(col("bsize"), col("csize"))).as("bestScore"))
+      .agg(max(cc.parityScore(col("bsize"), col("csize"))).as("bestScore"))
     val domClass = interactPairs
       .join(graft.plans.DimBroadcast.dim(ligClass), "ligandUniqueID")
       .select("suppkey", "brand", "bucket", "bsize").distinct()
@@ -155,7 +160,7 @@ final case class GraphTables(
       .groupBy("suppkey", "brand", "bucket")
       .agg(collect_list(struct(col("bsize"), col("bestScore"))).as("cls"))
     val score = (e: org.apache.spark.sql.Column) =>
-      chem.parityScore(e.getField("bsize"), col("csize"))
+      cc.parityScore(e.getField("bsize"), col("csize"))
     domClass.join(graft.plans.DimBroadcast.dim(candCog), Seq("brand", "bucket"))
       .select(col("suppkey"), col("cogId"),
         array_max(transform(col("cls"), e => score(e))).as("maxAnyScore"),
@@ -367,9 +372,13 @@ object GraphTables {
       .withColumn("interactionMode", ownershipBand(col("perc")))
       .withColumn("uniqueID", concat(col("ok"), lit("_"), col("pk")))
 
-    val cognates = part.select(col("p_partkey").as("cogId"),
-      chem.canonicalSmiles(col("p_name")).as("cogName"),
-      col("p_brand").as("brand"), col("p_size").as("csize"))
+    // I1/I2 through the toolkit's df-level hook: a Column toolkit adds an
+    // expression, a table toolkit a broadcast join — same build either way
+    val cognates = chem.canonicalize(
+        part.select(col("p_partkey").as("cogId"), col("p_name"),
+          col("p_brand").as("brand"), col("p_size").as("csize")),
+        "p_name", "cogName")
+      .select("cogId", "cogName", "brand", "csize")
 
     // C10 candidates per DISTINCT ligand structure, blocked on
     // (brand, size-bucket) → I3 score → D4 best. Occurrences join back
@@ -378,9 +387,10 @@ object GraphTables {
       col("p_brand").as("brand"), expr("p_size div 10").as("bucket"),
       col("p_size").as("bsize"))
     val candCog = cognates.withColumn("bucket", expr("csize div 10"))
-    val scored = ligands.join(candCog, Seq("brand", "bucket"))
-      .select(col("ligandUniqueID"), col("cogId"),
-        chem.parityScore(col("bsize"), col("csize")).as("parityScore"))
+    val scored = chem.scoreCandidates(
+        ligands.join(candCog, Seq("brand", "bucket")),
+        "ligandUniqueID", "cogId", "bsize", "csize", "parityScore")
+      .select("ligandUniqueID", "cogId", "parityScore")
     val similarity = WindowOps.argmaxFlag(scored, Seq("ligandUniqueID"),
       col("parityScore"), "bestCognate")
 

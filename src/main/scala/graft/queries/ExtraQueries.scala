@@ -250,6 +250,46 @@ object ExtraQueries {
         .orderBy("p_brand", "kind")
     }),
 
+    // I7 — the TABLE-BACKED chemistry kernel end-to-end (VERDICT r11
+    // item 5; docs/CHEM_BRIDGE.md "primary" path): the registry is built
+    // with TableChemToolkit over in-engine bridge tables with the offline
+    // generator's exact output contract (SyntheticBridge — canonical +
+    // blocked-pair parity, a<=b key order), so every similarity score
+    // flows through the chem_parity BROADCAST-JOIN lookup (columnPure =
+    // false ⇒ the registry's domainCognate routes definitional — spec-
+    // pinned in DomainCognateSpec), and every cogName through the
+    // chem_canonical join. The output is the definitional domain–cognate
+    // reachability restricted to a dashboard-page-sized domain subset
+    // (the filter pushes below the distinct), with maxAny/maxBest
+    // exactly GraphTables.domainCognate's columns. The oracle computes
+    // the same values from the FORMULA — passing means the table-keyed
+    // lookup path is value-identical to the Column path, which is the
+    // drop-in guarantee a real RDKit table inherits.
+    RQ("i7_table_kernel_cognates", Some(s"""${ProCogQueryDefs.G},
+      ip AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+             FROM lineitem WHERE l_suppkey <= 20)
+      SELECT CAST(ip.sk AS BIGINT) AS suppkey,
+             CAST(s.cog AS BIGINT) AS cogId,
+             max(s.score) AS maxAnyScore,
+             max(CASE WHEN s.best = 'Y' THEN s.score END) AS maxBestScore
+      FROM ip JOIN sim s ON s.pk = ip.pk
+      GROUP BY 1, 2 ORDER BY suppkey, cogId"""))((s, dir) => {
+      import graft.chem.{SyntheticBridge, TableChemToolkit}
+      val tk = TableChemToolkit(SyntheticBridge.tables(s, dir))
+      val g = graft.graph.GraphTables.build(s, dir, tk)
+      val ip = t(s, dir, "lineitem").filter(col("l_suppkey") <= 20)
+        .select(col("l_partkey").as("ligandUniqueID"),
+          col("l_suppkey").as("suppkey"))
+        .distinct()
+      ip.join(g.similarity.select(col("ligandUniqueID"), col("cogId"),
+          col("parityScore"), col("bestCognate")), "ligandUniqueID")
+        .groupBy("suppkey", "cogId")
+        .agg(max(col("parityScore")).as("maxAnyScore"),
+          max(when(col("bestCognate") === "Y", col("parityScore")))
+            .as("maxBestScore"))
+        .orderBy("suppkey", "cogId")
+    }),
+
     // I3 — PARITY pairwise scorer through the mapPartitions kernel seam
     // (get_pdb_parity.py:88-107): candidate pairs blocked on
     // (brand, size-bucket) — never all-pairs — scored once per distinct

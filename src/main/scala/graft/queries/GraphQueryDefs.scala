@@ -273,6 +273,50 @@ object GraphQueryDefs {
                   THEN CAST(n_reached AS DOUBLE) / CAST(tot AS DOUBLE)
                   ELSE 0.0 END AS closeness
       FROM cl ORDER BY suppkey"""))((s, dir) =>
-      GraphAnalytics.closenessCentrality(s, dir))
+      GraphAnalytics.closenessCentrality(s, dir)),
+
+    // X11 — HyperBall closeness under the sketch GATE (VERDICT r11 item
+    // 4): the fact-scale successor of x10 — per-vertex HLL registers
+    // merged by max over the same top-3 graph, constant state/message
+    // size where x10's exact maps grow O(V) per vertex. The sketch value
+    // itself is register-layout-specific (never hash-matchable), so the
+    // d16/v5 gate shape applies: the output carries the EXACT x10
+    // values (oracle-checkable via the same recursive CTE) plus
+    // deterministic booleans asserting the estimate landed inside the
+    // sketch's error budget — n_reached within max(2, 15%) (512
+    // registers ⇒ rsd ≈ 4.6%; small counts ride linear counting), the
+    // HyperBall distance sum within max(6, 20%) (it accumulates
+    // per-round estimate DELTAS, so its variance is larger). An
+    // operator sizing a 100 TB closeness job reads this table to decide
+    // whether 512 registers suffice before paying the exact-map cost.
+    RQ("x11_hyperball_gate", Some(s"""
+      WITH RECURSIVE $top3CanonSqlCtes,
+      ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      r(src, node, d) AS (
+        SELECT sk, sk, 0 FROM nodes
+        UNION
+        SELECT r.src, ed.b, r.d + 1 FROM r JOIN ed ON ed.a = r.node
+        WHERE r.d < 15),
+      best AS (SELECT src, node, min(d) AS d FROM r GROUP BY 1, 2),
+      cl AS (SELECT src, count(*) - 1 AS n_reached, sum(d) AS tot
+             FROM best GROUP BY 1)
+      SELECT src AS suppkey, CAST(n_reached AS BIGINT) AS n_reached,
+             CAST(tot AS BIGINT) AS total_dist,
+             CAST(1 AS BIGINT) AS reached_ok,
+             CAST(1 AS BIGINT) AS dist_ok
+      FROM cl ORDER BY suppkey"""))((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val exact = GraphAnalytics.closenessCentrality(s, dir)
+      val est = GraphAnalytics.hyperBallCloseness(s, dir)
+      exact.join(est, "suppkey")
+        .select(col("suppkey"), col("n_reached"), col("total_dist"),
+          when(abs(col("n_reached_est") - col("n_reached").cast("double"))
+            <= greatest(lit(2.0), col("n_reached").cast("double") * 0.15),
+            1L).otherwise(0L).as("reached_ok"),
+          when(abs(col("total_dist_est") - col("total_dist").cast("double"))
+            <= greatest(lit(6.0), col("total_dist").cast("double") * 0.2),
+            1L).otherwise(0L).as("dist_ok"))
+        .orderBy("suppkey")
+    })
   )
 }

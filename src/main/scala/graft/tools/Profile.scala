@@ -30,17 +30,25 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").queryExecution.toRdd.count()
-    val byName = graft.SparkEntry.all.map(r => r.name -> r).toMap
+    // bare-operator probes for SCALING.md rows where the registered query
+    // deliberately bundles a sketch with its exact gate (x11): the sf1
+    // ratio of the SKETCH is the scale claim, the gate's exact side has
+    // its own documented floor (x10)
+    val ops: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("op:hyperball" -> ((s, d) =>
+        graft.graph.GraphAnalytics.hyperBallCloseness(s, d)))
+    val byName = graft.SparkEntry.all.map(r =>
+      r.name -> r.build).toMap ++ ops
     names.foreach { n =>
-      val rq = byName(n)
+      val build = byName(n)
       if (explain) {
         println(s"===== $n plan =====")
-        println(rq.build(spark, sfDir).queryExecution.explainString(
+        println(build(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       }
       (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
-        rq.build(spark, sfDir).queryExecution.toRdd.count()
+        build(spark, sfDir).queryExecution.toRdd.count()
         println(f"[profile] $n run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }

@@ -50,7 +50,7 @@ class DomainCognateSpec extends SparkSpec {
       // would take (VERDICT r10 item 5: the factorization's premise breaks
       // the day a real toolkit backs the registry; the selection must be a
       // trait flag, not prose). Test-only: registered plans stay UDF-free.
-      object UdfChem extends graft.chem.ChemToolkit {
+      object UdfChem extends graft.chem.ColumnChem {
         override val columnPure: Boolean = false
         override def canonicalSmiles(d: Column): Column = upper(trim(d))
         private val scoreUdf = udf { (x: Long, y: Long) =>
@@ -71,6 +71,38 @@ class DomainCognateSpec extends SparkSpec {
       val fix = GraphTables.build(spark, "/root/testdata/sf0.001")
         .domainCognate.select("suppkey", "cogId", "maxAnyScore", "maxBestScore")
       assert(a.exceptAll(fix).isEmpty && fix.exceptAll(a).isEmpty)
+    }
+
+    it("the table-backed kernel (TableChemToolkit) routes definitional and reproduces the fixture registry") {
+      // VERDICT r11 item 5: the bridge-table toolkit end-to-end — scores
+      // via the chem_parity broadcast join, canonical names via the
+      // chem_canonical join, domainCognate through the definitional path
+      // (columnPure = false), value-identical to the Column-expressed
+      // fixture registry because SyntheticBridge derives its tables from
+      // the ONE FixtureChem score/canonicalisation definition.
+      import graft.chem.{SyntheticBridge, TableChemToolkit}
+      val dir = "/root/testdata/sf0.001"
+      val tk = TableChemToolkit(SyntheticBridge.tables(spark, dir))
+      val g = GraphTables.build(spark, dir, tk)
+      assert(g.domainCognatePath === "definitional")
+      assert(!g.domainCognate.queryExecution.optimizedPlan.toString
+        .contains("collect_list"), "table toolkit must not factorize")
+      val fix = GraphTables.build(spark, dir)
+      val cols = Seq("suppkey", "cogId", "maxAnyScore", "maxBestScore")
+      val a = g.domainCognate.select(cols.map(col): _*)
+      val b = fix.domainCognate.select(cols.map(col): _*)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "table-kernel domainCognate diverges from the fixture registry")
+      // the scored candidate table itself: bit-identical doubles + flags
+      val sCols = Seq("ligandUniqueID", "cogId", "parityScore", "bestCognate")
+      val sa = g.similarity.select(sCols.map(col): _*)
+      val sb = fix.similarity.select(sCols.map(col): _*)
+      assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty,
+        "table-kernel similarity diverges from the fixture scores")
+      // canonical names through the chem_canonical join
+      val ca = g.cognates.select("cogId", "cogName")
+      val cb = fix.cognates.select("cogId", "cogName")
+      assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty)
     }
 
     it("maxBestScore is null exactly when no best-flagged path exists") {

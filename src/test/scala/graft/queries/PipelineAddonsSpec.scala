@@ -147,6 +147,41 @@ class PipelineAddonsSpec extends SparkSpec {
     }
   }
 
+  describe("x11_hyperball_gate") {
+    it("every vertex's sketch estimate passes both gates at sf0.001") {
+      val out = run("x11_hyperball_gate").cache()
+      try {
+        assert(out.filter(col("reached_ok") =!= 1L).count() === 0L,
+          "a reached-set estimate left the 15% budget")
+        assert(out.filter(col("dist_ok") =!= 1L).count() === 0L,
+          "a distance-sum estimate left the 20% budget")
+        // exact columns are x10's exact columns — one row per vertex
+        val x10 = run("x10_closeness")
+        assert(out.count() === x10.count())
+      } finally out.unpersist()
+    }
+    it("the sketch is deterministic: two runs produce identical estimates") {
+      import graft.graph.GraphAnalytics
+      val a = GraphAnalytics.hyperBallCloseness(spark, sf)
+      val b = GraphAnalytics.hyperBallCloseness(spark, sf)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "HyperBall estimates differ between identical runs")
+    }
+    it("register-merge kernel: max-merge is idempotent and improves() detects subsumption") {
+      import graft.graph.GraphAnalytics.HyperBall._
+      val r1 = emptyRegs(); addId(r1, 7L); addId(r1, 9L)
+      val r2 = emptyRegs(); addId(r2, 9L)
+      val m = mergeRegs(r1, r2)
+      assert(java.util.Arrays.equals(m, mergeRegs(m, r2)), "merge not idempotent")
+      assert(!improves(r2, m), "subsumed sketch reported as improving")
+      assert(improves(r1, emptyRegs()), "non-empty sketch must improve empty")
+      // estimator sanity: singletons ≈ 1, unions grow monotonically
+      val e1 = estimate(r2)
+      assert(e1 > 0.5 && e1 < 2.0, s"singleton estimate $e1 out of range")
+      assert(estimate(m) >= e1)
+    }
+  }
+
   describe("v18_knn_graph") {
     it("per-vector ranks are contiguous from 1 with monotone cosine") {
       val out = run("v18_knn_graph").cache()

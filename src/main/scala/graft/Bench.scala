@@ -634,9 +634,13 @@ object Bench {
       "chem_path" -> ("\"" + graphOpt.map(_.domainCognatePath)
         .getOrElse("none") + "\""),
       "jvm" -> ("\"" + System.getProperty("java.vm.version") + "\"")))
+    // budget check (r11's lesson): exec_tail + total_final + sbt's
+    // [info]/[success] framing must fit ~2000 chars — 4 compact exec
+    // entries, 6 walls, 3 warmup_run stats, 3 sink records measured
+    // ~1.75k on the full 217-query run
     val execTailJson = jmap(slowest.take(4).map(r => execEntry(r, compact = true)))
-    val wallsJson = jmap(slowest.take(8).map(r => r.name -> f(r.sec)))
-    println(s"""{"metric":"exec_tail","value":${f(total)},"telem":$telemMini,"exec":$execTailJson,"walls":$wallsJson,"warmup_run":${groupStatsJson(warmStats, 4)},"etl3_sinks":${sinksJsonN(3)},"sf":"$sfDir"}""")
+    val wallsJson = jmap(slowest.take(6).map(r => r.name -> f(r.sec)))
+    println(s"""{"metric":"exec_tail","value":${f(total)},"telem":$telemMini,"exec":$execTailJson,"walls":$wallsJson,"warmup_run":${groupStatsJson(warmStats, 3)},"etl3_sinks":${sinksJsonN(3)},"sf":"$sfDir"}""")
     // LAST line, fixed-size (≤ ~200 chars): the headline number must
     // survive ANY tail-window capture (VERDICT r9 item 1). Failed names
     // are capped at 3; the full list is on the lines above.

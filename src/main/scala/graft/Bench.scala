@@ -585,6 +585,10 @@ object Bench {
         // is host-side
         Seq("in_mb" -> f(r.tm.inputBytes / mb),
           "in_rows" -> r.tm.inputRecords.toString,
+          // task count: wall ≈ tasks × per-task overhead with low cpu_ms
+          // marks a scheduling-floor query (j-family replays), distinct
+          // from both recompute and host stall
+          "tasks" -> r.tm.tasks.toString,
           "shuf_rd_mb" -> f(r.tm.shufReadBytes / mb),
           "shuf_wr_mb" -> f(r.tm.shufWriteBytes / mb)) ++
         (if (keep(r.tm.spillBytes))

@@ -560,6 +560,80 @@ object MultimodalQueries {
         .select(col("da").as("media_a"), col("db").as("media_b"),
           col("hamm"))
         .orderBy("media_a", "media_b")
+    }),
+
+    // M13 — MP3 container-metadata scan over REAL MPEG frame headers:
+    // the engine synthesizes spec-valid MPEG-1 Layer III streams (frame
+    // parameters deterministic per asset), and the kernel SYNC-SCANS the
+    // actual bytes — header validation, frame-length walk, CBR check —
+    // recovering frame count / bitrate / samplerate / sample total
+    // (ContainerMeta.parseMp3). This is the real first pass of a media
+    // ingest at 100 TB: duration/bitrate inventory and corrupt-asset
+    // rejection need the container FORMAT, not a decoder — DECODE stays
+    // stubbed (no ffmpeg in the container, the documented seam).
+    // duration_sec is ONE division of two exact longs.
+    RQ("m13_mp3_frame_scan", Some("""
+      SELECT doc_id AS media_id,
+             CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames,
+             CAST(list_extract([32,40,48,56,64,80,96,112,128,160,192,224,
+                                256,320],
+                  CAST(doc_id % 14 AS INT) + 1) AS BIGINT) AS kbps,
+             CAST(list_extract([44100,48000,32000],
+                  CAST(doc_id % 3 AS INT) + 1) AS BIGINT) AS hz,
+             CAST((1 + octet_length(encode(text)) % 8) * 1152 AS BIGINT)
+               AS samples,
+             CAST((1 + octet_length(encode(text)) % 8) * 1152 AS DOUBLE) /
+               CAST(list_extract([44100,48000,32000],
+                    CAST(doc_id % 3 AS INT) + 1) AS DOUBLE) AS duration_sec
+      FROM documents ORDER BY media_id"""))((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.ContainerMeta
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("data"))
+        .as[(Long, Array[Byte])]
+      src.mapPartitions(_.map { case (id, data) =>
+        val mp3 = ContainerMeta.encodeMp3(data, 1 + data.length % 8,
+          (id % 14).toInt + 1, (id % 3).toInt)
+        val m = ContainerMeta.parseMp3(mp3).getOrElse(
+          sys.error(s"unparseable mp3 for media $id"))
+        (id, m.nFrames, m.kbps, m.hz, m.samples,
+          m.samples.toDouble / m.hz.toDouble)
+      }).toDF("media_id", "n_frames", "kbps", "hz", "samples",
+          "duration_sec")
+        .orderBy("media_id")
+    }),
+
+    // M14 — MP4 (ISO BMFF) box walk, same design: spec-valid ftyp/moov/
+    // mvhd/trak/mdat trees synthesized per asset, the kernel walks the
+    // length-prefixed box tree recovering major brand, movie timescale/
+    // duration, track count, and mdat payload bytes
+    // (ContainerMeta.parseMp4) — the video-shard inventory pass (what
+    // packing and per-modality quota mixing key on) without a decoder.
+    RQ("m14_mp4_box_walk", Some("""
+      SELECT doc_id AS media_id, 'isom' AS major,
+             CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+             CAST(octet_length(encode(text)) * 17 AS BIGINT) AS duration,
+             CAST(1 + doc_id % 3 AS BIGINT) AS n_traks,
+             CAST(octet_length(encode(text)) AS BIGINT) AS mdat_bytes,
+             CAST(octet_length(encode(text)) * 17 AS DOUBLE) /
+               CAST(600 * (1 + doc_id % 4) AS DOUBLE) AS duration_sec
+      FROM documents ORDER BY media_id"""))((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.ContainerMeta
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("data"))
+        .as[(Long, Array[Byte])]
+      src.mapPartitions(_.map { case (id, data) =>
+        val mp4 = ContainerMeta.encodeMp4(data, "isom",
+          600 * ((id % 4).toInt + 1), data.length.toLong * 17,
+          (id % 3).toInt + 1)
+        val m = ContainerMeta.parseMp4(mp4).getOrElse(
+          sys.error(s"unparseable mp4 for media $id"))
+        (id, m.major, m.timescale, m.duration, m.nTraks, m.mdatBytes,
+          m.duration.toDouble / m.timescale.toDouble)
+      }).toDF("media_id", "major", "timescale", "duration", "n_traks",
+          "mdat_bytes", "duration_sec")
+        .orderBy("media_id")
     })
   )
 }

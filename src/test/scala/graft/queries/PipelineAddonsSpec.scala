@@ -147,6 +147,42 @@ class PipelineAddonsSpec extends SparkSpec {
     }
   }
 
+  describe("m13/m14 container-metadata parsers") {
+    import graft.multimodal.ContainerMeta
+
+    it("mp3 round-trips exactly and rejects corrupt/truncated streams") {
+      val data = Array.tabulate(300)(i => (i % 101).toByte)
+      val mp3 = ContainerMeta.encodeMp3(data, nFrames = 5, bitrateIdx = 9,
+        srIdx = 1)
+      val m = ContainerMeta.parseMp3(mp3).get
+      assert(m.nFrames === 5L && m.kbps === 128L && m.hz === 48000L)
+      assert(m.samples === 5L * 1152L)
+      // corrupt the sync word of frame 0 → rejected
+      val bad = mp3.clone(); bad(0) = 0x7f.toByte
+      assert(ContainerMeta.parseMp3(bad).isEmpty)
+      // truncate mid-frame → rejected (a frame header promises bytes the
+      // payload doesn't have)
+      assert(ContainerMeta.parseMp3(mp3.dropRight(10)).isEmpty)
+      // reserved bitrate index (15) in frame 0 → rejected
+      val resv = mp3.clone(); resv(2) = (0xf << 4).toByte
+      assert(ContainerMeta.parseMp3(resv).isEmpty)
+    }
+
+    it("mp4 box walk recovers ftyp/mvhd/trak/mdat and rejects malformed trees") {
+      val data = Array.tabulate(64)(i => i.toByte)
+      val mp4 = ContainerMeta.encodeMp4(data, "isom", timescale = 1200,
+        duration = 54321L, nTraks = 2)
+      val m = ContainerMeta.parseMp4(mp4).get
+      assert(m.major === "isom" && m.timescale === 1200L &&
+        m.duration === 54321L && m.nTraks === 2L && m.mdatBytes === 64L)
+      // a box size that overruns the payload → rejected
+      val bad = mp4.clone(); bad(3) = 0x7f.toByte // inflate ftyp size
+      assert(ContainerMeta.parseMp4(bad).isEmpty)
+      // truncated tail → rejected (pos never lands exactly at length)
+      assert(ContainerMeta.parseMp4(mp4.dropRight(5)).isEmpty)
+    }
+  }
+
   describe("x11_hyperball_gate") {
     it("every vertex's sketch estimate passes both gates at sf0.001") {
       val out = run("x11_hyperball_gate").cache()

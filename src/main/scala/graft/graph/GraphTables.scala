@@ -159,19 +159,55 @@ final case class GraphTables(
         Seq("brand", "bucket", "bsize"))
       .groupBy("suppkey", "brand", "bucket")
       .agg(collect_list(struct(col("bsize"), col("bestScore"))).as("cls"))
-    val score = (e: org.apache.spark.sql.Column) =>
-      cc.parityScore(e.getField("bsize"), col("csize"))
-    domClass.join(graft.plans.DimBroadcast.dim(candCog), Seq("brand", "bucket"))
+    // the per-output-row scoring loop runs on the NATIVE codegen
+    // expression (plans/ClassBestScores), not array_max-over-transform:
+    // Spark's higher-order functions evaluate their lambda bodies
+    // INTERPRETED (boxed Greatest/Divide tree-walks per element —
+    // JFR-measured as the registry build's dominant frames; 20M rows ×
+    // ~10 class elements × 2-3 evals was the warmup floor, ×25 on the
+    // r11 driver host). The toolkit's own parityScore is analyzed once
+    // and compiled INLINE against the loop variables, so any column-pure
+    // toolkit keeps the factorization AND the codegen.
+    import org.apache.spark.sql.graftx.GraftPlanBridge
+    val packed = domClass
+      .join(graft.plans.DimBroadcast.dim(candCog), Seq("brand", "bucket"))
       .select(col("suppkey"), col("cogId"),
-        array_max(transform(col("cls"), e => score(e))).as("maxAnyScore"),
-        // when matched, score(e) == bestScore by the comparison itself —
-        // emitting the struct field instead of re-evaluating the score
-        // expression cuts the hot fan-out loop from 3 to 2 score evals
-        // per class element (this projection runs once per output row ×
-        // array element, the registry build's hottest expression)
-        array_max(transform(col("cls"), e =>
-          when(score(e) === e.getField("bestScore"),
-            e.getField("bestScore")))).as("maxBestScore"))
+        GraftPlanBridge.columnOf(graft.plans.ClassBestScores(
+          GraftPlanBridge.expressionOf(col("cls")),
+          GraftPlanBridge.expressionOf(col("csize").cast("long")),
+          boundScore(cc))).as("_sc"))
+    packed.select(col("suppkey"), col("cogId"),
+      col("_sc.maxAnyScore").as("maxAnyScore"),
+      col("_sc.maxBestScore").as("maxBestScore"))
+  }
+
+  /** The toolkit's parityScore as an ANALYZED catalyst expression over
+    * ClassBestScores' two bound slots (0 = bsize, 1 = csize, both long) —
+    * what lets the native loop compile an ARBITRARY column-pure score
+    * inline. Resolution goes through a one-row dummy plan because the
+    * public Column API builds unresolved nodes; the analyzer resolves
+    * the function tree, then the two attributes rebind to the loop
+    * slots.
+    */
+  private def boundScore(cc: graft.chem.ColumnChem)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val s = entries.sparkSession
+    val base = s.range(1).select(col("id").as("b"), col("id").as("c"))
+    val analyzed = base.select(cc.parityScore(col("b"), col("c")).as("s"))
+      .queryExecution.analyzed.asInstanceOf[Project]
+    val expr = analyzed.projectList.head match {
+      case a: Alias => a.child
+      case e => e
+    }
+    val in = analyzed.child.output // (b, c)
+    expr.transform {
+      case a: AttributeReference if a.exprId == in(0).exprId =>
+        graft.plans.ClassBestScores.BoundB
+      case a: AttributeReference if a.exprId == in(1).exprId =>
+        graft.plans.ClassBestScores.BoundC
+    }
   }
 
   /** Co-binding partner counts of the supplier similarity graph,

@@ -25,6 +25,20 @@ object GraftPlanBridge {
   def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 
+  /** Column over a hand-built catalyst Expression (and back) — the typed
+    * entry point for custom expressions that take non-SQL-expressible
+    * constructor arguments (ClassBestScores carries a BOUND score
+    * expression), where the `injectFunction` + `call_function` route
+    * can't apply.
+    */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  def expressionOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Catalyst's float-key normalization (`NormalizeFloatingNumbers.
     * normalize`: -0.0 → 0.0, one canonical NaN, incl. nested types) for
     * custom operators' grouping keys — the optimizer rule itself only

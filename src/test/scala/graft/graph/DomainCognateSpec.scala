@@ -105,6 +105,32 @@ class DomainCognateSpec extends SparkSpec {
       assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty)
     }
 
+    it("the native scoring loop COMPILES — no silent interpreted fallback") {
+      // CODEGEN_ONLY makes projection creation THROW on a janino failure
+      // instead of silently degrading to the interpreted eval() — the
+      // regression this native expression exists to remove would
+      // otherwise come back invisibly on any codegen bug
+      val key = "spark.sql.codegen.factoryMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "CODEGEN_ONLY")
+      try {
+        val g = GraphTables.build(spark, "/root/testdata/sf0.001")
+        val out = g.domainCognate
+        assert(out.queryExecution.executedPlan.toString
+          .contains("classbestscores") ||
+          out.queryExecution.optimizedPlan.toString
+            .contains("classbestscores"),
+          "factorized plan no longer routes through ClassBestScores")
+        assert(out.count() > 0)
+        out.unpersist(blocking = true)
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+
     it("maxBestScore is null exactly when no best-flagged path exists") {
       val g = GraphTables.build(spark, "/root/testdata/sf0.001")
       val d = definitional(g)

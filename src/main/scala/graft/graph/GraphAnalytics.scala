@@ -65,12 +65,17 @@ object GraphAnalytics {
     * totals, since contactCount is the per-entry slice of this sum and
     * the quantities are positive so cast/floor agree).
     */
-  private[graft] def cappedIncidenceFrom(inc: DataFrame): DataFrame = {
-    val w = Window.partitionBy("pk").orderBy(col("q").desc, col("sk"))
-    inc.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= CoBindCap)
+  private[graft] def cappedIncidenceFrom(inc: DataFrame): DataFrame =
+    // native TopKPerGroup, not a row_number window: the window SHUFFLES
+    // AND SORTS the whole incidence table to keep ≤ CoBindCap rows per
+    // part, the exec keeps per-group heaps map-side so the one exchange
+    // carries ≤ cap rows per (part, input partition) — the v18 lesson
+    // applied to the registry's second-biggest warmup table. Identical
+    // rows: exact top-cap under (q desc, sk asc), the window's own
+    // deterministic tie order (TopKPerGroupSpec pins window equivalence).
+    graft.plans.TopKPerGroup.topK(inc, groupCols = Seq("pk"),
+      order = Seq(("q", true), ("sk", false)), k = CoBindCap)
       .select("pk", "sk")
-  }
 
   /** Co-binding partner COUNTS from a capped incidence frame:
     * (s1, s2, n) in both orientations, s1 ≠ s2, n = number of shared

@@ -181,6 +181,17 @@ object ExportStage {
             ExportTelemetry.record(s"rewarm:$name",
               (System.nanoTime() - t0) / 1e9)
           case Some(_) => () // fully resident — every sink reads blocks
+          case None if org.apache.spark.sql.graftx.GraftCacheBridge
+              .hasCacheEntry(spark, df) =>
+            // the CALLER persisted this table but its buffers never
+            // materialized (warmup skipped or failed) — count() fills the
+            // caller's OWN entry; persisting here and releasing in the
+            // finally would instead remove the caller's cache so every
+            // later consumer silently recomputes full lineage (ADVICE r12)
+            val t0 = System.nanoTime()
+            df.queryExecution.toRdd.count()
+            ExportTelemetry.record(s"materialize:$name",
+              (System.nanoTime() - t0) / 1e9)
           case None =>
             val t0 = System.nanoTime()
             val p = df.persist()

@@ -299,6 +299,17 @@ object GraphAnalytics {
     val edges = topKCanonEdges(s, dir, k).repartition(GraphParts).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     var g = Graph(vertices, edges).cache()
+    // Pregel's unpersist pattern (ADVICE r12): `g.outerJoinVertices`
+    // derives the new graph's edge partitions INCREMENTALLY from the
+    // previous round's (shipping only changed vertex attrs), so
+    // Graph.unpersist on the input inside the loop drops edge partitions
+    // the new graph still reads — every later superstep then recomputes
+    // them from lineage. Instead: superseded VERTICES unpersist as soon
+    // as the new ones materialize, superseded EDGES only after the NEXT
+    // round's aggregateMessages has materialized the new edge partitions
+    // (a full count on the dimension-sized message aggregate forces all
+    // of them — isEmpty() would stop at the first non-empty partition).
+    var prevEdges: org.apache.spark.graphx.EdgeRDD[Unit] = null
     var t = 1
     var converged = false
     while (t <= cap && !converged) {
@@ -314,7 +325,12 @@ object GraphAnalytics {
             ctx.sendToSrc(ctx.dstAttr.regs)
         },
         mergeRegs)
-      if (msgs.isEmpty()) converged = true
+      val empty = msgs.count() == 0L // materializes g's edges in full
+      if (prevEdges != null) {
+        prevEdges.unpersist(blocking = false)
+        prevEdges = null
+      }
+      if (empty) converged = true
       else {
         val round = t // stable capture for the closure
         val next = g.outerJoinVertices(msgs) {
@@ -326,11 +342,15 @@ object GraphAnalytics {
           case (_, st, None) => st
         }.cache()
         next.vertices.count() // materialize before unpersisting the input
-        g.unpersist(blocking = false)
+        g.unpersistVertices(blocking = false)
+        prevEdges = g.edges
         g = next
       }
       t += 1
     }
+    // the output reads only g.vertices (cached + materialized above), so
+    // the last superseded edge RDD can go regardless of exit path
+    if (prevEdges != null) prevEdges.unpersist(blocking = false)
     val out = s.createDataFrame(g.vertices.map { case (id, st) =>
       val reached = math.max(0.0, st.prevEst - st.est0)
       (id, reached, st.distEst,

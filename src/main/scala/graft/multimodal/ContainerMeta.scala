@@ -130,7 +130,12 @@ object ContainerMeta {
   def encodeMp4(data: Array[Byte], major: String, timescale: Int,
                 duration: Long, nTraks: Int): Array[Byte] = {
     require(major.length == 4, s"major brand must be 4 chars: '$major'")
-    require(nTraks >= 0 && timescale > 0 && duration >= 0)
+    // v0 mvhd carries a 32-bit duration; a wider value would silently
+    // truncate through be32 and the round-trip would disagree with the
+    // caller (ADVICE r12) — refuse rather than emit a wrong container
+    require(nTraks >= 0 && timescale > 0 &&
+      duration >= 0 && duration <= 0xFFFFFFFFL,
+      s"v0 mvhd duration must fit 32 bits unsigned: $duration")
     val bb = new java.io.ByteArrayOutputStream()
     def be32(v: Int): Unit = {
       bb.write((v >>> 24) & 0xff); bb.write((v >>> 16) & 0xff)

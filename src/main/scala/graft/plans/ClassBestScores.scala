@@ -50,7 +50,27 @@ import org.apache.spark.sql.types._
 case class ClassBestScores(cls: Expression, csize: Expression,
                            score: Expression) extends Expression {
 
-  override def children: Seq[Expression] = Seq(cls, csize, score)
+  // `score` is deliberately NOT a child (ADVICE r12): its BoundReferences
+  // (ordinals 0/1) address the generated loop's locals, not the
+  // operator's input schema. Exposed via children, operator-level
+  // tree passes — notably whole-stage SUBEXPRESSION ELIMINATION in
+  // ProjectExec — may hoist a non-leaf subtree of score that
+  // structurally equals a sibling projection subtree and evaluate it
+  // against the operator's INPUT row, silently corrupting scores
+  // whenever a column-pure toolkit's expression shares subtrees with a
+  // neighboring column (ClassBestScoresSpec pins exactly that shape).
+  // Hiding it is sound because score is fully bound at construction
+  // (GraphTables analyzes it through a dummy plan first): no analysis,
+  // resolution, or column-pruning pass needs to rewrite inside it, and
+  // case-class equality/canonicalization still compare it.
+  override def children: Seq[Expression] = Seq(cls, csize)
+
+  override lazy val resolved: Boolean =
+    cls.resolved && csize.resolved && score.resolved &&
+      checkInputDataTypes().isSuccess
+
+  override lazy val deterministic: Boolean =
+    cls.deterministic && csize.deterministic && score.deterministic
 
   override def checkInputDataTypes(): TypeCheckResult =
     (cls.dataType, csize.dataType, score.dataType) match {
@@ -186,8 +206,7 @@ case class ClassBestScores(cls: Expression, csize: Expression,
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): ClassBestScores =
-    copy(cls = newChildren(0), csize = newChildren(1),
-      score = newChildren(2))
+    copy(cls = newChildren(0), csize = newChildren(1))
 }
 
 object ClassBestScores {

@@ -87,6 +87,23 @@ object GraftCacheBridge {
     }
   }
 
+  /** Whether the plan has a CacheManager entry at all — materialized or
+    * not. Distinguishes the two cases [[residency]] collapses to None:
+    * "caller persisted but buffers never loaded" (entry present — a
+    * count() materializes INTO the caller's entry) vs "never persisted"
+    * (no entry — the consumer must persist for itself). ExportStage's
+    * input-residency gate needs the distinction (ADVICE r12): treating a
+    * cached-but-unmaterialized registry table as uncached would persist
+    * AND RELEASE it in the stage's finally, silently removing the
+    * caller's cache entry so every later consumer recomputes lineage.
+    */
+  def hasCacheEntry(s: SparkSession, df: org.apache.spark.sql.DataFrame)
+      : Boolean = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    cs.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[classic.Dataset[_]]).isDefined
+  }
+
   /** Wait until the async listener bus has delivered every posted event
     * (`SparkContext.listenerBus` is `private[spark]`, reachable from this
     * bridge package). The bench samples its block-telemetry counters

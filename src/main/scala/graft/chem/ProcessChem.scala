@@ -1,0 +1,253 @@
+package graft.chem
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The LIVE chemistry bridge (docs/CHEM_BRIDGE.md, VERDICT r12 item 2):
+  * a process-boundary `ChemToolkit` that scores pairs the bridge TABLES
+  * don't contain — the capability gap a reference user would hit with a
+  * novel ligand (the reference computes parity live inside Python
+  * workers, get_pdb_parity.py:88-107, with rdFMCS's own 40 s timeout,
+  * nextflow.config:81).
+  *
+  * Shape: one worker subprocess PER PARTITION (spawned inside
+  * `mapPartitions`, destroyed on task completion), a pipelined TSV
+  * request/response protocol over stdio (`tools/chem_bridge_serve.py` —
+  * swap the command for an RDKit-backed script in production; protocol,
+  * batching, budget and failure envelope are the contract). Chemistry
+  * applies only to the ligand DIMENSION, so the worker traffic is
+  * dim-sized: distinct descriptors / distinct candidate pairs go through
+  * the process, and the results broadcast-join back onto the caller's
+  * rows — the fact path never crosses the process boundary.
+  *
+  * `columnPure = false` by construction (the score comes from external
+  * state), so a registry built over this toolkit routes domainCognate
+  * through the definitional path, exactly like [[TableChemToolkit]].
+  *
+  * Failure contract (the reference's): a pair whose computation FAILS
+  * scores 0.0 (get_pdb_parity.py scores errored pairs 0); a pair that
+  * exhausts its budget keeps the worker's best-so-far score (rdFMCS
+  * `canceled`). A descriptor that fails canonicalisation comes back
+  * null — the C11 cache-probe convention for "no canonical form".
+  */
+final case class ProcessChemToolkit(command: Seq[String],
+                                    budgetMillis: Long = 40000L)
+    extends ChemToolkit {
+
+  override val columnPure: Boolean = false
+
+  override def canonicalize(df: DataFrame, inCol: String,
+      outCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cmd = command
+    val canon = df.select(col(inCol).cast("string")).na.drop()
+      .distinct().as[String]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else BridgeWorker.withWorker(cmd) { w =>
+          w.batched(it, (r: String) => s"CANON\t${BridgeWorker.sanitize(r)}") {
+            case (in, BridgeWorker.Ok(fields)) => (in, fields.headOption)
+            case (in, BridgeWorker.Err(_))     => (in, None)
+          }
+        }
+      }
+      .toDF("__pc_in", outCol)
+    df.join(broadcast(canon),
+        df(inCol).cast("string") === canon("__pc_in"), "left")
+      .drop("__pc_in")
+  }
+
+  override def scoreCandidates(df: DataFrame, aCol: String, bCol: String,
+      boundSizeCol: String, cognateSizeCol: String,
+      outCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cmd = command
+    val budget = budgetMillis
+    val scored = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"),
+        col(boundSizeCol).cast("long").as("bs"),
+        col(cognateSizeCol).cast("long").as("cs"))
+      .na.drop().distinct().as[(String, String, Long, Long)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else BridgeWorker.withWorker(cmd) { w =>
+          w.batched(it, (r: (String, String, Long, Long)) =>
+            s"PSIZE\t${BridgeWorker.sanitize(r._1)}\t" +
+              s"${BridgeWorker.sanitize(r._2)}\t${r._3}\t${r._4}\t$budget") {
+            case (r, BridgeWorker.Ok(fields)) =>
+              (r._1, r._2, r._3, r._4, fields.head.toDouble)
+            case (r, BridgeWorker.Err(_)) =>
+              (r._1, r._2, r._3, r._4, 0.0) // computed failure = 0, never null
+          }
+        }
+      }
+      .toDF("__pa", "__pb", "__pbs", "__pcs", outCol)
+    df.join(broadcast(scored),
+        df(aCol).cast("string") === scored("__pa") &&
+          df(bCol).cast("string") === scored("__pb") &&
+          df(boundSizeCol).cast("long") === scored("__pbs") &&
+          df(cognateSizeCol).cast("long") === scored("__pcs"), "left")
+      .drop("__pa", "__pb", "__pbs", "__pcs")
+  }
+
+  /** Live STRUCTURE scoring — the novel-ligand path the table backend
+    * cannot serve: PARITY from the two descriptors themselves (the
+    * reference's compare_molecules consumes molecules, not sizes). Adds
+    * `outCol` (double score; 0.0 on computed failure) and
+    * `<outCol>_status` (ok | timeout | failure — rdFMCS's canceled flag
+    * surfaces as `timeout` with the best-so-far score kept).
+    */
+  def scoreStructures(df: DataFrame, aCol: String, bCol: String,
+      outCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cmd = command
+    val budget = budgetMillis
+    val scored = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b")).na.drop()
+      .distinct().as[(String, String)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else BridgeWorker.withWorker(cmd) { w =>
+          w.batched(it, (r: (String, String)) =>
+            s"PMOL\t${BridgeWorker.sanitize(r._1)}\t" +
+              s"${BridgeWorker.sanitize(r._2)}\t$budget") {
+            case (r, BridgeWorker.Ok(fields)) =>
+              (r._1, r._2, fields.head.toDouble, fields(1))
+            case (r, BridgeWorker.Err(_)) =>
+              (r._1, r._2, 0.0, "failure")
+          }
+        }
+      }
+      .toDF("__pa", "__pb", outCol, s"${outCol}_status")
+    df.join(broadcast(scored),
+        df(aCol).cast("string") === scored("__pa") &&
+          df(bCol).cast("string") === scored("__pb"), "left")
+      .drop("__pa", "__pb")
+  }
+}
+
+object ProcessChemToolkit {
+  /** The committed stand-in worker (see its module docstring): replace
+    * with an RDKit-environment script in production; same protocol.
+    */
+  def default(budgetMillis: Long = 40000L): ProcessChemToolkit =
+    ProcessChemToolkit(Seq("python3",
+      new java.io.File("tools/chem_bridge_serve.py").getAbsolutePath),
+      budgetMillis)
+
+  /** Whether the default worker can run here (used by specs to skip
+    * rather than fail on a python-less host).
+    */
+  def available: Boolean =
+    try {
+      val p = new ProcessBuilder("python3", "--version").start()
+      p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS) &&
+        p.exitValue() == 0
+    } catch { case scala.util.control.NonFatal(_) => false }
+}
+
+/** One worker subprocess + the pipelined line protocol. Constructed on
+  * the EXECUTOR inside mapPartitions (never serialized); destroyed in a
+  * finally. Batches of [[BatchSize]] requests are written then their
+  * responses read — small enough that response bytes can never fill the
+  * 64 KiB pipe buffer while requests are still being written (the
+  * classic two-pipe deadlock), large enough to amortize the syscall per
+  * flush.
+  */
+private[chem] final class BridgeWorker(command: Seq[String]) {
+  import BridgeWorker._
+
+  private val proc = new ProcessBuilder(command: _*)
+    .redirectError(ProcessBuilder.Redirect.INHERIT)
+    .start()
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(proc.getOutputStream,
+      StandardCharsets.UTF_8))
+  private val in = proc.getInputStream
+  private val lineBuf = new java.io.ByteArrayOutputStream(256)
+
+  /** Map `rows` through the worker: render each request with `req`,
+    * decode each response with `resp`. Lazily batched — the returned
+    * iterator drives the protocol as it is consumed.
+    */
+  def batched[A, B](rows: Iterator[A], req: A => String)
+                   (resp: (A, Response) => B): Iterator[B] =
+    rows.grouped(BatchSize).flatMap { group =>
+      group.foreach { r => out.write(req(r)); out.write('\n') }
+      out.flush()
+      group.map(r => resp(r, readResponse()))
+    }
+
+  /** One response line, deadline-guarded: a worker honoring its budget
+    * answers within it (the stand-in and rdFMCS both self-limit); a
+    * HUNG worker is a broken deployment and fails the task loudly
+    * rather than stalling an executor slot forever.
+    */
+  private def readResponse(deadlineMillis: Long = 60000L): Response = {
+    val deadline = System.nanoTime() + deadlineMillis * 1000000L
+    lineBuf.reset()
+    while (true) {
+      if (in.available() > 0) {
+        val b = in.read()
+        if (b == '\n' || b < 0) {
+          val line = new String(lineBuf.toByteArray, StandardCharsets.UTF_8)
+          val fields = line.split("\t", -1).toSeq
+          return fields.headOption match {
+            case Some("OK") => Ok(fields.tail)
+            case _          => Err(fields.drop(1).mkString(" "))
+          }
+        }
+        lineBuf.write(b)
+      } else {
+        if (!proc.isAlive && in.available() == 0)
+          throw new java.io.IOException(
+            s"chem bridge worker died (exit ${proc.exitValue()}): $command")
+        if (System.nanoTime() > deadline)
+          throw new java.io.IOException(
+            s"chem bridge worker hung past ${deadlineMillis} ms: $command")
+        Thread.sleep(2L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def close(): Unit = {
+    try out.close()
+    catch { case scala.util.control.NonFatal(_) => () }
+    proc.destroyForcibly()
+    ()
+  }
+}
+
+private[chem] object BridgeWorker {
+  val BatchSize = 256
+
+  sealed trait Response
+  final case class Ok(fields: Seq[String]) extends Response
+  final case class Err(message: String) extends Response
+
+  /** Tabs/newlines would corrupt the framing — they cannot occur in a
+    * descriptor (SMILES alphabet), but a data error must not desync the
+    * protocol.
+    */
+  def sanitize(s: String): String =
+    if (s == null) "" else s.replace('\t', ' ').replace('\n', ' ')
+
+  /** Run `body` with a worker bound to THIS task: closed on task
+    * completion (covers both full consumption and early termination of
+    * the returned iterator — Spark's limit/take stop consuming without
+    * draining).
+    */
+  def withWorker[T](command: Seq[String])
+                   (body: BridgeWorker => Iterator[T]): Iterator[T] = {
+    val w = new BridgeWorker(command)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => w.close())
+    body(w)
+  }
+}

@@ -290,6 +290,43 @@ object ExtraQueries {
         .orderBy("suppkey", "cogId")
     }),
 
+    // I8 — the LIVE chemistry bridge end-to-end (VERDICT r12 item 2;
+    // docs/CHEM_BRIDGE.md live path): the same dashboard-page replay as
+    // i7, but the registry's similarity scores are computed by a WORKER
+    // SUBPROCESS at query time (ProcessChemToolkit →
+    // tools/chem_bridge_serve.py — the process boundary where RDKit runs
+    // in production, get_pdb_parity.py:88-107, 40 s budget per pair as
+    // nextflow.config:81) — no pre-generated parity rows anywhere.
+    // Traffic across the boundary is dimension-sized (distinct blocked
+    // pairs), results broadcast-join back, and columnPure=false routes
+    // domainCognate definitional. The oracle is i7's: passing means the
+    // live path is value-identical to both the table path and the
+    // Column path (the worker's exact integer-ratio score round-trips
+    // through Python repr bit-exactly).
+    RQ("i8_process_kernel_cognates", Some(s"""${ProCogQueryDefs.G},
+      ip AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+             FROM lineitem WHERE l_suppkey <= 20)
+      SELECT CAST(ip.sk AS BIGINT) AS suppkey,
+             CAST(s.cog AS BIGINT) AS cogId,
+             max(s.score) AS maxAnyScore,
+             max(CASE WHEN s.best = 'Y' THEN s.score END) AS maxBestScore
+      FROM ip JOIN sim s ON s.pk = ip.pk
+      GROUP BY 1, 2 ORDER BY suppkey, cogId"""))((s, dir) => {
+      val tk = graft.chem.ProcessChemToolkit.default()
+      val g = graft.graph.GraphTables.build(s, dir, tk)
+      val ip = t(s, dir, "lineitem").filter(col("l_suppkey") <= 20)
+        .select(col("l_partkey").as("ligandUniqueID"),
+          col("l_suppkey").as("suppkey"))
+        .distinct()
+      ip.join(g.similarity.select(col("ligandUniqueID"), col("cogId"),
+          col("parityScore"), col("bestCognate")), "ligandUniqueID")
+        .groupBy("suppkey", "cogId")
+        .agg(max(col("parityScore")).as("maxAnyScore"),
+          max(when(col("bestCognate") === "Y", col("parityScore")))
+            .as("maxBestScore"))
+        .orderBy("suppkey", "cogId")
+    }),
+
     // I3 — PARITY pairwise scorer through the mapPartitions kernel seam
     // (get_pdb_parity.py:88-107): candidate pairs blocked on
     // (brand, size-bucket) — never all-pairs — scored once per distinct

@@ -14,10 +14,17 @@ import graft.operators.WindowOps
 object ContactsStage {
 
   /** Arpeggio contact record schema (process_pdb_contacts.py:115-121,
-    * 349-350): nested residue structs, array-typed contact list.
+    * 349-350): nested residue structs, array-typed contact list, plus the
+    * per-record `status` the arpeggio wrapper stamps on every envelope
+    * (run_arpeggio.sh:15-22 writes {"status": timeout|arpeggio_failure|
+    * success, "<pdb>": [...]}; unwrapping the envelope to JSON-lines
+    * carries the status onto each record — a failed pdb surfaces as ONE
+    * record with status != success and null contact fields). A null
+    * status reads as success for legacy record streams.
     */
   val contactSchema: StructType = StructType(Seq(
     StructField("pdb_id", StringType),
+    StructField("status", StringType),
     StructField("bgn", StructType(Seq(
       StructField("auth_asym_id", StringType),
       StructField("auth_seq_id", LongType),
@@ -36,12 +43,57 @@ object ContactsStage {
   val irrelevant: Seq[String] = Seq("proximal", "vdw_clash", "clash")
 
   /** Relevance filter (B3): any contact type outside the irrelevant set,
-    * and inter-entity only.
+    * inter-entity only, and only records from a SUCCESSFUL arpeggio run —
+    * a timeout/arpeggio_failure envelope must surface as a classified
+    * skip ([[skips]]), never as a parse anomaly inside the aggregation
+    * (process_pdb_contacts.py:97-115 branches on the status before
+    * touching the contact records).
     */
   def relevant(contacts: DataFrame): DataFrame =
     contacts.filter(
-      exists(col("contact"), t => !t.isin(irrelevant: _*)) &&
+      (col("status").isNull || col("status") === "success") &&
+        exists(col("contact"), t => !t.isin(irrelevant: _*)) &&
         col("interacting_entities") === "INTER")
+
+  /** Per-pdb skip classification — the reference's exit-code contract
+    * (process_pdb_contacts.py:97-115, 426-430; SURVEY §5):
+    *
+    *  - envelope status `timeout`          → 127 `no_contacts_record`
+    *  - envelope status `arpeggio_failure` → 127 `arpeggio_failure`
+    *  - success but NO contact records     → 124 `no_ligand_protein_contacts`
+    *  - success, contacts present, none pass the relevance filter
+    *                                       → 124 `no_valid_ligand_protein_contacts`
+    *
+    * One row per skipped pdb, `(pdb_id, exit_code, reason)`; pdbs with at
+    * least one relevant contact emit nothing. One hash aggregation over
+    * the record stream — the same grouping key the contact aggregation
+    * shuffles on, so at 100 TB this is a second map-side-combined pass,
+    * not a new shuffle shape.
+    */
+  def skips(contacts: DataFrame): DataFrame = {
+    val isRelevant =
+      (col("status").isNull || col("status") === "success") &&
+        exists(col("contact"), t => !t.isin(irrelevant: _*)) &&
+        col("interacting_entities") === "INTER"
+    contacts.groupBy("pdb_id")
+      .agg(
+        max(when(col("status") === "timeout", 1).otherwise(0)).as("t"),
+        max(when(col("status") === "arpeggio_failure", 1).otherwise(0))
+          .as("f"),
+        sum(when(col("contact").isNotNull, 1L).otherwise(0L)).as("n_any"),
+        sum(when(isRelevant, 1L).otherwise(0L)).as("n_rel"))
+      .select(col("pdb_id"),
+        when(col("t") === 1 || col("f") === 1, lit(127))
+          .when(col("n_any") === 0L, lit(124))
+          .when(col("n_rel") === 0L, lit(124))
+          .as("exit_code"),
+        when(col("t") === 1, lit("no_contacts_record"))
+          .when(col("f") === 1, lit("arpeggio_failure"))
+          .when(col("n_any") === 0L, lit("no_ligand_protein_contacts"))
+          .when(col("n_rel") === 0L, lit("no_valid_ligand_protein_contacts"))
+          .as("reason"))
+      .filter(col("exit_code").isNotNull)
+  }
 
   /** Per-(entity-chain, domain-chain) aggregation with hbond/covalent
     * breakdowns (process_pdb_contacts.py:379-392), whole-entity share and

@@ -33,13 +33,17 @@ object EtlQueries {
     val src = new java.io.File(s"$dir/lineitem.parquet")
     // legacySweep: the retired fixed-path layout ("etl1_contacts", no
     // fingerprint) and its temp naming, swept once cold
+    // fp "v2": the fixture gained status-stamped records + envelope rows
+    // (run_arpeggio.sh:15-22) — the bump regenerates memoized v1 dirs,
+    // which then age out via the standard name-prefix sweep
     Fixtures.installDir(safe, "etl1_contacts",
-      s"${src.length}_${src.lastModified}",
+      s"v2_${src.length}_${src.lastModified}",
       legacySweep = n => n == "etl1_contacts" ||
         n.matches("\\.etl1_tmp_\\d+_.*")) { tmp =>
-      Tables(s, dir, "lineitem")
+      val records = Tables(s, dir, "lineitem")
         .select(to_json(struct(
           concat(lit("pdb"), col("l_orderkey") % 50).as("pdb_id"),
+          lit("success").as("status"),
           struct(col("l_returnflag").as("auth_asym_id"),
             col("l_linenumber").cast("long").as("auth_seq_id"),
             lit("").as("pdbx_PDB_ins_code")).as("bgn"),
@@ -52,7 +56,22 @@ object EtlQueries {
             .as("interacting_entities"),
           col("l_extendedprice").as("distance"),
           lit("atom-atom").as("type"))).as("value"))
-        .write.mode("overwrite").text(tmp)
+      // envelope rows (run_arpeggio.sh:15-22): one record per failed or
+      // empty pdb, status carrying the wrapper's verdict. Derived from
+      // nation so the skip classification is data-driven at every SF:
+      // k%4 = 0 timeout, 1 arpeggio_failure, 2 success-with-no-contact-
+      // records, 3 success with only-irrelevant contacts
+      val k = col("n_nationkey")
+      val envelopes = Tables(s, dir, "nation")
+        .select(to_json(struct(
+          concat(lit("pdbx"), k).as("pdb_id"),
+          when(k % 4 === 0, "timeout")
+            .when(k % 4 === 1, "arpeggio_failure")
+            .otherwise("success").as("status"),
+          when(k % 4 === 3, array(lit("proximal"))).as("contact"),
+          when(k % 4 === 3, "INTER").as("interacting_entities")))
+          .as("value"))
+      records.unionByName(envelopes).write.mode("overwrite").text(tmp)
     }
   }
 
@@ -213,6 +232,50 @@ object EtlQueries {
       val path = contactsFixture(s, dir)
       ContactsStage.aggregate(ContactsStage.readContacts(s, path))
         .orderBy("pdb_id", "entity_chain", "domain_chain")
+    }),
+
+    // ETL5 — arpeggio skip classification (VERDICT r12 item 3): the
+    // status-envelope branch of the contacts stage. The oracle
+    // reconstructs BOTH skip sources analytically: the nation-derived
+    // envelope rows (timeout / arpeggio_failure / empty / only-irrelevant)
+    // and any data pdb whose contacts all fail the relevance filter —
+    // so the classification logic, not just the fixture constants, is
+    // what's being checked (process_pdb_contacts.py:97-115, 426-430).
+    RQ("etl5_contact_skips", Some("""
+      WITH c AS (SELECT 'pdb' || (l_orderkey % 50) AS pdb_id,
+                        CASE WHEN l_discount >= 0.06 THEN ['proximal','hbond']
+                             WHEN l_discount >= 0.03 THEN ['covalent']
+                             ELSE ['proximal'] END AS contact,
+                        CASE WHEN l_tax > 0.04 THEN 'INTER' ELSE 'INTRA' END
+                          AS ie
+                 FROM lineitem),
+           rel AS (SELECT DISTINCT pdb_id FROM c
+                   WHERE ie = 'INTER' AND EXISTS (
+                     SELECT 1 FROM unnest(contact) AS t(x)
+                     WHERE x NOT IN ('proximal','vdw_clash','clash'))),
+           norel AS (SELECT pdb_id, CAST(124 AS INT) AS exit_code,
+                            'no_valid_ligand_protein_contacts' AS reason
+                     FROM (SELECT DISTINCT pdb_id FROM c) p
+                     WHERE pdb_id NOT IN (SELECT pdb_id FROM rel)),
+           env AS (SELECT 'pdbx' || n_nationkey AS pdb_id,
+                          CAST(CASE WHEN n_nationkey % 4 IN (0, 1)
+                                    THEN 127 ELSE 124 END AS INT)
+                            AS exit_code,
+                          CASE WHEN n_nationkey % 4 = 0
+                                 THEN 'no_contacts_record'
+                               WHEN n_nationkey % 4 = 1
+                                 THEN 'arpeggio_failure'
+                               WHEN n_nationkey % 4 = 2
+                                 THEN 'no_ligand_protein_contacts'
+                               ELSE 'no_valid_ligand_protein_contacts'
+                          END AS reason
+                   FROM nation)
+      SELECT pdb_id, exit_code, reason FROM env
+      UNION ALL SELECT pdb_id, exit_code, reason FROM norel
+      ORDER BY pdb_id"""))((s, dir) => {
+      val path = contactsFixture(s, dir)
+      ContactsStage.skips(ContactsStage.readContacts(s, path))
+        .orderBy("pdb_id")
     }),
 
     // ETL4 — snapshot CDC diff: classify every key of two keyed snapshots

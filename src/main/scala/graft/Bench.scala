@@ -433,6 +433,39 @@ object Bench {
           graft.sources.FastGzipCodec.nativeStreams.get - gz0n)
     }
 
+    // ---- p2 per-stage attribution (VERDICT r12 item 1), UNTIMED --------
+    // The r12 driver host burned 369 executor-CPU-s inside
+    // p2_search_entries on 0.3 MB of shuffle and the artifact had no
+    // field to say WHERE. Replay searchEntries' component aggregates
+    // (same args as the registered query) under diag:p2_<stage> job
+    // groups after the timed loop — the artifact then carries a
+    // per-stage run/cpu/gc/in_rows split for p2 on every host class.
+    val p2Measured = results.exists(r =>
+      r.ok && r.name == "p2_search_entries")
+    val p2Stages: Map[String, GroupStats] =
+      if (graphOpt.nonEmpty && p2Measured) {
+        try {
+          val g = graft.graph.GraphTables.cached(spark, sfDir)
+          graft.query.ProCogQueries
+            .searchEntriesStages(g, "42", 0.9, graft.query.ProCogQueries.Best)
+            .foreach { case (st, df) =>
+              spark.sparkContext.setJobGroup(s"diag:p2_$st",
+                s"p2 stage attribution: $st", interruptOnCancel = false)
+              try df.queryExecution.toRdd.count()
+              finally spark.sparkContext.clearJobGroup()
+            }
+          GraftCacheBridge.drainListenerBus(spark)
+          telemetry.diagGroupStats
+            .collect { case (k, v) if k.startsWith("p2_") =>
+              k.stripPrefix("p2_") -> v }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] p2 stage attribution failed: " +
+              e.getMessage)
+            Map.empty[String, GroupStats]
+        }
+      } else Map.empty
+
     // ---- output ---------------------------------------------------------
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(kv: Seq[(String, String)]): String =
@@ -613,7 +646,8 @@ object Bench {
             "in_rows" -> s.inputRecords.toString)))
       })
     val sinksJson = sinksJsonN(6)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"telemetry":$telem,"warmup_failed":$warmupFailedJson,"warmup_steps":$warmupStepsJson,"registry_residency":$residencyJson,"rewarmed":$rewarmedJson,"sweeps":$sweepsJson,"evictions":$evJson,"baseline_evictions":$bevJson,"build":$buildJson,"plan":$planJson,"exec":$execJson,"etl3_sinks":$sinksJson,"sf":"$sfDir"}""")
+    val p2StagesJson = groupStatsJson(p2Stages, 4)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"telemetry":$telem,"warmup_failed":$warmupFailedJson,"warmup_steps":$warmupStepsJson,"registry_residency":$residencyJson,"rewarmed":$rewarmedJson,"sweeps":$sweepsJson,"evictions":$evJson,"baseline_evictions":$bevJson,"build":$buildJson,"plan":$planJson,"exec":$execJson,"etl3_sinks":$sinksJson,"p2_stages":$p2StagesJson,"sf":"$sfDir"}""")
     // Line 2 of 4: same-schema repeat with only the slowest queries, for
     // mid-stdout parsers (the full line above exceeds any tail window).
     val slow = jmap(slowest.take(12).map(r => r.name -> f(r.sec)))
@@ -637,14 +671,31 @@ object Bench {
       "deflate_mbps" -> f(deflateMbps),
       "chem_path" -> ("\"" + graphOpt.map(_.domainCognatePath)
         .getOrElse("none") + "\""),
-      "jvm" -> ("\"" + System.getProperty("java.vm.version") + "\"")))
+      "jvm" -> ("\"" + System.getProperty("java.vm.version") + "\""),
+      // host-class diagnostics in the TAIL window (VERDICT r12 item 4):
+      // a future host anomaly must be attributable from the artifact
+      // alone — effective ICU case-mapping conf, the JVM heap the bench
+      // ACTUALLY got (r12's 75 GC-s question = "8 g or 16 g?"), and the
+      // processor count the JVM sees
+      "icu" -> ("\"" + spark.conf
+        .getOption(graft.GraftSession.IcuCaseMappingsKey)
+        .getOrElse("default") + "\""),
+      "heap_gb" -> f(Runtime.getRuntime.maxMemory / (1024.0 * mb)),
+      "procs" -> Runtime.getRuntime.availableProcessors.toString))
     // budget check (r11's lesson): exec_tail + total_final + sbt's
     // [info]/[success] framing must fit ~2000 chars — 4 compact exec
     // entries, 6 walls, 3 warmup_run stats, 3 sink records measured
     // ~1.75k on the full 217-query run
     val execTailJson = jmap(slowest.take(4).map(r => execEntry(r, compact = true)))
     val wallsJson = jmap(slowest.take(6).map(r => r.name -> f(r.sec)))
-    println(s"""{"metric":"exec_tail","value":${f(total)},"telem":$telemMini,"exec":$execTailJson,"walls":$wallsJson,"warmup_run":${groupStatsJson(warmStats, 3)},"etl3_sinks":${sinksJsonN(3)},"sf":"$sfDir"}""")
+    // p2's per-stage split rides the TAIL line only when p2 is a top-6
+    // wall — exactly the run where the verdict needs it, and the ~2000-
+    // char budget stays safe on runs where p2 is cheap
+    val p2Tail =
+      if (slowest.take(6).exists(_.name == "p2_search_entries"))
+        s""","p2_stages":$p2StagesJson"""
+      else ""
+    println(s"""{"metric":"exec_tail","value":${f(total)},"telem":$telemMini,"exec":$execTailJson,"walls":$wallsJson,"warmup_run":${groupStatsJson(warmStats, 3)},"etl3_sinks":${sinksJsonN(3)}$p2Tail,"sf":"$sfDir"}""")
     // LAST line, fixed-size (≤ ~200 chars): the headline number must
     // survive ANY tail-window capture (VERDICT r9 item 1). Failed names
     // are capped at 3; the full list is on the lines above.

@@ -111,6 +111,99 @@ object AudioCodec {
   def decodeWav(payload: Array[Byte]): Option[DecodedAudio] =
     decodeWavPcm(payload).map(_._1)
 
+  // The ULAW→PCM conversion provider, resolved ONCE (same m11 lesson as
+  // fileReaders: AudioSystem.getAudioInputStream re-walks the synchronized
+  // JDK service registry per call — 17× at 10× data before the fix).
+  private lazy val conversionProviders
+      : Seq[javax.sound.sampled.spi.FormatConversionProvider] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.FormatConversionProvider])
+      .iterator().asScala.toList
+  }
+
+  /** Mono G.711 µ-law WAV (format tag 7) of the first n bytes of `data` —
+    * each payload byte IS one µ-law code, so the compressed stream
+    * carries the table bytes verbatim and the decode side can verify the
+    * EXPANDED samples against the G.711 formula analytically (the m15
+    * oracle computes the same expansion in SQL).
+    */
+  def encodeUlawWav(data: Array[Byte], n: Int,
+                    sampleRate: Int): Array[Byte] = {
+    require(n > 0 && n <= data.length,
+      s"encodeUlawWav needs 0 < n <= ${data.length}, got $n")
+    require(sampleRate > 0,
+      s"encodeUlawWav needs a positive rate, got $sampleRate")
+    val fmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data, 0, n), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    val writer = fileWriters
+      .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+      .getOrElse(sys.error("no µ-law WAVE AudioFileWriter on this JVM"))
+    writer.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded COMPRESSED audio: the source encoding comes from the parsed
+    * fmt chunk; sample fields describe the EXPANDED PCM the conversion
+    * codec produced; pcmMd5 digests the canonical "s0,s1,…" rendering of
+    * the signed 16-bit samples (text form so a SQL oracle can recompute
+    * it without byte-packing).
+    */
+  final case class DecodedCompressed(srcEncoding: String, sampleRate: Int,
+                                     channels: Int, bits: Int,
+                                     nFrames: Long, pcmMd5: String)
+
+  /** Decode a µ-law WAV through the JDK's REAL FormatConversionProvider
+    * (UlawCodec) to signed 16-bit PCM — the one COMPRESSED codec the
+    * container's JVM genuinely ships end-to-end (VERDICT r12 item 6; the
+    * mp3/mp4 tier stays metadata-only for lack of ffmpeg). Same Option
+    * fence as [[decodeWav]].
+    */
+  def decodeUlawWav(payload: Array[Byte]): Option[DecodedCompressed] = {
+    if (sniffMime(payload) != "audio/wav") None
+    else scala.util.Try {
+      val ais = wavReader.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val src = ais.getFormat
+        require(src.getEncoding == AudioFormat.Encoding.ULAW,
+          s"not a µ-law stream: ${src.getEncoding}")
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+          src.getSampleRate, false)
+        val provider = conversionProviders
+          .find(_.isConversionSupported(target, src))
+          .getOrElse(sys.error("no ULAW→PCM conversion provider"))
+        val pcm = provider.getAudioInputStream(target, ais)
+        val nFrames = ais.getFrameLength // 1 µ-law byte = 1 frame
+        val bytes = new Array[Byte]((nFrames * target.getFrameSize).toInt)
+        var off = 0
+        var read = 0
+        while (off < bytes.length && read >= 0) {
+          read = pcm.read(bytes, off, bytes.length - off)
+          if (read > 0) off += read
+        }
+        require(off == bytes.length,
+          s"µ-law decode truncated: got $off of ${bytes.length} B")
+        val samples = new Array[Int](bytes.length / 2)
+        var i = 0
+        while (i < samples.length) { // little-endian per `target`
+          samples(i) =
+            ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort
+              .toInt
+          i += 1
+        }
+        DecodedCompressed(src.getEncoding.toString,
+          src.getSampleRate.toInt, src.getChannels, 16, nFrames,
+          ImageCodec.hexMd5(samples.mkString(",")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+      } finally ais.close()
+    }.toOption
+  }
+
   /** Decode a WAV payload AND hand back the recovered PCM frame bytes —
     * the form signal-level feature extraction (m11's zero-crossing /
     * energy stats) consumes. Same exception fence + Option contract as

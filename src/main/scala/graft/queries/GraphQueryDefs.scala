@@ -289,34 +289,18 @@ object GraphQueryDefs {
     // per-round estimate DELTAS, so its variance is larger). An
     // operator sizing a 100 TB closeness job reads this table to decide
     // whether 512 registers suffice before paying the exact-map cost.
-    RQ("x11_hyperball_gate", Some(s"""
-      WITH RECURSIVE $top3CanonSqlCtes,
-      ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-      r(src, node, d) AS (
-        SELECT sk, sk, 0 FROM nodes
-        UNION
-        SELECT r.src, ed.b, r.d + 1 FROM r JOIN ed ON ed.a = r.node
-        WHERE r.d < 15),
-      best AS (SELECT src, node, min(d) AS d FROM r GROUP BY 1, 2),
-      cl AS (SELECT src, count(*) - 1 AS n_reached, sum(d) AS tot
-             FROM best GROUP BY 1)
-      SELECT src AS suppkey, CAST(n_reached AS BIGINT) AS n_reached,
-             CAST(tot AS BIGINT) AS total_dist,
-             CAST(1 AS BIGINT) AS reached_ok,
-             CAST(1 AS BIGINT) AS dist_ok
-      FROM cl ORDER BY suppkey"""))((s, dir) => {
-      import org.apache.spark.sql.functions._
-      val exact = GraphAnalytics.closenessCentrality(s, dir)
-      val est = GraphAnalytics.hyperBallCloseness(s, dir)
-      exact.join(est, "suppkey")
-        .select(col("suppkey"), col("n_reached"), col("total_dist"),
-          when(abs(col("n_reached_est") - col("n_reached").cast("double"))
-            <= greatest(lit(2.0), col("n_reached").cast("double") * 0.15),
-            1L).otherwise(0L).as("reached_ok"),
-          when(abs(col("total_dist_est") - col("total_dist").cast("double"))
-            <= greatest(lit(6.0), col("total_dist").cast("double") * 0.2),
-            1L).otherwise(0L).as("dist_ok"))
-        .orderBy("suppkey")
-    })
+    // X11 — HyperBall closeness, SKETCH-ONLY (VERDICT r12 item 5): the
+    // registered query is the plan an operator actually runs at 100 TB —
+    // constant 512-byte registers, max-merge supersteps — WITHOUT paying
+    // the exact x10 recursive expansion inside the benched query (the r12
+    // form ran both to compute its gate booleans, so BENCH measured
+    // sketch + exact every run). The exact-vs-sketch accuracy gate moved
+    // to HyperBallGateSpec (the t41-covers-t6 pattern: the audit runs in
+    // CI, the bench runs the production plan). Sketch estimates are
+    // register-layout-specific — no SQL engine reproduces them — so this
+    // query registers NO oracle and the driver records the weaker
+    // rows-only check; the accuracy discipline lives in the spec.
+    RQ("x11_hyperball_sketch", None)((s, dir) =>
+      GraphAnalytics.hyperBallCloseness(s, dir))
   )
 }

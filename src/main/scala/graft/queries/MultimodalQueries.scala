@@ -292,6 +292,65 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // M15 — COMPRESSED audio decode end-to-end (VERDICT r12 item 6): the
+    // one compressed codec this JVM genuinely ships — G.711 µ-law —
+    // through the REAL conversion tier (WaveFileWriter format tag 7 →
+    // WaveFileReader → FormatConversionProvider ULAW→PCM16), upgrading
+    // the decode seam beyond lossless passthrough (m8). Each table byte
+    // IS one µ-law code, so the oracle recomputes the EXPANDED signed
+    // 16-bit samples with the G.711 formula in SQL (bias 0x84=132,
+    // 3-bit mantissa shift, segment exponent, sign fold — verified
+    // bit-equal to the JDK codec's table in AudioCodecSpec) and digests
+    // the same canonical "s0,s1,…" rendering. mp3/mp4 remain
+    // metadata-only (m13/m14) — no ffmpeg in the container.
+    RQ("m15_ulaw_decode", Some("""
+      WITH src AS (SELECT doc_id,
+                          CAST(least(octet_length(encode(text)), 160)
+                               AS INT) AS n, text
+                   FROM documents
+                   WHERE doc_id % 3 = 1
+                     AND octet_length(encode(text)) >= 1),
+      pcm AS (SELECT doc_id, n,
+                     list_transform(range(1, n + 1), i -> CAST((
+                       CASE WHEN (xor(ascii(substr(text, CAST(i AS INT), 1)),
+                                      255) & 128) != 0
+                         THEN 132 - (((xor(ascii(substr(text, CAST(i AS INT), 1)),
+                                           255) & 15) * 8 + 132)
+                           * (1 << ((xor(ascii(substr(text, CAST(i AS INT), 1)),
+                                         255) & 112) // 16)))
+                         ELSE (((xor(ascii(substr(text, CAST(i AS INT), 1)),
+                                     255) & 15) * 8 + 132)
+                           * (1 << ((xor(ascii(substr(text, CAST(i AS INT), 1)),
+                                         255) & 112) // 16))) - 132
+                       END) AS BIGINT)) AS s
+              FROM src)
+      SELECT doc_id AS media_id, 'ULAW' AS src_encoding,
+             CAST(8000 + (doc_id % 3) * 1000 AS INT) AS sample_rate,
+             1 AS channels, 16 AS bits,
+             CAST(n AS BIGINT) AS n_frames,
+             md5(array_to_string(s, ',')) AS pcm_md5
+      FROM pcm ORDER BY media_id"""))((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.AudioCodec
+      val src = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"),
+          col("text").cast("binary").as("data"),
+          (lit(8000) + (col("doc_id") % 3) * 1000).cast("int").as("rate"))
+        .filter(octet_length(col("data")) >= 1)
+        .as[(Long, Array[Byte], Int)]
+      src.mapPartitions(_.map { case (id, data, rate) =>
+        val n = math.min(data.length, 160)
+        val wav = AudioCodec.encodeUlawWav(data, n, rate)
+        val d = AudioCodec.decodeUlawWav(wav).getOrElse(
+          sys.error(s"undecodable µ-law WAV for media $id"))
+        (id, d.srcEncoding, d.sampleRate, d.channels, d.bits, d.nFrames,
+          d.pcmMd5)
+      }).toDF("media_id", "src_encoding", "sample_rate", "channels",
+          "bits", "n_frames", "pcm_md5")
+        .orderBy("media_id")
+    }),
+
     // M9 — perceptual average-hash (aHash) over the REAL codec tier: a
     // 16×16 grayscale PNG per asset (first 256 text bytes, lossless
     // contract as m7), decoded back, NN-downsampled to 8×8 (exact

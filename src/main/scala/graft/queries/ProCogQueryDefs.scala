@@ -539,6 +539,79 @@ object ProCogQueryDefs {
       SELECT p_partkey AS cogId, upper(trim(p_name)) AS cognateLigand,
              'CHEBI:' || p_partkey || '|' || 'KEGG:C' || p_size AS ligandDB
       FROM part WHERE p_partkey = 42"""))((s, dir) =>
-      ProCogQueries.cognateSearchById(GraphTables.cached(s, dir), "id:42"))
+      ProCogQueries.cognateSearchById(GraphTables.cached(s, dir), "id:42")),
+
+    // EC direct-entry autocomplete (dashboard.json Enzyme Query panel:
+    // substring on ecID, shortest-first, LIMIT 5 — VERDICT r12 item 7's
+    // first straggler). Same idiom as p9/p27 over the EC dim.
+    RQ("p29_ec_autocomplete", Some(s"""
+      WITH codes AS (SELECT DISTINCT $ecSql AS ec FROM part)
+      SELECT ec FROM codes WHERE ec LIKE '%3.1%'
+      ORDER BY length(ec), ec LIMIT 5"""))((s, dir) =>
+      ProCogQueries.ecAutocomplete(GraphTables.cached(s, dir), "3.1", 5)),
+
+    // Enzyme Results card: the focus EC's class/subclass/subsubclass
+    // lineage + cognate count (the 4-hop IS_IN_* chain as derived prefix
+    // projections). Focus = min(ec) — the deterministic stand-in for the
+    // dashboard's picked parameter.
+    RQ("p30_ec_direct_entry", Some(s"""
+      WITH codes AS (SELECT p_partkey AS cogId, $ecSql AS ec FROM part),
+           f AS (SELECT min(ec) AS ec FROM codes)
+      SELECT str_split(codes.ec, '.')[1] AS ecClass,
+             str_split(codes.ec, '.')[1] || '.' ||
+               str_split(codes.ec, '.')[2] AS ecSubclass,
+             str_split(codes.ec, '.')[1] || '.' ||
+               str_split(codes.ec, '.')[2] || '.' ||
+               str_split(codes.ec, '.')[3] AS ecSubsubclass,
+             codes.ec AS ecID,
+             CAST(count(DISTINCT cogId) AS BIGINT) AS n_cognates
+      FROM codes JOIN f ON codes.ec = f.ec
+      GROUP BY codes.ec"""))((s, dir) =>
+      ProCogQueries.ecDirectEntry(GraphTables.cached(s, dir))),
+
+    // "PDBs : $enzyme_focus": entries whose chain carries the focus EC,
+    // LIMIT 1000 (dashboard.json) — the one-row EC dim broadcasts into
+    // the fact scan, then distinct + ordered top-k.
+    RQ("p31_ec_entries", Some(s"""
+      WITH codes AS (SELECT p_partkey AS cogId, $ecSql AS ec FROM part),
+           f AS (SELECT min(ec) AS ec FROM codes),
+           hits AS (SELECT DISTINCT 'pdb' || l_orderkey AS pdbEntry
+                    FROM lineitem
+                    JOIN codes ON codes.cogId = l_partkey
+                    JOIN f ON codes.ec = f.ec)
+      SELECT pdbEntry FROM hits ORDER BY pdbEntry LIMIT 1000"""))((s, dir) =>
+      ProCogQueries.ecEntries(GraphTables.cached(s, dir))),
+
+    // Per-domain-type group tiles for the focus EC (the dashboard's
+    // "$neodash_group_level" apoc.case over SCOP/CATH/Pfam) — all three
+    // database branches in one grouped pass, with the reference's
+    // "<group> (<db>)" description and group-level label.
+    RQ("p32_ec_domain_groups", Some(s"""
+      WITH codes AS (SELECT p_partkey AS cogId, $ecSql AS ec FROM part),
+           f AS (SELECT min(ec) AS ec FROM codes),
+           s AS (SELECT DISTINCT s_suppkey AS sk,
+                        CASE s_suppkey % 3 WHEN 0 THEN 'CATH'
+                             WHEN 1 THEN 'SCOP' ELSE 'Pfam' END AS dtype,
+                        'SF' || s_nationkey AS superfamily
+                 FROM supplier),
+           hit AS (SELECT DISTINCT s.dtype, s.superfamily, s.sk
+                   FROM lineitem
+                   JOIN codes ON codes.cogId = l_partkey
+                   JOIN f ON codes.ec = f.ec
+                   JOIN s ON s.sk = l_suppkey)
+      SELECT dtype, superfamily || ' (' || dtype || ')' AS groupDesc,
+             CASE WHEN dtype = 'Pfam' THEN 'Family'
+                  ELSE 'Superfamily' END AS groupLevel,
+             CAST(count(DISTINCT sk) AS BIGINT) AS n_domains
+      FROM hit GROUP BY dtype, superfamily
+      ORDER BY dtype, groupDesc"""))((s, dir) =>
+      ProCogQueries.ecDomainGroups(GraphTables.cached(s, dir)))
   )
+
+  /** The dotted EC code in DuckDB SQL — mirror of ExportStage.ecCode.
+    * A def: `defs` above interpolates it during its own eager init.
+    */
+  private def ecSql: String =
+    """regexp_extract(p_brand, '#(\d+)', 1) || '.' ||
+       (p_size // 10) || '.' || (p_size % 10) || '.' || (p_partkey % 7)"""
 }

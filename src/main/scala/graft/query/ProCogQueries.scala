@@ -47,7 +47,19 @@ object ProCogQueries {
     * null-preserving counts).
     */
   def searchEntries(g: GraphTables, substr: String,
-                    cutoff: Double, mode: CognateMode): DataFrame = {
+                    cutoff: Double, mode: CognateMode): DataFrame =
+    searchEntriesStages(g, substr, cutoff, mode).last._2
+
+  /** [[searchEntries]] decomposed into its labeled component aggregates
+    * (VERDICT r12 item 1): the bench replays each stage under a
+    * `diag:p2_<stage>` job group after the timed run, so the artifact
+    * can NAME where p2's executor cost lands on any host class —
+    * matched-filter scan, be-count aggregate, cognate-count join, or
+    * the final assembly — instead of one opaque per-query number.
+    * The last element IS the full query (searchEntries returns it).
+    */
+  def searchEntriesStages(g: GraphTables, substr: String,
+      cutoff: Double, mode: CognateMode): Seq[(String, DataFrame)] = {
     val simsDf = sims(g, cutoff, mode)
     val matched =
       g.entries.filter(upper(col("pdbEntry")).contains(substr.toUpperCase))
@@ -73,12 +85,14 @@ object ProCogQueries {
     val cogCounts = be.select("ok", "ligandUniqueID")
       .join(simsDf.select("ligandUniqueID", "cogId"), "ligandUniqueID")
       .groupBy("ok").agg(countDistinct(col("cogId")).as("cog_count"))
-    matched
+    val assembled = matched
       .join(beCounts, Seq("ok"), "left")
       .join(cogCounts, Seq("ok"), "left")
       .select(col("pdbEntry"),
         coalesce(col("be_count"), lit(0L)).as("be_count"),
         coalesce(col("cog_count"), lit(0L)).as("cog_count"))
+    Seq("matched" -> matched, "be_counts" -> beCounts,
+      "cog_counts" -> cogCounts, "assemble" -> assembled)
   }
 
   /** Domain Interactions table (yaml:67-71): the 5-hop pattern
@@ -336,6 +350,90 @@ object ProCogQueries {
       .filter(col("hetCode").contains(substr))
       .orderBy(length(col("hetCode")), col("hetCode"))
       .limit(k)
+
+  /** EC codes of the cognate dim under the export's dotted scheme — the
+    * shared base of the EC direct-entry panels (p29–p32). Dimension-sized.
+    */
+  private def ecCodes(g: GraphTables): DataFrame = {
+    import graft.etl.ExportStage.ecCode
+    g.cognates.select(col("cogId"),
+      ecCode(col("brand"), col("csize"), col("cogId")).as("ec"))
+  }
+
+  /** The deterministic focus EC for the direct-entry pages: the minimum
+    * code. The dashboard binds `$neodash_enzyme_focus` from the user's
+    * autocomplete pick; tests/oracles need a data-derived, SF-proof
+    * stand-in, and min() is the same one-row aggregate in any engine.
+    */
+  private def focusEc(g: GraphTables): DataFrame =
+    ecCodes(g).agg(min(col("ec")).as("ec"))
+
+  /** EC-number direct-entry autocomplete (dashboard.json Enzyme Query:
+    * `MATCH (n:ecID) WHERE toLower(ecID) CONTAINS toLower($input)
+    * RETURN DISTINCT ecID ORDER BY size(value) ASC LIMIT 5`) — the same
+    * shortest-first idiom as p9/p27 over the EC dimension.
+    */
+  def ecAutocomplete(g: GraphTables, substr: String, k: Int): DataFrame =
+    ecCodes(g).select(col("ec")).distinct()
+      .filter(col("ec").contains(substr))
+      .orderBy(length(col("ec")), col("ec"))
+      .limit(k)
+
+  /** Enzyme Results card (dashboard.json: the ecID → subsubclass →
+    * subclass → class chain with the cognate count): the focus EC's full
+    * lineage under the dotted scheme plus distinct cognates in it. The
+    * hierarchy is DERIVED (ecLevel prefixes), so the walk is one
+    * dim-sized aggregate — the graph's four IS_IN_* hops materialize as
+    * prefix projections, not joins.
+    */
+  def ecDirectEntry(g: GraphTables): DataFrame = {
+    import graft.etl.ExportStage.ecLevel
+    ecCodes(g).join(broadcast(focusEc(g)), "ec")
+      .groupBy("ec")
+      .agg(countDistinct(col("cogId")).as("n_cognates"))
+      .select(ecLevel(col("ec"), 1).as("ecClass"),
+        ecLevel(col("ec"), 2).as("ecSubclass"),
+        ecLevel(col("ec"), 3).as("ecSubsubclass"),
+        col("ec").as("ecID"), col("n_cognates"))
+  }
+
+  /** "PDBs : $enzyme_focus" (dashboard.json: entries whose protein chain
+    * carries the focus EC, `WHERE $ec IN pc.ecList ... LIMIT 1000`).
+    * Chain-EC membership comes from the same fact ⋈ dim joins the export's
+    * protein_ec_rels file is built from; the EC filter BROADCASTS into
+    * the fact scan (a one-row dim), so at 100 TB this is a pruned scan +
+    * distinct + top-k, never a full-fact shuffle.
+    */
+  def ecEntries(g: GraphTables, k: Int = 1000): DataFrame =
+    g.interacts.select(col("ok"), col("pk").as("cogId"))
+      .join(graft.plans.DimBroadcast.dim(
+        ecCodes(g).join(broadcast(focusEc(g)), "ec")), "cogId")
+      .select(concat(lit("pdb"), col("ok")).as("pdbEntry"))
+      .distinct()
+      .orderBy("pdbEntry")
+      .limit(k)
+
+  /** Per-domain-type group tiles for the focus EC (dashboard.json
+    * "$neodash_group_level" apoc.case over SCOP/CATH/Pfam: the domain
+    * groups whose chains carry the EC, with their group level label).
+    * One output row per (dtype, superfamily) — all three database
+    * branches of the reference's apoc.case in one grouped pass.
+    */
+  def ecDomainGroups(g: GraphTables): DataFrame =
+    g.interacts.select(col("pk").as("cogId"), col("suppkey"))
+      .join(graft.plans.DimBroadcast.dim(
+        ecCodes(g).join(broadcast(focusEc(g)), "ec")), "cogId")
+      .join(graft.plans.DimBroadcast.dim(
+        g.domains.select("suppkey", "dtype", "superfamily")), "suppkey")
+      .groupBy(col("dtype"), col("superfamily"))
+      .agg(countDistinct(col("suppkey")).as("n_domains"))
+      .select(col("dtype"),
+        concat(col("superfamily"), lit(" ("), col("dtype"), lit(")"))
+          .as("groupDesc"),
+        when(col("dtype") === "Pfam", "Family").otherwise("Superfamily")
+          .as("groupLevel"),
+        col("n_domains"))
+      .orderBy("dtype", "groupDesc")
 
   /** Parity-viewer iframe payload (neodash_queries.yaml:78, the "Ligand
     * Similarity" table): each dashboard row carries the urlencoded JSON

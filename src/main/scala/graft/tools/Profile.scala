@@ -30,10 +30,9 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").queryExecution.toRdd.count()
-    // bare-operator probes for SCALING.md rows where the registered query
-    // deliberately bundles a sketch with its exact gate (x11): the sf1
-    // ratio of the SKETCH is the scale claim, the gate's exact side has
-    // its own documented floor (x10)
+    // bare-operator probes for SCALING.md rows (x11 is now registered
+    // sketch-only, so this alias simply matches it; kept for older
+    // SCALING.md row provenance commands)
     val ops: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       Map("op:hyperball" -> ((s, d) =>
         graft.graph.GraphAnalytics.hyperBallCloseness(s, d)))

@@ -77,5 +77,36 @@ class AudioCodecSpec extends AnyFunSpec {
         assert(d.pcmMd5 === ImageCodec.hexMd5(data.take(n)), s"n=$n rate=$rate")
       }
     }
+
+    it("µ-law decode matches the G.711 expansion formula for all 256 " +
+       "codes (the m15 oracle's premise)") {
+      // the SQL oracle computes ulaw2linear analytically; the engine
+      // decodes through the JDK's UlawCodec — this pins them bit-equal
+      def ulaw2linear(c: Int): Int = {
+        val u = ~c & 0xff
+        val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+        if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+      }
+      val codes = (0 until 256).map(_.toByte).toArray
+      val wav = AudioCodec.encodeUlawWav(codes, 256, 8000)
+      val d = AudioCodec.decodeUlawWav(wav).get
+      assert(d.srcEncoding === "ULAW")
+      assert(d.nFrames === 256L)
+      assert(d.bits === 16 && d.channels === 1 && d.sampleRate === 8000)
+      val expected = ImageCodec.hexMd5(
+        (0 until 256).map(c => ulaw2linear(c)).mkString(",")
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      assert(d.pcmMd5 === expected,
+        "JDK ULAW codec diverges from the G.711 formula")
+    }
+
+    it("µ-law decode rejects a PCM WAV and corrupt payloads (Option " +
+       "fence)") {
+      val pcmWav = AudioCodec.encodeWav(data, 64, 8000)
+      assert(AudioCodec.decodeUlawWav(pcmWav).isEmpty)
+      val ulaw = AudioCodec.encodeUlawWav(data, 64, 8000)
+      assert(AudioCodec.decodeUlawWav(ulaw.dropRight(10)).isEmpty)
+      assert(AudioCodec.decodeUlawWav("nope".getBytes).isEmpty)
+    }
   }
 }

@@ -86,7 +86,12 @@ final case class ProcessChemToolkit(command: Seq[String],
         }
       }
       .toDF("__pa", "__pb", "__pbs", "__pcs", outCol)
-    df.join(broadcast(scored),
+    // NO broadcast hint here (unlike canonicalize's genuinely dim-sized
+    // distinct-descriptor table): the scored side is the full blocked
+    // candidate-pair set — same cardinality class as `df` itself — and a
+    // forced broadcast of it stops fitting any heap the moment blocks
+    // grow. AQE picks broadcast when it IS small and sort-merge when not.
+    df.join(scored,
         df(aCol).cast("string") === scored("__pa") &&
           df(bCol).cast("string") === scored("__pb") &&
           df(boundSizeCol).cast("long") === scored("__pbs") &&
@@ -124,7 +129,9 @@ final case class ProcessChemToolkit(command: Seq[String],
         }
       }
       .toDF("__pa", "__pb", outCol, s"${outCol}_status")
-    df.join(broadcast(scored),
+    // same no-hint reasoning as scoreCandidates: the distinct pair set
+    // scales with the caller's candidate generation, not with a dim
+    df.join(scored,
         df(aCol).cast("string") === scored("__pa") &&
           df(bCol).cast("string") === scored("__pb"), "left")
       .drop("__pa", "__pb")

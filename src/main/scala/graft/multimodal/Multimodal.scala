@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
   * Arrow-sized batches (the Scala analogue of `mapInPandas`).
   *
   * PNG/JPEG decode is REAL — `ImageCodec` on `javax.imageio`, pure JVM,
-  * exercised end-to-end by the oracle-gated m6 query. `decodeStub` below
-  * remains only for formats the JVM cannot decode (video/audio — the
-  * container ships no ffmpeg): it derives deterministic fake features
-  * from the raw bytes so the Spark-side contract — schema, partitioning,
-  * batch shape, feature columns — stays real and oracle-tested; swapping
-  * in a JNI/ffmpeg decoder changes only the function body marked below.
+  * exercised end-to-end by the oracle-gated m6 query. WAV/PCM decode is
+  * real (`AudioCodec`, m8), and so is one COMPRESSED codec end-to-end:
+  * G.711 µ-law through the JDK's FormatConversionProvider (m15), plus
+  * real mp3 frame / mp4 box metadata walks (m13/m14, `ContainerMeta`).
+  * `decodeStub` below remains only for the codec formats the JVM
+  * genuinely cannot decode (mp3→PCM, mp4→frames — the container ships
+  * no ffmpeg): it derives deterministic fake features from the raw
+  * bytes so the Spark-side contract — schema, partitioning, batch
+  * shape, feature columns — stays real and oracle-tested; swapping in a
+  * JNI/ffmpeg decoder changes only the function body marked below.
   */
 object Multimodal {
 

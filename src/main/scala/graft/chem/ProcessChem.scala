@@ -138,6 +138,41 @@ final case class ProcessChemToolkit(command: Seq[String],
   }
 }
 
+/** The CHEM_BRIDGE.md "fallback" seam realized over the same worker
+  * protocol: a [[ParityKernel]] for `ParityScorer`'s mapPartitions tier
+  * that forwards each pair (with its budget) to the process boundary.
+  * One worker per TASK (the kernel deserializes per task; the lazy
+  * worker registers its own completion-listener cleanup), synchronous
+  * per-pair request/response — the shape an inline RDKit MCS scorer
+  * takes when the precomputed tables can't serve a pair. The atom
+  * mapping mirrors FixtureKernel's stand-in (first min(sizes) indices);
+  * a real MCS kernel returns the match from the search itself.
+  */
+final case class ProcessParityKernel(command: Seq[String])
+    extends ParityKernel {
+
+  @transient private lazy val worker: BridgeWorker = {
+    val w = new BridgeWorker(command)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => w.close())
+    w
+  }
+
+  override def compare(p: CandidatePair,
+                       budgetMillis: Long): (Double, Seq[Int], Boolean) =
+    worker.one(s"PSIZE\t${p.ligandUniqueID}\t${p.cogId}\t" +
+        s"${p.boundSize}\t${p.cognateSize}\t$budgetMillis") match {
+      case BridgeWorker.Ok(fields) =>
+        ((fields.head.toDouble,
+          (1 to math.min(p.boundSize, p.cognateSize)).toSeq,
+          fields(1) == "timeout"))
+      case BridgeWorker.Err(m) =>
+        // ParityScorer's catch maps this to the reference's errored-pair
+        // convention: score 0, status failure
+        throw new java.io.IOException(s"bridge worker error: $m")
+    }
+}
+
 object ProcessChemToolkit {
   /** The committed stand-in worker (see its module docstring): replace
     * with an RDKit-environment script in production; same protocol.
@@ -177,6 +212,12 @@ private[chem] final class BridgeWorker(command: Seq[String]) {
       StandardCharsets.UTF_8))
   private val in = proc.getInputStream
   private val lineBuf = new java.io.ByteArrayOutputStream(256)
+
+  /** One synchronous request/response (the per-pair kernel path). */
+  def one(line: String): Response = {
+    out.write(line); out.write('\n'); out.flush()
+    readResponse()
+  }
 
   /** Map `rows` through the worker: render each request with `req`,
     * decode each response with `resp`. Lazily batched — the returned

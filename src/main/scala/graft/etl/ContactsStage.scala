@@ -69,6 +69,13 @@ object ContactsStage {
     * the record stream — the same grouping key the contact aggregation
     * shuffles on, so at 100 TB this is a second map-side-combined pass,
     * not a new shuffle shape.
+    *
+    * Codes 125 (contacts but none within an annotated domain) and 126
+    * (no domains for any protein entity) belong to the reference's
+    * DOMAIN-ASSIGNMENT step, downstream of the contact parse — in this
+    * engine that is the registry build's domain join, where an entry
+    * simply produces no interaction rows; they are not contact-stream
+    * classifications and so are out of scope here by design.
     */
   def skips(contacts: DataFrame): DataFrame = {
     val isRelevant =

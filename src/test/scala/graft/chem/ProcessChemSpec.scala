@@ -75,6 +75,27 @@ class ProcessChemSpec extends SparkSpec {
     }
   }
 
+  describe("ProcessParityKernel — the mapPartitions kernel seam") {
+
+    it("ParityScorer over the process kernel equals the fixture kernel " +
+       "(score, mapping, status)") {
+      assumeWorker()
+      import spark.implicits._
+      val pairs = spark.range(0, 200)
+        .select(col("id").as("ligandUniqueID"), (col("id") * 7 % 97).as("cogId"),
+          (col("id") % 50 + 1).cast("int").as("boundSize"),
+          (col("id") % 41 + 1).cast("int").as("cognateSize"))
+        .as[CandidatePair]
+      val live = ParityScorer.score(pairs,
+        kernel = ProcessParityKernel(Seq("python3",
+          new java.io.File("tools/chem_bridge_serve.py").getAbsolutePath)))
+      val fixture = ParityScorer.score(pairs)
+      assert(live.toDF.exceptAll(fixture.toDF).isEmpty &&
+        fixture.toDF.exceptAll(live.toDF).isEmpty)
+      assert(live.filter(col("status") =!= "ok").isEmpty)
+    }
+  }
+
   describe("ProcessChemToolkit — scoreStructures (the PMOL path)") {
 
     it("identity descriptors score exactly 1.0 live") {

@@ -556,7 +556,9 @@ object ProCogQueryDefs {
     // dashboard's picked parameter.
     RQ("p30_ec_direct_entry", Some(s"""
       WITH codes AS (SELECT p_partkey AS cogId, $ecSql AS ec FROM part),
-           f AS (SELECT min(ec) AS ec FROM codes)
+           f AS (SELECT ec FROM (SELECT ec, count(DISTINCT cogId) AS n
+                                 FROM codes GROUP BY ec
+                                 ORDER BY n DESC, ec LIMIT 1))
       SELECT str_split(codes.ec, '.')[1] AS ecClass,
              str_split(codes.ec, '.')[1] || '.' ||
                str_split(codes.ec, '.')[2] AS ecSubclass,
@@ -574,7 +576,9 @@ object ProCogQueryDefs {
     // the fact scan, then distinct + ordered top-k.
     RQ("p31_ec_entries", Some(s"""
       WITH codes AS (SELECT p_partkey AS cogId, $ecSql AS ec FROM part),
-           f AS (SELECT min(ec) AS ec FROM codes),
+           f AS (SELECT ec FROM (SELECT ec, count(DISTINCT cogId) AS n
+                                 FROM codes GROUP BY ec
+                                 ORDER BY n DESC, ec LIMIT 1)),
            hits AS (SELECT DISTINCT 'pdb' || l_orderkey AS pdbEntry
                     FROM lineitem
                     JOIN codes ON codes.cogId = l_partkey
@@ -588,7 +592,9 @@ object ProCogQueryDefs {
     // "<group> (<db>)" description and group-level label.
     RQ("p32_ec_domain_groups", Some(s"""
       WITH codes AS (SELECT p_partkey AS cogId, $ecSql AS ec FROM part),
-           f AS (SELECT min(ec) AS ec FROM codes),
+           f AS (SELECT ec FROM (SELECT ec, count(DISTINCT cogId) AS n
+                                 FROM codes GROUP BY ec
+                                 ORDER BY n DESC, ec LIMIT 1)),
            s AS (SELECT DISTINCT s_suppkey AS sk,
                         CASE s_suppkey % 3 WHEN 0 THEN 'CATH'
                              WHEN 1 THEN 'SCOP' ELSE 'Pfam' END AS dtype,
@@ -605,7 +611,28 @@ object ProCogQueryDefs {
              CAST(count(DISTINCT sk) AS BIGINT) AS n_domains
       FROM hit GROUP BY dtype, superfamily
       ORDER BY dtype, groupDesc"""))((s, dir) =>
-      ProCogQueries.ecDomainGroups(GraphTables.cached(s, dir)))
+      ProCogQueries.ecDomainGroups(GraphTables.cached(s, dir))),
+
+    // "Cognate Ligands : $enzyme_focus" (the Enzyme page's 4th panel):
+    // cognates in the focus EC with the smiles-viewer iframe payload —
+    // the p18/p19 url_encode(to_json(...)) idiom over the EC dim join.
+    RQ("p33_ec_cognates", Some(s"""
+      WITH codes AS (SELECT p_partkey AS cogId, $ecSql AS ec FROM part),
+           f AS (SELECT ec FROM (SELECT ec, count(DISTINCT cogId) AS n
+                                 FROM codes GROUP BY ec
+                                 ORDER BY n DESC, ec LIMIT 1)),
+           c AS (SELECT codes.cogId, upper(trim(p_name)) AS nm
+                 FROM codes JOIN f ON codes.ec = f.ec
+                 JOIN part ON p_partkey = codes.cogId),
+           pay AS (SELECT cogId, nm,
+                          to_json(struct_pack(name := nm, smiles := nm))
+                            ::VARCHAR AS j
+                   FROM c)
+      SELECT cogId, nm AS cognateLigand,
+             'http://localhost:8080/procogdash/web/smiles_viewer.html?type=smiles&data='
+               || ${urlencSql("j")} AS iframe_url
+      FROM pay ORDER BY cogId"""))((s, dir) =>
+      ProCogQueries.ecCognates(GraphTables.cached(s, dir)))
   )
 
   /** The dotted EC code in DuckDB SQL — mirror of ExportStage.ecCode.

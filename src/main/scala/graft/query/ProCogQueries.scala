@@ -360,13 +360,18 @@ object ProCogQueries {
       ecCode(col("brand"), col("csize"), col("cogId")).as("ec"))
   }
 
-  /** The deterministic focus EC for the direct-entry pages: the minimum
-    * code. The dashboard binds `$neodash_enzyme_focus` from the user's
-    * autocomplete pick; tests/oracles need a data-derived, SF-proof
-    * stand-in, and min() is the same one-row aggregate in any engine.
+  /** The deterministic focus EC for the direct-entry pages: the code
+    * with the MOST cognates, ties broken by the smaller code — a
+    * data-derived, SF-proof stand-in for the dashboard's
+    * `$neodash_enzyme_focus` pick that lands on an EC whose panels
+    * actually carry rows (min(ec) tended to select a singleton).
     */
   private def focusEc(g: GraphTables): DataFrame =
-    ecCodes(g).agg(min(col("ec")).as("ec"))
+    ecCodes(g).groupBy("ec")
+      .agg(countDistinct(col("cogId")).as("n"))
+      .orderBy(col("n").desc, col("ec"))
+      .limit(1)
+      .select("ec")
 
   /** EC-number direct-entry autocomplete (dashboard.json Enzyme Query:
     * `MATCH (n:ecID) WHERE toLower(ecID) CONTAINS toLower($input)
@@ -412,6 +417,25 @@ object ProCogQueries {
       .distinct()
       .orderBy("pdbEntry")
       .limit(k)
+
+  /** "Cognate Ligands : $enzyme_focus" (dashboard.json Enzyme page): the
+    * cognates in the focus EC, each row carrying the smiles-viewer
+    * iframe payload — `apoc.text.urlencode(apoc.convert.toJson({name,
+    * smiles}))` re-expressed as `url_encode(to_json(struct(...)))`, the
+    * p18/p19 native-codegen idiom. Dimension-only: EC dim ⋈ cognate dim.
+    */
+  def ecCognates(g: GraphTables): DataFrame = {
+    val inEc = ecCodes(g).join(broadcast(focusEc(g)), "ec")
+    g.cognates
+      .join(graft.plans.DimBroadcast.dim(inEc.select("cogId")), "cogId")
+      .select(col("cogId"), col("cogName").as("cognateLigand"),
+        concat(
+          lit("http://localhost:8080/procogdash/web/smiles_viewer.html" +
+            "?type=smiles&data="),
+          url_encode(to_json(struct(col("cogName").as("name"),
+            col("cogName").as("smiles"))))).as("iframe_url"))
+      .orderBy("cogId")
+  }
 
   /** Per-domain-type group tiles for the focus EC (dashboard.json
     * "$neodash_group_level" apoc.case over SCOP/CATH/Pfam: the domain

@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   * null — the C11 cache-probe convention for "no canonical form".
   */
 final case class ProcessChemToolkit(command: Seq[String],
-                                    budgetMillis: Long = 40000L)
+                                    budgetMillis: Long = 40000L,
+                                    inputIsDistinctPairs: Boolean = false)
     extends ChemToolkit {
 
   override val columnPure: Boolean = false
@@ -62,6 +63,79 @@ final case class ProcessChemToolkit(command: Seq[String],
 
   override def scoreCandidates(df: DataFrame, aCol: String, bCol: String,
       boundSizeCol: String, cognateSizeCol: String,
+      outCol: String): DataFrame =
+    if (inputIsDistinctPairs)
+      scoreCandidatesDirect(df, aCol, bCol, boundSizeCol, cognateSizeCol,
+        outCol)
+    else
+      scoreCandidatesDeduped(df, aCol, bCol, boundSizeCol, cognateSizeCol,
+        outCol)
+
+  /** Single-pass form for callers whose rows ARE the distinct candidate
+    * pairs (the registry's blocked candidate set is — one row per
+    * (ligand, cognate) by construction): appends the score in ONE narrow
+    * mapPartitions, no dedup shuffle and no join-back sort. The general
+    * form below pays both to keep worker traffic distinct-grained when
+    * the input carries repeats; the constructor flag
+    * `inputIsDistinctPairs` states the caller's guarantee (the two
+    * forms are spec-pinned value-equal in ProcessChemSpec). A row with a
+    * null pair component scores null, matching the deduped form's
+    * left-join semantics.
+    */
+  private def scoreCandidatesDirect(df: DataFrame, aCol: String,
+      bCol: String, boundSizeCol: String, cognateSizeCol: String,
+      outCol: String): DataFrame = {
+    val cmd = command
+    val budget = budgetMillis
+    val schema = df.schema.add(outCol,
+      org.apache.spark.sql.types.DoubleType, nullable = true)
+    val (ai, bi, bsi, csi) = (df.schema.fieldIndex(aCol),
+      df.schema.fieldIndex(bCol), df.schema.fieldIndex(boundSizeCol),
+      df.schema.fieldIndex(cognateSizeCol))
+    def longAt(r: org.apache.spark.sql.Row, i: Int): java.lang.Long =
+      r.get(i) match {
+        case null       => null
+        case l: Long    => l
+        case n: Number  => n.longValue()
+        case other      => other.toString.toLong
+      }
+    // Worker parallelism = input partitions. A dim-derived candidate set
+    // often arrives on a handful of scan splits (the deduped form got its
+    // parallelism from the distinct's shuffle as a side effect) — ONE
+    // round-robin spread keeps all worker slots busy and still skips the
+    // dedup aggregation and the join-back sorts. At fact-scale inputs the
+    // partition count is already ≥ the session's shuffle parallelism and
+    // no shuffle is added.
+    val shuffleParts =
+      df.sparkSession.sessionState.conf.numShufflePartitions
+    val spread =
+      if (df.rdd.getNumPartitions < shuffleParts) df.repartition(shuffleParts)
+      else df
+    spread.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else BridgeWorker.withWorker(cmd) { w =>
+        w.batchedOpt(it, { r: org.apache.spark.sql.Row =>
+          val (a, b) = (r.get(ai), r.get(bi))
+          val (bs, cs) = (longAt(r, bsi), longAt(r, csi))
+          if (a == null || b == null || bs == null || cs == null) None
+          else Some(s"PSIZE\t${BridgeWorker.sanitize(a.toString)}\t" +
+            s"${BridgeWorker.sanitize(b.toString)}\t$bs\t$cs\t$budget")
+        }) {
+          case (r, Some(BridgeWorker.Ok(fields))) =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ (fields.head.toDouble: java.lang.Double))
+          case (r, Some(BridgeWorker.Err(_))) =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ (0.0: java.lang.Double)) // computed failure = 0
+          case (r, None) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ null)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  private def scoreCandidatesDeduped(df: DataFrame, aCol: String,
+      bCol: String, boundSizeCol: String, cognateSizeCol: String,
       outCol: String): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
@@ -215,7 +289,9 @@ private[chem] final class BridgeWorker(command: Seq[String]) {
 
   /** One synchronous request/response (the per-pair kernel path). */
   def one(line: String): Response = {
-    out.write(line); out.write('\n'); out.flush()
+    out.write(line); out.write('\n')
+    out.write("FLUSH"); out.write('\n')
+    out.flush()
     readResponse()
   }
 
@@ -225,10 +301,33 @@ private[chem] final class BridgeWorker(command: Seq[String]) {
     */
   def batched[A, B](rows: Iterator[A], req: A => String)
                    (resp: (A, Response) => B): Iterator[B] =
+    batchedOpt[A, B](rows, r => Some(req(r))) {
+      case (r, Some(response)) => resp(r, response)
+      case (r, None) => // unreachable: every req is Some
+        throw new IllegalStateException("batched: missing response")
+    }
+
+  /** [[batched]] with per-row opt-out: rows whose `req` is None never
+    * cross the process boundary and decode with a None response (the
+    * null-component passthrough of the direct scoring path).
+    */
+  def batchedOpt[A, B](rows: Iterator[A], req: A => Option[String])
+                      (resp: (A, Option[Response]) => B): Iterator[B] =
     rows.grouped(BatchSize).flatMap { group =>
-      group.foreach { r => out.write(req(r)); out.write('\n') }
+      val rendered = group.map(r => (r, req(r)))
+      rendered.foreach {
+        case (_, Some(line)) => out.write(line); out.write('\n')
+        case _ => ()
+      }
+      // batch boundary marker: the worker buffers its responses and
+      // flushes ONCE here instead of per line (per-line flush = one
+      // write syscall per response, measured as the worker's floor)
+      out.write("FLUSH"); out.write('\n')
       out.flush()
-      group.map(r => resp(r, readResponse()))
+      rendered.map {
+        case (r, Some(_)) => resp(r, Some(readResponse()))
+        case (r, None)    => resp(r, None)
+      }
     }
 
   /** One response line, deadline-guarded: a worker honoring its budget

@@ -312,7 +312,12 @@ object ExtraQueries {
              max(CASE WHEN s.best = 'Y' THEN s.score END) AS maxBestScore
       FROM ip JOIN sim s ON s.pk = ip.pk
       GROUP BY 1, 2 ORDER BY suppkey, cogId"""))((s, dir) => {
+      // the registry's blocked candidate set is one row per (ligand,
+      // cognate) by construction — the direct single-pass scoring form
+      // applies (no dedup shuffle, no join-back sort; ProcessChemSpec
+      // pins the two forms value-equal)
       val tk = graft.chem.ProcessChemToolkit.default()
+        .copy(inputIsDistinctPairs = true)
       val g = graft.graph.GraphTables.build(s, dir, tk)
       val ip = t(s, dir, "lineitem").filter(col("l_suppkey") <= 20)
         .select(col("l_partkey").as("ligandUniqueID"),

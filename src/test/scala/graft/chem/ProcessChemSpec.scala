@@ -65,6 +65,28 @@ class ProcessChemSpec extends SparkSpec {
         "live scores diverge from the bridge-table scores")
     }
 
+    it("the direct (inputIsDistinctPairs) form equals the deduped form " +
+       "and passes null components through as null") {
+      assumeWorker()
+      import spark.implicits._
+      val df = Seq(
+        ("a1", "b1", Some(10L), Some(12L)),
+        ("a2", "b2", Some(50L), Some(50L)),
+        ("a3", "b3", None, Some(7L)),          // null bound size
+        ("FAILPAIR", "b4", Some(3L), Some(4L)) // worker failure → 0.0
+      ).toDF("a", "b", "bs", "cs")
+      val direct = tk.copy(inputIsDistinctPairs = true)
+        .scoreCandidates(df, "a", "b", "bs", "cs", "score")
+      val deduped = tk.scoreCandidates(df, "a", "b", "bs", "cs", "score")
+      assert(direct.exceptAll(deduped).isEmpty &&
+        deduped.exceptAll(direct).isEmpty)
+      assert(direct.filter(col("a") === "a3" && col("score").isNull)
+        .count() === 1)
+      assert(direct.filter(col("a") === "FAILPAIR").head()
+        .getAs[Double]("score") === 0.0)
+      assert(direct.count() === 4) // rows preserved, no dedup collapse
+    }
+
     it("scores a computed failure 0.0, never null (the reference's " +
        "errored-pair convention)") {
       assumeWorker()

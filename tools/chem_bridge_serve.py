@@ -95,6 +95,13 @@ def main():
         try:
             fields = line.split("\t")
             op = fields[0]
+            if op == "FLUSH":
+                # batch boundary: the engine writes FLUSH after each
+                # request batch and only then reads — buffering between
+                # markers turns per-line flush syscalls into one per
+                # batch (measured as the worker loop's dominant cost)
+                out.flush()
+                continue
             if op == "CANON":
                 c = canonical(fields[1])
                 out.write("OK\t%s\t%s\n" % (c, c))
@@ -112,7 +119,6 @@ def main():
                 out.write("ERR\tunknown op: %s\n" % op)
         except Exception as e:  # noqa: BLE001 — every failure must answer
             out.write("ERR\t%s\n" % str(e).replace("\t", " "))
-        out.flush()
 
 
 if __name__ == "__main__":

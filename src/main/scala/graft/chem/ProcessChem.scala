@@ -113,7 +113,7 @@ final case class ProcessChemToolkit(command: Seq[String],
       else df
     spread.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
-      else BridgeWorker.withWorker(cmd) { w =>
+      else BridgeWorker.withWorker(cmd, budget) { w =>
         w.batchedOpt(it, { r: org.apache.spark.sql.Row =>
           val (a, b) = (r.get(ai), r.get(bi))
           val (bs, cs) = (longAt(r, bsi), longAt(r, csi))
@@ -148,7 +148,7 @@ final case class ProcessChemToolkit(command: Seq[String],
       .na.drop().distinct().as[(String, String, Long, Long)]
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
-        else BridgeWorker.withWorker(cmd) { w =>
+        else BridgeWorker.withWorker(cmd, budget) { w =>
           w.batched(it, (r: (String, String, Long, Long)) =>
             s"PSIZE\t${BridgeWorker.sanitize(r._1)}\t" +
               s"${BridgeWorker.sanitize(r._2)}\t${r._3}\t${r._4}\t$budget") {
@@ -191,7 +191,7 @@ final case class ProcessChemToolkit(command: Seq[String],
       .distinct().as[(String, String)]
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
-        else BridgeWorker.withWorker(cmd) { w =>
+        else BridgeWorker.withWorker(cmd, budget) { w =>
           w.batched(it, (r: (String, String)) =>
             s"PMOL\t${BridgeWorker.sanitize(r._1)}\t" +
               s"${BridgeWorker.sanitize(r._2)}\t$budget") {
@@ -275,8 +275,17 @@ object ProcessChemToolkit {
   * classic two-pipe deadlock), large enough to amortize the syscall per
   * flush.
   */
-private[chem] final class BridgeWorker(command: Seq[String]) {
+private[chem] final class BridgeWorker(command: Seq[String],
+                                       budgetMillis: Long = 40000L) {
   import BridgeWorker._
+
+  // hang-guard for ONE response: a worker honoring its per-pair budget
+  // answers within it (the stand-in and rdFMCS both self-limit), so the
+  // guard is the budget plus scheduling grace — NOT a fixed constant
+  // that would kill a legitimate long-budget pair (a 120 s MCS budget
+  // must not be preempted at 60 s; the caller chose that budget)
+  private val responseDeadlineMillis: Long =
+    math.max(60000L, budgetMillis + 20000L)
 
   private val proc = new ProcessBuilder(command: _*)
     .redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -330,13 +339,14 @@ private[chem] final class BridgeWorker(command: Seq[String]) {
       }
     }
 
-  /** One response line, deadline-guarded: a worker honoring its budget
-    * answers within it (the stand-in and rdFMCS both self-limit); a
-    * HUNG worker is a broken deployment and fails the task loudly
-    * rather than stalling an executor slot forever.
+  /** One response line, deadline-guarded by [[responseDeadlineMillis]]:
+    * a HUNG worker (past budget + grace) is a broken deployment and
+    * fails the task loudly rather than stalling an executor slot
+    * forever.
     */
-  private def readResponse(deadlineMillis: Long = 60000L): Response = {
-    val deadline = System.nanoTime() + deadlineMillis * 1000000L
+  private def readResponse(): Response = {
+    val deadline =
+      System.nanoTime() + responseDeadlineMillis * 1000000L
     lineBuf.reset()
     while (true) {
       if (in.available() > 0) {
@@ -356,7 +366,8 @@ private[chem] final class BridgeWorker(command: Seq[String]) {
             s"chem bridge worker died (exit ${proc.exitValue()}): $command")
         if (System.nanoTime() > deadline)
           throw new java.io.IOException(
-            s"chem bridge worker hung past ${deadlineMillis} ms: $command")
+            s"chem bridge worker hung past ${responseDeadlineMillis} ms: " +
+            s"$command")
         Thread.sleep(2L)
       }
     }
@@ -390,9 +401,9 @@ private[chem] object BridgeWorker {
     * the returned iterator — Spark's limit/take stop consuming without
     * draining).
     */
-  def withWorker[T](command: Seq[String])
+  def withWorker[T](command: Seq[String], budgetMillis: Long = 40000L)
                    (body: BridgeWorker => Iterator[T]): Iterator[T] = {
-    val w = new BridgeWorker(command)
+    val w = new BridgeWorker(command, budgetMillis)
     val tc = org.apache.spark.TaskContext.get()
     if (tc != null) tc.addTaskCompletionListener[Unit](_ => w.close())
     body(w)

@@ -50,10 +50,44 @@ object ContactsStage {
     * touching the contact records).
     */
   def relevant(contacts: DataFrame): DataFrame =
-    contacts.filter(
-      (col("status").isNull || col("status") === "success") &&
-        exists(col("contact"), t => !t.isin(irrelevant: _*)) &&
-        col("interacting_entities") === "INTER")
+    contacts.filter(relevantPred)
+
+  /** The ONE per-record relevance predicate — shared by the batch filter,
+    * the batch skip classifier, and the streaming skip aggregation (j14),
+    * so the three can never drift.
+    */
+  def relevantPred: org.apache.spark.sql.Column =
+    (col("status").isNull || col("status") === "success") &&
+      exists(col("contact"), t => !t.isin(irrelevant: _*)) &&
+      col("interacting_entities") === "INTER"
+
+  /** Per-pdb skip-state aggregates (envelope flags + record counts) —
+    * monotone under accumulation (max/sum), which is exactly what lets
+    * the STREAMING form maintain them incrementally in update mode and
+    * roll the sink up with max(): every column's final state is its
+    * cross-batch maximum.
+    */
+  def skipAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    max(when(col("status") === "timeout", 1).otherwise(0)).as("t"),
+    max(when(col("status") === "arpeggio_failure", 1).otherwise(0)).as("f"),
+    sum(when(col("contact").isNotNull, 1L).otherwise(0L)).as("n_any"),
+    sum(when(relevantPred, 1L).otherwise(0L)).as("n_rel"))
+
+  /** Exit-code classification over the aggregated per-pdb skip state
+    * (columns t/f/n_any/n_rel) — the reference's precedence order.
+    */
+  def classifySkips(agg: DataFrame): DataFrame =
+    agg.select(col("pdb_id"),
+      when(col("t") === 1 || col("f") === 1, lit(127))
+        .when(col("n_any") === 0L, lit(124))
+        .when(col("n_rel") === 0L, lit(124))
+        .as("exit_code"),
+      when(col("t") === 1, lit("no_contacts_record"))
+        .when(col("f") === 1, lit("arpeggio_failure"))
+        .when(col("n_any") === 0L, lit("no_ligand_protein_contacts"))
+        .when(col("n_rel") === 0L, lit("no_valid_ligand_protein_contacts"))
+        .as("reason"))
+      .filter(col("exit_code").isNotNull)
 
   /** Per-pdb skip classification — the reference's exit-code contract
     * (process_pdb_contacts.py:97-115, 426-430; SURVEY §5):
@@ -77,30 +111,9 @@ object ContactsStage {
     * simply produces no interaction rows; they are not contact-stream
     * classifications and so are out of scope here by design.
     */
-  def skips(contacts: DataFrame): DataFrame = {
-    val isRelevant =
-      (col("status").isNull || col("status") === "success") &&
-        exists(col("contact"), t => !t.isin(irrelevant: _*)) &&
-        col("interacting_entities") === "INTER"
-    contacts.groupBy("pdb_id")
-      .agg(
-        max(when(col("status") === "timeout", 1).otherwise(0)).as("t"),
-        max(when(col("status") === "arpeggio_failure", 1).otherwise(0))
-          .as("f"),
-        sum(when(col("contact").isNotNull, 1L).otherwise(0L)).as("n_any"),
-        sum(when(isRelevant, 1L).otherwise(0L)).as("n_rel"))
-      .select(col("pdb_id"),
-        when(col("t") === 1 || col("f") === 1, lit(127))
-          .when(col("n_any") === 0L, lit(124))
-          .when(col("n_rel") === 0L, lit(124))
-          .as("exit_code"),
-        when(col("t") === 1, lit("no_contacts_record"))
-          .when(col("f") === 1, lit("arpeggio_failure"))
-          .when(col("n_any") === 0L, lit("no_ligand_protein_contacts"))
-          .when(col("n_rel") === 0L, lit("no_valid_ligand_protein_contacts"))
-          .as("reason"))
-      .filter(col("exit_code").isNotNull)
-  }
+  def skips(contacts: DataFrame): DataFrame =
+    classifySkips(contacts.groupBy("pdb_id")
+      .agg(skipAggs.head, skipAggs.tail: _*))
 
   /** Per-(entity-chain, domain-chain) aggregation with hbond/covalent
     * breakdowns (process_pdb_contacts.py:379-392), whole-entity share and

@@ -75,6 +75,78 @@ object EtlQueries {
     }
   }
 
+  /** etl5/j14 shared oracle: the skip classification re-derived
+    * analytically (batch and streamed forms must both match it). */
+  private def contactSkipsSql: String = """
+      WITH c AS (SELECT 'pdb' || (l_orderkey % 50) AS pdb_id,
+                        CASE WHEN l_discount >= 0.06 THEN ['proximal','hbond']
+                             WHEN l_discount >= 0.03 THEN ['covalent']
+                             ELSE ['proximal'] END AS contact,
+                        CASE WHEN l_tax > 0.04 THEN 'INTER' ELSE 'INTRA' END
+                          AS ie
+                 FROM lineitem),
+           rel AS (SELECT DISTINCT pdb_id FROM c
+                   WHERE ie = 'INTER' AND EXISTS (
+                     SELECT 1 FROM unnest(contact) AS t(x)
+                     WHERE x NOT IN ('proximal','vdw_clash','clash'))),
+           norel AS (SELECT pdb_id, CAST(124 AS INT) AS exit_code,
+                            'no_valid_ligand_protein_contacts' AS reason
+                     FROM (SELECT DISTINCT pdb_id FROM c) p
+                     WHERE pdb_id NOT IN (SELECT pdb_id FROM rel)),
+           env AS (SELECT 'pdbx' || n_nationkey AS pdb_id,
+                          CAST(CASE WHEN n_nationkey % 4 IN (0, 1)
+                                    THEN 127 ELSE 124 END AS INT)
+                            AS exit_code,
+                          CASE WHEN n_nationkey % 4 = 0
+                                 THEN 'no_contacts_record'
+                               WHEN n_nationkey % 4 = 1
+                                 THEN 'arpeggio_failure'
+                               WHEN n_nationkey % 4 = 2
+                                 THEN 'no_ligand_protein_contacts'
+                               ELSE 'no_valid_ligand_protein_contacts'
+                          END AS reason
+                   FROM nation)
+      SELECT pdb_id, exit_code, reason FROM env
+      UNION ALL SELECT pdb_id, exit_code, reason FROM norel
+      ORDER BY pdb_id"""
+
+  /** j14's oracle: the skip classification over the STREAMED slice —
+    * every envelope pdb plus the one data pdb (which emits a skip row
+    * only if none of its contacts pass the relevance filter, same rule
+    * as etl5's norel branch). */
+  private def contactSkipsStreamSql: String = """
+      WITH c AS (SELECT 'pdb' || (l_orderkey % 50) AS pdb_id,
+                        CASE WHEN l_discount >= 0.06 THEN ['proximal','hbond']
+                             WHEN l_discount >= 0.03 THEN ['covalent']
+                             ELSE ['proximal'] END AS contact,
+                        CASE WHEN l_tax > 0.04 THEN 'INTER' ELSE 'INTRA' END
+                          AS ie
+                 FROM lineitem WHERE l_orderkey % 50 = 7),
+           rel AS (SELECT DISTINCT pdb_id FROM c
+                   WHERE ie = 'INTER' AND EXISTS (
+                     SELECT 1 FROM unnest(contact) AS t(x)
+                     WHERE x NOT IN ('proximal','vdw_clash','clash'))),
+           norel AS (SELECT pdb_id, CAST(124 AS INT) AS exit_code,
+                            'no_valid_ligand_protein_contacts' AS reason
+                     FROM (SELECT DISTINCT pdb_id FROM c) p
+                     WHERE pdb_id NOT IN (SELECT pdb_id FROM rel)),
+           env AS (SELECT 'pdbx' || n_nationkey AS pdb_id,
+                          CAST(CASE WHEN n_nationkey % 4 IN (0, 1)
+                                    THEN 127 ELSE 124 END AS INT)
+                            AS exit_code,
+                          CASE WHEN n_nationkey % 4 = 0
+                                 THEN 'no_contacts_record'
+                               WHEN n_nationkey % 4 = 1
+                                 THEN 'arpeggio_failure'
+                               WHEN n_nationkey % 4 = 2
+                                 THEN 'no_ligand_protein_contacts'
+                               ELSE 'no_valid_ligand_protein_contacts'
+                          END AS reason
+                   FROM nation)
+      SELECT pdb_id, exit_code, reason FROM env
+      UNION ALL SELECT pdb_id, exit_code, reason FROM norel
+      ORDER BY pdb_id"""
+
   val defs: Seq[RQ] = Seq(
 
     // Flat-file distribution export (produce_flat_files.py): best-cognate
@@ -241,40 +313,48 @@ object EtlQueries {
     // and any data pdb whose contacts all fail the relevance filter —
     // so the classification logic, not just the fixture constants, is
     // what's being checked (process_pdb_contacts.py:97-115, 426-430).
-    RQ("etl5_contact_skips", Some("""
-      WITH c AS (SELECT 'pdb' || (l_orderkey % 50) AS pdb_id,
-                        CASE WHEN l_discount >= 0.06 THEN ['proximal','hbond']
-                             WHEN l_discount >= 0.03 THEN ['covalent']
-                             ELSE ['proximal'] END AS contact,
-                        CASE WHEN l_tax > 0.04 THEN 'INTER' ELSE 'INTRA' END
-                          AS ie
-                 FROM lineitem),
-           rel AS (SELECT DISTINCT pdb_id FROM c
-                   WHERE ie = 'INTER' AND EXISTS (
-                     SELECT 1 FROM unnest(contact) AS t(x)
-                     WHERE x NOT IN ('proximal','vdw_clash','clash'))),
-           norel AS (SELECT pdb_id, CAST(124 AS INT) AS exit_code,
-                            'no_valid_ligand_protein_contacts' AS reason
-                     FROM (SELECT DISTINCT pdb_id FROM c) p
-                     WHERE pdb_id NOT IN (SELECT pdb_id FROM rel)),
-           env AS (SELECT 'pdbx' || n_nationkey AS pdb_id,
-                          CAST(CASE WHEN n_nationkey % 4 IN (0, 1)
-                                    THEN 127 ELSE 124 END AS INT)
-                            AS exit_code,
-                          CASE WHEN n_nationkey % 4 = 0
-                                 THEN 'no_contacts_record'
-                               WHEN n_nationkey % 4 = 1
-                                 THEN 'arpeggio_failure'
-                               WHEN n_nationkey % 4 = 2
-                                 THEN 'no_ligand_protein_contacts'
-                               ELSE 'no_valid_ligand_protein_contacts'
-                          END AS reason
-                   FROM nation)
-      SELECT pdb_id, exit_code, reason FROM env
-      UNION ALL SELECT pdb_id, exit_code, reason FROM norel
-      ORDER BY pdb_id"""))((s, dir) => {
+    RQ("etl5_contact_skips", Some(contactSkipsSql))((s, dir) => {
       val path = contactsFixture(s, dir)
       ContactsStage.skips(ContactsStage.readContacts(s, path))
+        .orderBy("pdb_id")
+    }),
+
+    // J14 — STREAMING arpeggio skip classification: the contact stream's
+    // envelope triage as it would run while records LAND (the batch twin
+    // is etl5; same oracle). The per-pdb skip state (envelope flags +
+    // record counts, ContactsStage.skipAggs) is maintained as a streaming
+    // aggregation in update mode; every aggregate is MONOTONE under
+    // accumulation, so the sink rolls up with max() and the final state
+    // classifies through the ONE shared ContactsStage.classifySkips —
+    // batching-invariant by construction, so the streamed answer must
+    // hash-equal the batch oracle.
+    RQ("j14_stream_contact_skips", Some(contactSkipsStreamSql))((s, dir) => {
+      import s.implicits._
+      val path = contactsFixture(s, dir)
+      // the MemoryStream replay harness collects its feed to the driver
+      // (documented across the j-family; the production source swap runs
+      // the same plan unbounded) — so the streamed slice is BOUNDED: one
+      // data pdb (pdb7 — exercises the counting/no-skip path) plus every
+      // envelope pdb (all four skip classes). The oracle filters to the
+      // same slice.
+      val recs = ContactsStage.readContacts(s, path)
+        .filter(col("pdb_id") === "pdb7" || col("pdb_id").startsWith("pdbx"))
+        .select(col("pdb_id"), col("status"), col("contact"),
+          col("interacting_entities"))
+        .orderBy("pdb_id", "status", "interacting_entities")
+        .as[(String, String, Seq[String], String)].collect()
+      Replay.chunked(s, recs.toSeq, 4, statePartitions = Some(8)) { ds =>
+        val df = ds.toDF("pdb_id", "status", "contact",
+          "interacting_entities")
+        df.groupBy("pdb_id")
+          .agg(ContactsStage.skipAggs.head, ContactsStage.skipAggs.tail: _*)
+          .writeStream.format("memory").queryName("j14_skips")
+          .outputMode("update").start()
+      }
+      ContactsStage.classifySkips(
+        s.table("j14_skips").groupBy("pdb_id")
+          .agg(max("t").as("t"), max("f").as("f"),
+            max("n_any").as("n_any"), max("n_rel").as("n_rel")))
         .orderBy("pdb_id")
     }),
 

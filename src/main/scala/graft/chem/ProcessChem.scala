@@ -293,7 +293,14 @@ private[chem] final class BridgeWorker(command: Seq[String],
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(proc.getOutputStream,
       StandardCharsets.UTF_8))
-  private val in = proc.getInputStream
+  // BUFFERED response stream (r13): the raw pipe InputStream costs two
+  // syscalls PER RESPONSE BYTE in the poll loop below (available() +
+  // read()), which at sf0.1's ~700k scored pairs × ~20-byte responses
+  // was i8's dominant stall (run 114 exec-s vs 68 CPU-s). The buffer
+  // turns that into one syscall per 64 KiB; available() still reflects
+  // buffered + underlying bytes, so the deadline guard is unchanged.
+  private val in = new java.io.BufferedInputStream(
+    proc.getInputStream, 1 << 16)
   private val lineBuf = new java.io.ByteArrayOutputStream(256)
 
   /** One synchronous request/response (the per-pair kernel path). */
@@ -368,7 +375,7 @@ private[chem] final class BridgeWorker(command: Seq[String],
           throw new java.io.IOException(
             s"chem bridge worker hung past ${responseDeadlineMillis} ms: " +
             s"$command")
-        Thread.sleep(2L)
+        Thread.sleep(1L)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -90,22 +90,32 @@ object FastGzipCodec {
     private val gz = new GZIPOutputStream(raw, 64 * 1024) {
       `def`.setLevel(Deflater.BEST_SPEED)
     }
-    // single-byte writes count into a per-stream local, folded into the
-    // shared counter on finish/close: a per-byte AtomicLong increment is
-    // cross-thread contention on exactly the fallback path that's already
-    // slow (ADVICE r10). Array writes (the writers' normal path) go to
-    // the shared counter per call, as before.
+    // 64 KiB accumulation buffer IN FRONT of the gzip stream (r13): the
+    // line writers feed one write() per ROW (plus a single '\n' byte),
+    // and DeflaterOutputStream turns every write call into its own
+    // Deflater.setInput + JNI deflate round trip — at the export's 78M
+    // 25-byte rows that is ~200M JNI calls, measured as ~8.6 MB/s/core
+    // against the 76 MB/s the same Deflater achieves on 64 KiB chunks
+    // (the bench's deflate probe). Buffering restores chunk-sized
+    // setInput; bytes, ordering and the gzip framing are unchanged.
+    private val buf = new java.io.BufferedOutputStream(gz, 1 << 16)
+    // ALL writes count into a per-stream local, folded into the shared
+    // counter on finish/close: a per-call AtomicLong.addAndGet is
+    // cross-thread cache-line contention — ADVICE r10 fixed the
+    // single-byte path, but the line writers call the ARRAY path once per
+    // ~25-byte row too, and 32 concurrent export sinks hammering one
+    // AtomicLong measured as HALF the codec stack's throughput
+    // (21.7 vs 47.3 MB/s per thread, SinkProbe r13).
     private var singleBytes = 0L
     private def foldSingle(): Unit =
       if (singleBytes > 0L) { jdkRawBytes.addAndGet(singleBytes); singleBytes = 0L }
-    override def write(b: Int): Unit = { gz.write(b); singleBytes += 1 }
+    override def write(b: Int): Unit = { buf.write(b); singleBytes += 1 }
     override def write(b: Array[Byte], off: Int, len: Int): Unit = {
-      gz.write(b, off, len)
-      jdkRawBytes.addAndGet(len.toLong)
-      ()
+      buf.write(b, off, len)
+      singleBytes += len.toLong
     }
-    override def flush(): Unit = gz.flush()
-    override def finish(): Unit = { foldSingle(); gz.finish() }
+    override def flush(): Unit = { buf.flush(); gz.flush() }
+    override def finish(): Unit = { foldSingle(); buf.flush(); gz.finish() }
     // File-sink writers open one stream per file and never reuse it; the
     // reset contract exists for SequenceFile-style block codecs only.
     override def resetState(): Unit =
@@ -114,8 +124,9 @@ object FastGzipCodec {
     // GZIPOutputStream.close() finishes the trailer and closes `raw`,
     // idempotently — the default CompressionOutputStream.close() would
     // bypass the gzip trailer entirely. foldSingle is idempotent too
-    // (zeroed on fold), so finish-then-close never double-counts.
-    override def close(): Unit = { foldSingle(); gz.close() }
+    // (zeroed on fold), so finish-then-close never double-counts; the
+    // pre-close buf.flush() drains the accumulation buffer first.
+    override def close(): Unit = { foldSingle(); buf.flush(); gz.close() }
   }
 
   /** The `.option("compression", _)` value for DataFrame writers. */

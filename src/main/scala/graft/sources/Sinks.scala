@@ -75,23 +75,40 @@ object Sinks {
     finally out.close()
   }
 
+  /** The whole TSV line as ONE whole-stage-codegen expression — the same
+    * bytes the univocity CSV writer emits for this inventory's value
+    * domain (engine-synthesized ids/codes/names with no tab/quote/newline,
+    * so quoting never fires; doubles print via Java Double.toString on
+    * both paths — SinksSpec pins byte equality against a reference
+    * `.csv()` write over the full value-type domain). Shared by the
+    * per-table and batched writers so the two line formats cannot drift.
+    */
+  private def tsvLine(schema: StructType): Column =
+    concat_ws("\t", schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case ArrayType(_, _) =>
+          coalesce(concat_ws("|", col(f.name)), lit(""))
+        case _ => coalesce(col(f.name).cast("string"), lit(""))
+      }
+    }: _*)
+
   def neo4jTsv(df: DataFrame, path: String,
                headerFor: Map[String, String] = Map.empty): Unit = {
-    val cols: Seq[Column] = df.schema.fields.toSeq.map { f =>
-      f.dataType match {
-        case ArrayType(_, _) => concat_ws("|", col(f.name)).as(f.name)
-        case _               => col(f.name)
-      }
-    }
-    df.select(cols: _*)
+    // ONE codegen'd projection → the text writer, not the CSV writer:
+    // univocity converts every field to a java.lang.String and runs its
+    // per-field quoting state machine per row — measured 4.7 µs/row of
+    // executor CPU on the 78M-row has_similarity_rels sink (364 CPU-s of
+    // etl3's 558 at sf0.1), where the line itself is a fixed concat of
+    // TSV-safe values. Formatting the line as a single whole-stage-codegen
+    // expression and handing the text writer one UTF8String per row keeps
+    // the bytes identical (SinksSpec) at a fraction of the per-row cost.
+    df.select(tsvLine(df.schema).as("value"))
       .write.mode("overwrite")
-      .option("sep", "\t").option("header", "false")
       // FastGzipCodec, not "gzip": BEST_SPEED on both the native-zlib and
       // JDK-Deflater codec paths (plain GzipCodec ignores the level conf
       // on hosts without native Hadoop libs — see FastGzipCodec.scala)
       .option("compression", FastGzipCodec.name)
-      .option("emptyValue", "")
-      .csv(s"$path/data")
+      .text(s"$path/data")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
@@ -161,14 +178,7 @@ object Sinks {
       writeHeader(fs, dir, neo4jHeaders(df.schema, headerFor))
     }
     val tagged = tables.map { case (name, df, _) =>
-      val line = concat_ws("\t", df.schema.fields.toSeq.map { f =>
-        f.dataType match {
-          case ArrayType(_, _) =>
-            coalesce(concat_ws("|", col(f.name)), lit(""))
-          case _ => coalesce(col(f.name).cast("string"), lit(""))
-        }
-      }: _*)
-      df.select(lit(name).as("t"), line.as("line"))
+      df.select(lit(name).as("t"), tsvLine(df.schema).as("line"))
     }.reduce(_ unionByName _)
     val sc = new SerConf(hconf)
     // one table per task, EXACTLY: an identity partitioner on the table's

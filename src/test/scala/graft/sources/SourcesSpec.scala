@@ -33,12 +33,69 @@ class SourcesSpec extends SparkSpec {
         .toDF("id", "name", "tags", "score")
       Sinks.neo4jTsv(df, dir, Map("id" -> "id:ID(test)"))
       val files = new java.io.File(s"$dir/data").listFiles
-        .filter(_.getName.endsWith(".csv.gz"))
+        .filter(_.getName.endsWith(".gz"))
       assert(files.nonEmpty, "gzip part files written")
       val back = Sinks.readNeo4jTsv(spark, dir)
       assert(back.columns.toSet ===
         Set("id:ID(test)", "name", "tags:string[]", "score:float"))
       assert(back.select("`tags:string[]`").as[String].head() === "a|b")
+    }
+  }
+
+  describe("Neo4j sink line formatting (r13 text-writer fast path)") {
+    it("emits byte-identical lines to the univocity CSV writer over the sink value domain") {
+      // The per-table sink formats the whole line as one codegen
+      // expression and writes through the text writer (the 78M-row
+      // has_similarity_rels sink spent 364 CPU-s in univocity's per-field
+      // conversion at sf0.1). The export contract is unchanged ONLY if
+      // the bytes are: this pins the new path against a reference
+      // `.csv()` write (the old pipeline verbatim — arrays pre-joined
+      // with '|', sep '\t', emptyValue "") across the sink value-type
+      // domain incl. the formatting-sensitive doubles (x.0, thirds,
+      // scientific notation) and null/empty strings and arrays.
+      val dir = Files.createTempDirectory("neo4j_bytes").toString
+      val df = Seq(
+        (1L, "plain name", Seq("a", "b"), 0.97),
+        (2L, null.asInstanceOf[String], Seq.empty[String], 1.0),
+        (3L, "", null.asInstanceOf[Seq[String]], 1.0 / 3.0),
+        (4L, "UPPER lower 42", Seq("only"), 1.0e-4),
+        // internal whitespace only: univocity's WRITE path trims EDGE
+        // whitespace by default (ignore*WhiteSpace=true on write), the
+        // text writer is verbatim — a deliberate difference the sink
+        // value domain never exercises (every name is trim()ed upstream,
+        // ids/codes are synthesized), asserted separately below
+        (5L, "internal  spaces  kept", Seq("x", "y", "z"),
+          123456789.123456789),
+        (Long.MaxValue, "max", Seq("|notsep"), -0.25))
+        .toDF("id", "name", "tags", "score")
+      Sinks.neo4jTsv(df, s"$dir/fast", Map("id" -> "id:ID(b)"))
+      // reference: the pre-r13 writer pipeline, verbatim
+      df.select(col("id"), col("name"),
+          concat_ws("|", col("tags")).as("tags"), col("score"))
+        .write.mode("overwrite")
+        .option("sep", "\t").option("header", "false")
+        .option("emptyValue", "").csv(s"$dir/ref")
+      def lines(d: String): Seq[String] = {
+        val fs = new java.io.File(d).listFiles
+          .filter(f => f.getName.startsWith("part-"))
+        fs.toSeq.flatMap { f =>
+          val in: java.io.InputStream =
+            if (f.getName.endsWith(".gz"))
+              new java.util.zip.GZIPInputStream(
+                new java.io.FileInputStream(f))
+            else new java.io.FileInputStream(f)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList
+          finally in.close()
+        }.sorted
+      }
+      assert(lines(s"$dir/fast/data") === lines(s"$dir/ref"))
+      // the one deliberate divergence: edge whitespace is written
+      // VERBATIM (the old univocity path trimmed it — a silent mutation
+      // of the value; no real sink column carries edge whitespace)
+      val dir2 = Files.createTempDirectory("neo4j_edgews").toString
+      Sinks.neo4jTsv(Seq((1L, "pad ")).toDF("id", "v"), dir2)
+      assert(lines(s"$dir2/data") === Seq("1\tpad "))
     }
   }
 

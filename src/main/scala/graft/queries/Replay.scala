@@ -27,13 +27,41 @@ private[graft] object Replay {
     * added, scope the override per query (e.g. a cloned session via
     * `s.newSession()` sharing the context but not the conf).
     */
+  /** Checkpoint I/O for the replays goes through the FileSystem-based
+    * manager, not the default FileContext-based one (r13): on a `file://`
+    * checkpoint dir — every replay here uses a temp dir — Hadoop's
+    * FileContext local implementation resolves symlinks by FORKING a
+    * `readlink` subprocess per file-status call, and a micro-batch of a
+    * stateful query touches each store's delta + crc + tmp files every
+    * commit. JFR on j8 counted ~4,100 subprocess spawns in one 7 s query
+    * (~135 ms of blocked wall per task, run ≫ cpu in the exec profile);
+    * the FileSystem-based manager stats files in-process. Rename-based
+    * atomic commit semantics are identical on any POSIX/HDFS-class
+    * filesystem (docs/STREAMING.md maps the production checkpoint story);
+    * the override is scoped to the replay and restored after, like the
+    * state-partition sizing below.
+    */
+  private val CheckpointManagerKey =
+    "spark.sql.streaming.checkpointFileManagerClass"
+  private val FsCheckpointManager =
+    "org.apache.spark.sql.execution.streaming.checkpointing." +
+      "FileSystemBasedCheckpointFileManager"
+
   private def withStateConf(s: SparkSession, statePartitions: Option[Int])(
       run: => Unit): Unit = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevCkpt = s.conf.getOption(CheckpointManagerKey)
     statePartitions.foreach(n =>
       s.conf.set("spark.sql.shuffle.partitions", n.toString))
+    s.conf.set(CheckpointManagerKey, FsCheckpointManager)
     try run
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevCkpt match {
+        case Some(v) => s.conf.set(CheckpointManagerKey, v)
+        case None    => s.conf.unset(CheckpointManagerKey)
+      }
+    }
   }
 
   /** The one chunk-sizing rule: `chunks` near-equal time-ordered groups. */

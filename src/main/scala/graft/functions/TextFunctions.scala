@@ -32,8 +32,26 @@ object TextFunctions {
 
   /** Word n-gram shingles (distinct), the unit of MinHash/Jaccard dedup.
     * Empty array for texts shorter than n words.
+    *
+    * Native codegen expression (plans/WordShingles) since r13: the
+    * previous transform/sequence/element_at composition evaluated its
+    * lambda INTERPRETED and — after projection collapse — re-evaluated
+    * the caller's `split(text)` once per element_at per shingle position
+    * (O(words²) splits per document; t40's plan carried five inlined
+    * split() subtrees). The expression form evaluates `ws` exactly once
+    * and loops natively; TextFunctionsSpec pins value equality against
+    * the old composition.
     */
-  def shingles(ws: Column, n: Int): Column = {
+  def shingles(ws: Column, n: Int): Column =
+    org.apache.spark.sql.graftx.GraftPlanBridge.columnOf(
+      graft.plans.WordShingles(
+        org.apache.spark.sql.graftx.GraftPlanBridge.expressionOf(ws), n))
+
+  /** The pre-r13 Column composition of [[shingles]] — kept ONLY as the
+    * equivalence-property reference for TextFunctionsSpec (one
+    * definition of the semantics the native expression must match).
+    */
+  private[graft] def shinglesComposed(ws: Column, n: Int): Column = {
     val grams = transform(sequence(lit(1), size(ws) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
     when(size(ws) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))

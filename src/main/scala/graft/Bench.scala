@@ -150,6 +150,21 @@ object Bench {
         .filter(col("r") === 1).queryExecution.toRdd.count()
       w.join(broadcast(spark.range(100).select(col("id").as("k"))), "k")
         .groupBy("v").count().queryExecution.toRdd.count()
+      // global orderBy (RangePartitioner sampling + range exchange) and
+      // broadcast anti-join: the first measured queries paid these
+      // shapes' JIT/codegen inside their timed region (b2's plain
+      // filter+sort measured 2.6-3.4 s on both r13 baseline runs vs
+      // ~0.5 s warm-repeated; b7's anti-join similarly) — every shape
+      // here is one the b/c-family opens the run with
+      w.orderBy("k", "id").queryExecution.toRdd.count()
+      w.join(broadcast(spark.range(10).select(col("id").as("k"))),
+        Seq("k"), "left_anti").queryExecution.toRdd.count()
+      // text/codegen kernels the first t/h-family queries hit: regex,
+      // split+explode generate, md5/concat, case mapping
+      w.select(regexp_replace(concat_ws(" ", col("k"), col("v")),
+            "[0-9]+", "n").as("t"))
+        .select(explode(split(col("t"), " ")).as("tok"))
+        .select(md5(col("tok").cast("binary"))).queryExecution.toRdd.count()
       // force the case-mapping slow path's one-time class initialization
       // UNTIMED (GraftSession scaladoc): with ICU case mappings enabled,
       // the first case expression an executor thread evaluates pays

@@ -20,12 +20,33 @@ object GraphAnalytics {
     * parallelism (32+), which makes every GraphX superstep pay
     * 32-partition task overhead to move a few hundred vertices.
     * Repartitioning (NOT coalesce — a narrow coalesce would drag the
-    * upstream joins/windows down to this parallelism too) to a handful
-    * of partitions cuts the per-iteration floor
-    * ~linearly; at a truly large graph this would scale with vertex
-    * count instead (partitions ≈ |V| / a few million).
+    * upstream joins/windows down to this parallelism too) cuts the
+    * per-iteration floor ~linearly; at a truly large graph this would
+    * scale with vertex count instead (partitions ≈ |V| / a few million).
+    *
+    * r13 MEASURED both directions before keeping 4: an adaptive
+    * GraphParts (= shuffle.partitions/2, i.e. 16 on the 32-core bench)
+    * cut the one CPU-BOUND superstep loop (x10's exact closeness,
+    * ~26 executor-CPU-s of per-vertex map merging: 9.2 → 7.8 s) but
+    * cost MORE on every light-superstep analytic (x11 3.1 → 6.4,
+    * x1 2.7 → 4.2, x4/x3/x7 +0.6-0.9 s — 4× the tasks per superstep
+    * with sub-overhead work in each). 4 stays the family default;
+    * [[closenessCentrality]] alone sizes to [[cpuBoundGraphParts]].
     */
   private val GraphParts = 4
+
+  /** Parallelism for the CPU-bound superstep loops (x10's per-vertex
+    * distance-map merging): half the session's shuffle parallelism,
+    * floored at [[GraphParts]], capped at 16 — scale-adaptive (guide
+    * §2), so the driver's low-core bench run derives a proportionally
+    * lower count from its own spark.sql.shuffle.partitions. Values are
+    * partitioning-independent (oracle-hash-checked).
+    */
+  private def cpuBoundGraphParts: Int = {
+    val p = org.apache.spark.sql.SparkSession.active
+      .sessionState.conf.numShufflePartitions
+    math.max(GraphParts, math.min(p / 2, 16))
+  }
 
   /** Per-part contributor cap applied BEFORE the pair self-join. The
     * uncapped join fans out |suppliers-of-part|² rows per part — at 100 TB
@@ -234,9 +255,13 @@ object GraphAnalytics {
         if (d < m.getOrElse(src, Long.MaxValue)) m.updated(src, d) else m
       }
     val verts = coBindingPairs(s, dir).select(col("sk")).distinct()
-    val vertices = verts.repartition(GraphParts).rdd
+    // cpuBoundGraphParts, not GraphParts: this is the one superstep loop
+    // whose per-partition work (immutable distance-map merging across
+    // every frontier) dwarfs task overhead — see the GraphParts scaladoc
+    // for the measured A/B
+    val vertices = verts.repartition(cpuBoundGraphParts).rdd
       .map(r => (r.getLong(0), Map(r.getLong(0) -> 0L)))
-    val edges = topKCanonEdges(s, dir, k).repartition(GraphParts).rdd
+    val edges = topKCanonEdges(s, dir, k).repartition(cpuBoundGraphParts).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val g = Graph(vertices, edges)
     val res = g.pregel(Map.empty[Long, Long], maxIterations = cap)(

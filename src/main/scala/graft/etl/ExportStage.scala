@@ -149,10 +149,13 @@ object ExportStage {
     // releases it on EVERY exit path — including a construction or
     // materialization failure mid-body — not just after a clean Await.
     val sharedPersists = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    def shared(df: DataFrame): DataFrame = {
+    def shared(df: DataFrame, name: String = ""): DataFrame = {
       val p = df.persist()
       sharedPersists += p
+      val t0 = System.nanoTime()
       p.queryExecution.toRdd.count()
+      if (name.nonEmpty)
+        ExportTelemetry.record(s"shared:$name", (System.nanoTime() - t0) / 1e9)
       p
     }
     // ---- input-residency gate (VERDICT r11 item 2) ---------------------
@@ -232,7 +235,7 @@ object ExportStage {
       // slower than no persist at all).
       val interactsByDomain = shared(g.interacts.join(
           g.domains.select("suppkey", "domainAccession", "dtype", "nk"),
-          "suppkey"))
+          "suppkey"), "interactsByDomain")
 
       write("interacts_with_ligand_rels",
         interactsByDomain.select(col("domainAccession"), col("uniqueID"),
@@ -302,7 +305,7 @@ object ExportStage {
         .select(concat(col("ok"), lit(":"), col("nk")).as("chainUniqueID"),
           col("pk"))
         .join(cogEc.select(col("cogId").as("pk"), col("ec")), "pk")
-        .select("chainUniqueID", "ec").distinct())
+        .select("chainUniqueID", "ec").distinct(), "chainEc")
       write("pdb_protein_chain_nodes",
         g.chains.select(col("chainUniqueID"), col("nk").as("chainID"))
           .join(chainEc.groupBy("chainUniqueID")
@@ -325,7 +328,7 @@ object ExportStage {
       val domainChain = shared(interactsByDomain
         .select(col("domainAccession"), col("dtype"),
           concat(col("ok"), lit(":"), col("nk")).as("chainUniqueID"))
-        .distinct())
+        .distinct(), "domainChain")
       Seq("CATH" -> "cath_protein_rels", "SCOP" -> "scop_protein_rels",
           "Pfam" -> "pfam_protein_rels").foreach { case (db, name) =>
         write(name,

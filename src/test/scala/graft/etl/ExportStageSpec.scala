@@ -23,7 +23,7 @@ class ExportStageSpec extends SparkSpec {
     */
   private def firstDataLine(dir: String): String = {
     val part = new java.io.File(s"$dir/data").listFiles
-      .filter(_.getName.endsWith(".csv.gz")).minBy(_.getName)
+      .filter(_.getName.endsWith(".gz")).minBy(_.getName)
     val r = new BufferedReader(new InputStreamReader(
       new GZIPInputStream(Files.newInputStream(part.toPath))))
     try r.readLine() finally r.close()

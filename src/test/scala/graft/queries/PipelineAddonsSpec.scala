@@ -184,14 +184,21 @@ class PipelineAddonsSpec extends SparkSpec {
   }
 
   describe("x11_hyperball_sketch") {
-    it("the sketch-only query emits one row per x10 vertex (the " +
-       "accuracy gate itself lives in HyperBallGateSpec)") {
+    it("the gated x11 emits one row per x10 vertex with passing audit " +
+       "booleans (oracle coverage restored, VERDICT r13 item 1)") {
       val out = run("x11_hyperball_sketch").cache()
       try {
         val x10 = run("x10_closeness")
         assert(out.count() === x10.count())
-        assert(out.columns.toSeq === Seq("suppkey", "n_reached_est",
-          "total_dist_est", "closeness_est"))
+        assert(out.columns.toSeq === Seq("suppkey", "n_reached",
+          "total_dist", "reached_ok", "dist_ok"))
+        // the oracle emits literal 1s for the booleans — a sketch outside
+        // its error budget must show up HERE before it shows up as a
+        // driver hash mismatch
+        import org.apache.spark.sql.functions.col
+        assert(out.filter(col("reached_ok") =!= 1L ||
+          col("dist_ok") =!= 1L).count() === 0,
+          "sketch estimate outside its error budget")
       } finally out.unpersist()
     }
     it("the sketch is deterministic: two runs produce identical estimates") {

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print machine-readable JSON lines the driver
+// parses from a bounded stdout tail; sbt's default LoggedOutput wraps
+// every forked-process line in "[info] ", which breaks a strict
+// line-oriented JSON parser (BENCH_r10–r13: parsed=null). StdoutOutput
+// passes the forked JVM's stdout/stderr through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -293,14 +293,19 @@ private[chem] final class BridgeWorker(command: Seq[String],
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(proc.getOutputStream,
       StandardCharsets.UTF_8))
-  // BUFFERED response stream (r13): the raw pipe InputStream costs two
-  // syscalls PER RESPONSE BYTE in the poll loop below (available() +
-  // read()), which at sf0.1's ~700k scored pairs × ~20-byte responses
-  // was i8's dominant stall (run 114 exec-s vs 68 CPU-s). The buffer
-  // turns that into one syscall per 64 KiB; available() still reflects
-  // buffered + underlying bytes, so the deadline guard is unchanged.
-  private val in = new java.io.BufferedInputStream(
-    proc.getInputStream, 1 << 16)
+  // OWNED response buffer (r14, completing the r13 fix): the r13
+  // BufferedInputStream removed the per-byte read() syscall but NOT the
+  // per-byte available() one — java.io.BufferedInputStream.available()
+  // always adds the UNDERLYING stream's available(), i.e. still one pipe
+  // ioctl per response byte (~14M syscalls for i8's ~700k × ~20-byte
+  // responses; the run ≫ cpu residual in the i8 exec profile). Owning
+  // the buffer makes the per-byte path a pure array read; the pipe is
+  // polled (available + chunked read) only when the buffer drains, so
+  // the deadline guard below is unchanged.
+  private val in = proc.getInputStream
+  private val rdBuf = new Array[Byte](1 << 16)
+  private var rdPos = 0
+  private var rdEnd = 0
   private val lineBuf = new java.io.ByteArrayOutputStream(256)
 
   /** One synchronous request/response (the per-pair kernel path). */
@@ -356,9 +361,9 @@ private[chem] final class BridgeWorker(command: Seq[String],
       System.nanoTime() + responseDeadlineMillis * 1000000L
     lineBuf.reset()
     while (true) {
-      if (in.available() > 0) {
-        val b = in.read()
-        if (b == '\n' || b < 0) {
+      if (rdPos < rdEnd) {
+        val b = rdBuf(rdPos); rdPos += 1
+        if (b == '\n') {
           val line = new String(lineBuf.toByteArray, StandardCharsets.UTF_8)
           val fields = line.split("\t", -1).toSeq
           return fields.headOption match {
@@ -368,14 +373,24 @@ private[chem] final class BridgeWorker(command: Seq[String],
         }
         lineBuf.write(b)
       } else {
-        if (!proc.isAlive && in.available() == 0)
-          throw new java.io.IOException(
-            s"chem bridge worker died (exit ${proc.exitValue()}): $command")
-        if (System.nanoTime() > deadline)
-          throw new java.io.IOException(
-            s"chem bridge worker hung past ${responseDeadlineMillis} ms: " +
-            s"$command")
-        Thread.sleep(1L)
+        // buffer drained — one availability poll + one chunked read
+        val avail = in.available()
+        if (avail > 0) {
+          val n = in.read(rdBuf, 0, math.min(avail, rdBuf.length))
+          if (n < 0)
+            throw new java.io.IOException(
+              s"chem bridge worker closed its pipe mid-response: $command")
+          rdPos = 0; rdEnd = n
+        } else {
+          if (!proc.isAlive && in.available() == 0)
+            throw new java.io.IOException(
+              s"chem bridge worker died (exit ${proc.exitValue()}): $command")
+          if (System.nanoTime() > deadline)
+            throw new java.io.IOException(
+              s"chem bridge worker hung past ${responseDeadlineMillis} ms: " +
+              s"$command")
+          Thread.sleep(1L)
+        }
       }
     }
     throw new IllegalStateException("unreachable")

@@ -300,12 +300,23 @@ object ExportStage {
 
       // ---- protein chains (produce_neo4j_files.py:124-151,521-548) -----
       // chain's EC list: the codes of the ligands its domains contact —
-      // sorted collect_set so the array column is deterministic
+      // sorted collect_set so the array column is deterministic.
+      // Shuffle NARROW keys (guide §2.3, VERDICT r13 item 4): dedup the
+      // fact side on its three numeric keys (ok, nk, pk) BEFORE the dim
+      // join — the previous form joined first and distinct'd the full
+      // fact fan-out on (concat string, ec string), so the one big
+      // exchange carried fat strings. Here the big exchange carries three
+      // numerics, the dim join probes only the deduped triples, the
+      // second distinct runs on the already-dim-sized (ok, nk, ec) set,
+      // and the chainUniqueID string is built once per FINAL row.
+      // Set-equal by construction: concat(ok,':',nk) is injective over
+      // (ok, nk), so distinct(chainUniqueID, ec) ≡ distinct(ok, nk, ec).
       val chainEc = shared(interactsByDomain
-        .select(concat(col("ok"), lit(":"), col("nk")).as("chainUniqueID"),
-          col("pk"))
+        .select(col("ok"), col("nk"), col("pk")).distinct()
         .join(cogEc.select(col("cogId").as("pk"), col("ec")), "pk")
-        .select("chainUniqueID", "ec").distinct(), "chainEc")
+        .select(col("ok"), col("nk"), col("ec")).distinct()
+        .select(concat(col("ok"), lit(":"), col("nk")).as("chainUniqueID"),
+          col("ec")), "chainEc")
       write("pdb_protein_chain_nodes",
         g.chains.select(col("chainUniqueID"), col("nk").as("chainID"))
           .join(chainEc.groupBy("chainUniqueID")

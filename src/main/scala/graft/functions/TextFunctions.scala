@@ -57,6 +57,32 @@ object TextFunctions {
     when(size(ws) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
   }
 
+  /** POSITIONAL word k-grams — every k-word window in order, index i
+    * holding the gram starting at word i (0-based once posexploded); the
+    * non-distinct sibling of [[shingles]] and the anchor-gram unit of the
+    * ExactSubstr span detector (t35/t36). Native codegen expression
+    * (plans/WordGrams) since r14 for the same measured reasons as
+    * shingles: the transform/sequence/slice composition evaluated
+    * interpreted and re-split the document once per gram position after
+    * projection collapse. Empty array for NULL or shorter-than-k inputs.
+    */
+  def grams(ws: Column, k: Int): Column =
+    org.apache.spark.sql.graftx.GraftPlanBridge.columnOf(
+      graft.plans.WordGrams(
+        org.apache.spark.sql.graftx.GraftPlanBridge.expressionOf(ws), k))
+
+  /** The pre-r14 composition of [[grams]] — the equivalence-property
+    * reference for TextFunctionsSpec, exactly as [[shinglesComposed]] is
+    * for shingles. (Callers always guarded with size(ws) >= k, so the
+    * reference is only meaningful under that guard; the native form maps
+    * shorter inputs to an empty array.)
+    */
+  private[graft] def gramsComposed(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => array_join(slice(ws, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** One MinHash value: the lexicographic minimum of seeded md5 digests over
     * an exploded shingle column. Aggregate expression — use inside groupBy.
     * md5-as-string keeps the hash identical across engines (no integer

@@ -7,6 +7,71 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
+/** Per-vertex (source → min-distance) state for the exact-closeness
+  * Pregel loop, as two PARALLEL SORTED primitive arrays instead of an
+  * immutable Map[Long, Long] (r14, guide §1.2 per-task work): at sf0.1
+  * every one of ~1000 vertices carries a map growing toward ~1000
+  * entries, merged per neighbor per superstep — the immutable-Map
+  * foldLeft-updated path was 79 executor-CPU-s of boxing and tree-node
+  * allocation (x10's whole CPU budget, and the restored x11 gate pays
+  * the same exact pass). Merge and improvement tests are merge-joins
+  * over the sorted key arrays: O(a+b) primitive reads, zero boxing.
+  * Same min-distance semantics entry for entry — the x10 oracle hash
+  * and GraphSpec pin it.
+  *
+  * Invariant: `keys` strictly ascending; `ds(i)` is the min distance to
+  * `keys(i)`. Instances are never mutated after construction (GraphX
+  * may alias attributes across superstep RDDs).
+  */
+private[graft] final case class DistVec(keys: Array[Long], ds: Array[Long])
+
+private[graft] object DistVec {
+  val empty: DistVec = DistVec(Array.emptyLongArray, Array.emptyLongArray)
+
+  def single(id: Long): DistVec = DistVec(Array(id), Array(0L))
+
+  /** Union by key, min distance on common keys. */
+  def merge(a: DistVec, b: DistVec): DistVec = {
+    if (b.keys.length == 0) return a
+    if (a.keys.length == 0) return b
+    val (ak, ad, bk, bd) = (a.keys, a.ds, b.keys, b.ds)
+    val ks = new Array[Long](ak.length + bk.length)
+    val vs = new Array[Long](ak.length + bk.length)
+    var i = 0; var j = 0; var o = 0
+    while (i < ak.length && j < bk.length) {
+      if (ak(i) < bk(j)) { ks(o) = ak(i); vs(o) = ad(i); i += 1 }
+      else if (ak(i) > bk(j)) { ks(o) = bk(j); vs(o) = bd(j); j += 1 }
+      else {
+        ks(o) = ak(i); vs(o) = math.min(ad(i), bd(j)); i += 1; j += 1
+      }
+      o += 1
+    }
+    while (i < ak.length) { ks(o) = ak(i); vs(o) = ad(i); i += 1; o += 1 }
+    while (j < bk.length) { ks(o) = bk(j); vs(o) = bd(j); j += 1; o += 1 }
+    if (o == ks.length) DistVec(ks, vs)
+    else DistVec(java.util.Arrays.copyOf(ks, o), java.util.Arrays.copyOf(vs, o))
+  }
+
+  /** Entries of `from` whose distance-plus-one improves on `at`:
+    * (k, d+1) where d + 1 < at(k) (or k unknown to `at`). Empty result
+    * (keys.length == 0) means "no message". */
+  def improved(from: DistVec, at: DistVec): DistVec = {
+    val (fk, fd, tk, td) = (from.keys, from.ds, at.keys, at.ds)
+    val ks = new Array[Long](fk.length)
+    val vs = new Array[Long](fk.length)
+    var i = 0; var j = 0; var o = 0
+    while (i < fk.length) {
+      while (j < tk.length && tk(j) < fk(i)) j += 1
+      val cur =
+        if (j < tk.length && tk(j) == fk(i)) td(j) else Long.MaxValue
+      if (fd(i) + 1 < cur) { ks(o) = fk(i); vs(o) = fd(i) + 1; o += 1 }
+      i += 1
+    }
+    if (o == 0) empty
+    else DistVec(java.util.Arrays.copyOf(ks, o), java.util.Arrays.copyOf(vs, o))
+  }
+}
+
 /** Whole-graph analytics on GraphX (BASELINE.json: "GraphX for analytics
   * queries"). Interactive traversals stay DataFrame joins (bounded-depth
   * patterns, §2.C); GraphX is reserved for genuinely global computations:
@@ -40,11 +105,13 @@ object GraphAnalytics {
     * floored at [[GraphParts]], capped at 16 — scale-adaptive (guide
     * §2), so the driver's low-core bench run derives a proportionally
     * lower count from its own spark.sql.shuffle.partitions. Values are
-    * partitioning-independent (oracle-hash-checked).
+    * partitioning-independent (oracle-hash-checked). Reads the CALLER'S
+    * session (ADVICE r13: SparkSession.active is thread-local and can
+    * differ from — or be unset relative to — the session the query
+    * actually runs on).
     */
-  private def cpuBoundGraphParts: Int = {
-    val p = org.apache.spark.sql.SparkSession.active
-      .sessionState.conf.numShufflePartitions
+  private def cpuBoundGraphParts(s: SparkSession): Int = {
+    val p = s.sessionState.conf.numShufflePartitions
     math.max(GraphParts, math.min(p / 2, 16))
   }
 
@@ -249,39 +316,33 @@ object GraphAnalytics {
   def closenessCentrality(s: SparkSession, dir: String, k: Int = 3,
                           cap: Int = 15): DataFrame = {
     import org.apache.spark.graphx.EdgeTriplet
-    type DistMap = Map[Long, Long]
-    def merge(a: DistMap, b: DistMap): DistMap =
-      b.foldLeft(a) { case (m, (src, d)) =>
-        if (d < m.getOrElse(src, Long.MaxValue)) m.updated(src, d) else m
-      }
+    import DistVec.{improved, merge}
     val verts = coBindingPairs(s, dir).select(col("sk")).distinct()
     // cpuBoundGraphParts, not GraphParts: this is the one superstep loop
-    // whose per-partition work (immutable distance-map merging across
-    // every frontier) dwarfs task overhead — see the GraphParts scaladoc
-    // for the measured A/B
-    val vertices = verts.repartition(cpuBoundGraphParts).rdd
-      .map(r => (r.getLong(0), Map(r.getLong(0) -> 0L)))
-    val edges = topKCanonEdges(s, dir, k).repartition(cpuBoundGraphParts).rdd
+    // whose per-partition work (distance-vector merging across every
+    // frontier) dwarfs task overhead — see the GraphParts scaladoc for
+    // the measured A/B
+    val parts = cpuBoundGraphParts(s)
+    val vertices = verts.repartition(parts).rdd
+      .map(r => (r.getLong(0), DistVec.single(r.getLong(0))))
+    val edges = topKCanonEdges(s, dir, k).repartition(parts).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val g = Graph(vertices, edges)
-    val res = g.pregel(Map.empty[Long, Long], maxIterations = cap)(
+    val res = g.pregel(DistVec.empty, maxIterations = cap)(
       (_, m, msg) => merge(m, msg),
-      (t: EdgeTriplet[DistMap, Unit]) => {
-        def improved(from: DistMap, at: DistMap): DistMap =
-          from.collect { case (src, d)
-            if d + 1 < at.getOrElse(src, Long.MaxValue) => src -> (d + 1) }
+      (t: EdgeTriplet[DistVec, Unit]) => {
         val out = Iterator.newBuilder[(org.apache.spark.graphx.VertexId,
-          DistMap)]
+          DistVec)]
         val toDst = improved(t.srcAttr, t.dstAttr)
         val toSrc = improved(t.dstAttr, t.srcAttr)
-        if (toDst.nonEmpty) out += ((t.dstId, toDst))
-        if (toSrc.nonEmpty) out += ((t.srcId, toSrc))
+        if (toDst.keys.length > 0) out += ((t.dstId, toDst))
+        if (toSrc.keys.length > 0) out += ((t.srcId, toSrc))
         out.result()
       },
       merge)
     s.createDataFrame(res.vertices.map { case (id, m) =>
-        val reached = m.size - 1L
-        val tot = m.values.sum // self contributes 0
+        val reached = m.keys.length - 1L
+        val tot = m.ds.sum // self contributes 0
         (id, reached, tot,
           if (tot > 0) reached.toDouble / tot.toDouble else 0.0)
       })

@@ -103,12 +103,16 @@ object MinHashDedup {
                           k: Int = 8, minSpan: Int = 10,
                           maxDf: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // native positional k-grams (plans/WordGrams, r14): the previous
+    // transform(sequence, i -> array_join(slice(w, i, k))) lambda
+    // evaluated INTERPRETED and re-split the document once per gram
+    // position after projection collapse — the same O(words²) pathology
+    // the r13 WordShingles fix removed from the distinct-shingle family
     val kg = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(w) - ${k - 1}), " +
-          s"i -> array_join(slice(w, i, $k), ' '))")).as(Seq("p0", "g")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFunctions.grams(col("w"), k)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
     val kept = kg.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf).select("g")

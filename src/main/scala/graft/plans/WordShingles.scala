@@ -40,6 +40,20 @@ case class WordShingles(child: Expression, n: Int)
 
   require(n >= 1, s"WordShingles: n must be >= 1, got $n")
 
+  // analysis-time input validation (ADVICE r13): without it a
+  // non-array<string> child fails deep inside codegen with a
+  // ClassCastException instead of a readable analysis error
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"WordShingles requires array<string> input, got " +
+            s"${other.catalogString}")
+    }
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   // the old when(...).otherwise(array()) form mapped a NULL words array
   // to an EMPTY result, never to NULL — preserved here

@@ -114,7 +114,11 @@ object FastGzipCodec {
       buf.write(b, off, len)
       singleBytes += len.toLong
     }
-    override def flush(): Unit = { buf.flush(); gz.flush() }
+    // flush() also folds the per-stream byte count (ADVICE r13): a
+    // mid-run telemetry reader would otherwise undercount a long-lived
+    // stream by up to its unfolded tail, and a stream abandoned on task
+    // abort after a flush still has its flushed bytes accounted.
+    override def flush(): Unit = { foldSingle(); buf.flush(); gz.flush() }
     override def finish(): Unit = { foldSingle(); buf.flush(); gz.finish() }
     // File-sink writers open one stream per file and never reuse it; the
     // reset contract exists for SequenceFile-style block codecs only.
@@ -124,9 +128,16 @@ object FastGzipCodec {
     // GZIPOutputStream.close() finishes the trailer and closes `raw`,
     // idempotently — the default CompressionOutputStream.close() would
     // bypass the gzip trailer entirely. foldSingle is idempotent too
-    // (zeroed on fold), so finish-then-close never double-counts; the
-    // pre-close buf.flush() drains the accumulation buffer first.
-    override def close(): Unit = { foldSingle(); buf.flush(); gz.close() }
+    // (zeroed on fold), so finish-then-close never double-counts. The
+    // closed flag preserves the documented double-close safety (ADVICE
+    // r13): the r13 pre-close buf.flush() would otherwise propagate
+    // through gz.flush() to the already-closed raw stream on a second
+    // close(), which throws on filesystems that reject flush-after-close.
+    private var closed = false
+    override def close(): Unit = if (!closed) {
+      closed = true
+      foldSingle(); buf.flush(); gz.close()
+    }
   }
 
   /** The `.option("compression", _)` value for DataFrame writers. */

@@ -82,12 +82,29 @@ object Sinks {
     * both paths — SinksSpec pins byte equality against a reference
     * `.csv()` write over the full value-type domain). Shared by the
     * per-table and batched writers so the two line formats cannot drift.
+    *
+    * The no-tab/newline domain is ENFORCED, not assumed (ADVICE r13): a
+    * string value carrying \t/\n/\r — where the old CSV writer would have
+    * quoted — would silently corrupt the row at the neo4j-admin import
+    * boundary. String-typed and array-joined values get a SINGLE-SCAN
+    * codegen'd guard (plans/TsvSafe — the three-Contains Column form
+    * measured ~20 executor-CPU-s on the 78M-row similarity sink) that
+    * fails the write loudly; numeric casts cannot produce control
+    * characters and stay unguarded (zero cost on the score/count columns
+    * that dominate the big sinks).
     */
+  private def guarded(c: Column): Column =
+    org.apache.spark.sql.graftx.GraftPlanBridge.columnOf(
+      graft.plans.TsvSafe(
+        org.apache.spark.sql.graftx.GraftPlanBridge.expressionOf(c)))
+
   private def tsvLine(schema: StructType): Column =
     concat_ws("\t", schema.fields.toSeq.map { f =>
       f.dataType match {
         case ArrayType(_, _) =>
-          coalesce(concat_ws("|", col(f.name)), lit(""))
+          coalesce(guarded(concat_ws("|", col(f.name))), lit(""))
+        case StringType =>
+          coalesce(guarded(col(f.name)), lit(""))
         case _ => coalesce(col(f.name).cast("string"), lit(""))
       }
     }: _*)

@@ -38,6 +38,15 @@ final class IncrementalMinHashIndex(
   private var version = 0
   private var batches = 0
   private var lastBatchId = -1L
+  // band/shingle stores start EMPTY-BY-FLAG, not as written-out empty
+  // parquet dirs (r14, guide §2.6 job-count): the previous constructor
+  // ran three write jobs before any data arrived, and batch 1's probe
+  // then re-read two empty dirs. Until the first append lands, reads
+  // short-circuit to the in-flight batch itself; the dirs come into
+  // existence through the first append's own job. dupDir alone keeps an
+  // eager empty write — it is the externally read output, and a run
+  // whose batches emit no pairs must still yield an (empty) table.
+  private var storesEmpty = true
 
   private def bandsDir = s"$root/bands_v$version"
   private def shDir = s"$root/sh_v$version"
@@ -51,9 +60,6 @@ final class IncrementalMinHashIndex(
 
   locally {
     import s.implicits._
-    Seq.empty[(Long, Long, String)].toDF("doc_id", "b", "bh")
-      .write.parquet(bandsDir)
-    Seq.empty[(Long, String)].toDF("doc_id", "s").write.parquet(shDir)
     Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jacc")
       .write.parquet(dupDir)
   }
@@ -86,12 +92,16 @@ final class IncrementalMinHashIndex(
     val shNew = MinHashDedup.shingleRows(batch, "doc_id", "text")
       .localCheckpoint(true)
     val bandNew = MinHashDedup.bandRows(shNew).localCheckpoint(true)
-    val bandAll = s.read.parquet(bandsDir).unionByName(bandNew)
+    val bandAll =
+      if (storesEmpty) bandNew
+      else s.read.parquet(bandsDir).unionByName(bandNew)
     // persisted: verifyPairs consumes its shingle argument THREE times
     // (per-doc counts + both sides of the intersection join); unpersisted
     // this re-scanned the full accumulated store — the largest and
     // fastest-growing dir — three times per batch
-    val shAll = s.read.parquet(shDir).unionByName(shNew).persist()
+    val shAll =
+      (if (storesEmpty) shNew
+       else s.read.parquet(shDir).unionByName(shNew)).persist()
     try {
       val cand = bandNew
         .select(col("doc_id").as("x"), col("b"), col("bh"))
@@ -104,8 +114,15 @@ final class IncrementalMinHashIndex(
       MinHashDedup.verifyPairs(cand, shAll, threshold)
         .write.mode("append").parquet(dupDir)
     } finally shAll.unpersist()
-    bandNew.write.mode("append").parquet(bandsDir)
-    shNew.write.mode("append").parquet(shDir)
+    // the two store appends are INDEPENDENT write jobs over
+    // already-materialized localCheckpoints — submit them concurrently
+    // (guide §2.6: overlap independent jobs) so the second isn't gated
+    // on the first's commit; both must land before the high-water mark
+    // advances, so failures keep the redelivery semantics below
+    inParallel(
+      () => bandNew.write.mode("append").parquet(bandsDir),
+      () => shNew.write.mode("append").parquet(shDir))
+    storesEmpty = false
     // the high-water mark advances only AFTER the last append succeeds:
     // marking first would make a mid-batch failure permanently skip the
     // batch on foreachBatch's redelivery — the bands/shingles would be
@@ -121,18 +138,42 @@ final class IncrementalMinHashIndex(
 
   /** Rewrite both stores coalesced into the next version dir, bump the
     * pointer, delete the old version. Sequential with ingest (foreachBatch
-    * batches arrive one at a time), so no reader races the delete.
+    * batches arrive one at a time), so no reader races the delete. The
+    * three rewrites are independent read→coalesce→write jobs over
+    * disjoint dirs — run concurrently (guide §2.6), the pointer bump
+    * stays a single-threaded step after all three land.
     */
   private def compact(): Unit = {
     val next = version + 1
     val (nb, ns, nd) =
       (s"$root/bands_v$next", s"$root/sh_v$next", s"$root/dups_v$next")
-    s.read.parquet(bandsDir).coalesce(compactParts).write.parquet(nb)
-    s.read.parquet(shDir).coalesce(compactParts).write.parquet(ns)
-    s.read.parquet(dupDir).coalesce(compactParts).write.parquet(nd)
+    inParallel(
+      () => s.read.parquet(bandsDir).coalesce(compactParts).write.parquet(nb),
+      () => s.read.parquet(shDir).coalesce(compactParts).write.parquet(ns),
+      () => s.read.parquet(dupDir).coalesce(compactParts).write.parquet(nd))
     val (ob, os, od) = (bandsDir, shDir, dupDir)
     version = next
     Seq(ob, os, od).foreach(d => rmTree(new java.io.File(d)))
+  }
+
+  /** Run independent Spark write jobs concurrently; propagate the FIRST
+    * failure after all threads settle (a half-parallel abort would leave
+    * jobs racing the caller's next step).
+    */
+  private def inParallel(jobs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(jobs.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = jobs.map(j => Future(j()))
+      // await each (not firstCompletedOf): all jobs settle before return
+      val errs = fs.flatMap { f =>
+        try { Await.result(f, Duration.Inf); None }
+        catch { case e: Throwable => Some(e) }
+      }
+      errs.headOption.foreach(throw _)
+    } finally pool.shutdown()
   }
 
   /** Parquet part-file counts of the current (bands, shingles, dups)

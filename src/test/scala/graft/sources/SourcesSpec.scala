@@ -97,6 +97,30 @@ class SourcesSpec extends SparkSpec {
       Sinks.neo4jTsv(Seq((1L, "pad ")).toDF("id", "v"), dir2)
       assert(lines(s"$dir2/data") === Seq("1\tpad "))
     }
+
+    it("ENFORCES the no-tab/newline domain: a violating value fails the " +
+       "write loudly (ADVICE r13) instead of corrupting the import") {
+      // string column with a tab, and an array element with a newline —
+      // both must fail; the guard is the single-scan TsvSafe expression
+      // the violation may surface as the raw IllegalArgumentException
+      // (constant-folded / local-relation inputs evaluate at the driver)
+      // or wrapped in a SparkException from a failed task — either way
+      // the write must FAIL with the domain message, never corrupt bytes
+      def violates(body: => Unit): Unit = {
+        val ex = intercept[Exception](body)
+        val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+          .takeWhile(_ != null).take(6)
+          .flatMap(t => Option(t.getMessage)).mkString(" | ")
+        assert(msgs.contains("TSV domain violation"), s"wrong failure: $msgs")
+      }
+      Seq("bad\tvalue", "bad\nvalue", "bad\rvalue").foreach { v =>
+        val dir = Files.createTempDirectory("neo4j_guard").toString
+        violates(Sinks.neo4jTsv(Seq((1L, v)).toDF("id", "v"), dir))
+      }
+      val dirA = Files.createTempDirectory("neo4j_guard_arr").toString
+      violates(Sinks.neo4jTsv(Seq((1L, Seq("ok", "bad\telem")))
+        .toDF("id", "tags"), dirA))
+    }
   }
 
   describe("Neo4j batch sink (A10 batch form)") {

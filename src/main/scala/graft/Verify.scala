@@ -21,6 +21,8 @@ object Verify {
       .config("spark.sql.files.openCostInBytes", 262144L)
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.GraftSession.IcuCaseMappingsKey, "false") // JVM case mapping; see GraftSession scaladoc
+      .config(graft.sources.FastLocalFileSystem.confKey,
+        graft.sources.FastLocalFileSystem.confValue) // in-process chmod; see its scaladoc
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

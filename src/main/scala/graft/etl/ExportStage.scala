@@ -672,6 +672,8 @@ object Pipeline {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config(graft.GraftSession.IcuCaseMappingsKey, "false") // see GraftSession
+      .config(graft.sources.FastLocalFileSystem.confKey,
+        graft.sources.FastLocalFileSystem.confValue) // in-process chmod; see its scaladoc
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

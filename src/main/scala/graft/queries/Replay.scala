@@ -46,21 +46,38 @@ private[graft] object Replay {
   private val FsCheckpointManager =
     "org.apache.spark.sql.execution.streaming.checkpointing." +
       "FileSystemBasedCheckpointFileManager"
+  /** Spark 4.1 wraps the checkpoint manager in a checksum layer that
+    * writes a `.crc` companion per checkpoint file through a side
+    * thread pool — corruption detection for long-lived checkpoints on
+    * remote stores. The replays checkpoint to throwaway local temp dirs
+    * (deleted when the query stops), where the extra per-commit file
+    * creations are pure overhead (r14 JFR: the `.delta.crc.*.tmp.crc`
+    * double-checksum files were a third of the state commit's file
+    * ops). Scoped off for the replay and restored after, exactly like
+    * the manager class; a production deployment checkpointing to an
+    * object store keeps its own setting.
+    */
+  private val CheckpointChecksumKey =
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled"
 
   private def withStateConf(s: SparkSession, statePartitions: Option[Int])(
       run: => Unit): Unit = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevCkpt = s.conf.getOption(CheckpointManagerKey)
+    val prevSum = s.conf.getOption(CheckpointChecksumKey)
     statePartitions.foreach(n =>
       s.conf.set("spark.sql.shuffle.partitions", n.toString))
     s.conf.set(CheckpointManagerKey, FsCheckpointManager)
+    s.conf.set(CheckpointChecksumKey, "false")
     try run
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
-      prevCkpt match {
-        case Some(v) => s.conf.set(CheckpointManagerKey, v)
-        case None    => s.conf.unset(CheckpointManagerKey)
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(x) => s.conf.set(k, x)
+        case None    => s.conf.unset(k)
       }
+      restore(CheckpointManagerKey, prevCkpt)
+      restore(CheckpointChecksumKey, prevSum)
     }
   }
 

@@ -42,6 +42,8 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.GraftSession.IcuCaseMappingsKey, "false") // JVM case mapping; see GraftSession scaladoc
+      .config(graft.sources.FastLocalFileSystem.confKey,
+        graft.sources.FastLocalFileSystem.confValue) // in-process chmod; see its scaladoc
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -12,6 +12,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config(GraftSession.IcuCaseMappingsKey, "false") // see GraftSession
+      .config(graft.sources.FastLocalFileSystem.confKey,
+        graft.sources.FastLocalFileSystem.confValue) // in-process chmod; see its scaladoc
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
